@@ -1,0 +1,296 @@
+"""Geometry kernel tests: WKB round-trips, PIP/distance correctness
+against brute-force oracles, Helmert transform round-trips, and cell
+scheme invariants (determinism, parent containment, covering)."""
+
+import numpy as np
+import pytest
+
+from ksj2gp_spark.geo import geom, grid, hexgrid, s2, transform, wkb
+
+rng = np.random.default_rng(42)
+
+
+def _square(x0, y0, x1, y1):
+    return [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+
+
+class TestWkb:
+    def test_point_roundtrip(self):
+        buf = wkb.point(139.5, 35.5)
+        g = wkb.loads(buf)
+        assert g.kind == wkb.POINT
+        assert g.coords[0] == 139.5 and g.coords[1] == 35.5
+        assert wkb.dumps(g) == buf
+
+    def test_polygon_roundtrip(self):
+        buf = wkb.polygon(_square(0, 0, 2, 1), _square(0.2, 0.2, 0.4, 0.4))
+        g = wkb.loads(buf)
+        assert g.kind == wkb.POLYGON
+        assert len(g.coords) == 2
+        assert len(g.coords[0]) == 5  # auto-closed
+        assert g.bounds() == (0.0, 0.0, 2.0, 1.0)
+        assert wkb.loads(wkb.dumps(g)).bounds() == g.bounds()
+
+    def test_multipolygon(self):
+        buf = wkb.multipolygon(
+            [[_square(0, 0, 1, 1)], [_square(2, 2, 3, 3)]]
+        )
+        g = wkb.loads(buf)
+        assert g.kind == wkb.MULTIPOLYGON
+        assert len(g.exterior_rings()) == 2
+        assert g.bounds() == (0.0, 0.0, 3.0, 3.0)
+
+    def test_z_point(self):
+        buf = wkb.point(1.0, 2.0, 3.0)
+        g = wkb.loads(buf)
+        assert g.has_z and g.coords[2] == 3.0
+
+    def test_big_endian_read(self):
+        import struct
+
+        buf = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 5.0, 6.0)
+        g = wkb.loads(buf)
+        assert g.coords[0] == 5.0 and g.coords[1] == 6.0
+
+    def test_errors(self):
+        with pytest.raises(wkb.WkbError):
+            wkb.loads(b"")
+        with pytest.raises(wkb.WkbError):
+            wkb.loads(b"\x01\x63\x00\x00\x00")  # unknown type 99
+
+
+class TestPip:
+    def test_square_inside_outside_boundary(self):
+        rings = [np.array(_square(0, 0, 2, 2) + [(0, 0)], dtype=float)]
+        xs = np.array([1.0, 3.0, 0.0, 2.0, 1.0, -0.001])
+        ys = np.array([1.0, 1.0, 0.0, 2.0, 0.0, 1.0])
+        got = geom.polygon_contains(xs, ys, rings)
+        # boundary points covered (covers semantics)
+        assert got.tolist() == [True, False, True, True, True, False]
+
+    def test_hole(self):
+        rings = [
+            np.array(_square(0, 0, 4, 4) + [(0, 0)], dtype=float),
+            np.array(_square(1, 1, 2, 2) + [(1, 1)], dtype=float),
+        ]
+        xs = np.array([0.5, 1.5, 1.0, 3.5])
+        ys = np.array([0.5, 1.5, 1.0, 3.5])
+        got = geom.polygon_contains(xs, ys, rings)
+        # in hole → not covered; on hole boundary → covered
+        assert got.tolist() == [True, False, True, True]
+
+    def test_concave_matches_matplotlib_free_oracle(self):
+        # L-shaped polygon; oracle = per-point slow ray cast
+        ring = np.array(
+            [(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3), (0, 0)],
+            dtype=float,
+        )
+        pts = rng.uniform(-0.5, 3.5, size=(500, 2))
+        got = geom.polygon_contains(pts[:, 0], pts[:, 1], [ring])
+
+        def slow(px, py):
+            inside = False
+            for k in range(len(ring) - 1):
+                x0, y0 = ring[k]
+                x1, y1 = ring[k + 1]
+                if (y0 <= py) != (y1 <= py):
+                    if px < x0 + (py - y0) * (x1 - x0) / (y1 - y0):
+                        inside = not inside
+            return inside
+
+        exp = np.array([slow(px, py) for px, py in pts])
+        assert (got == exp).all()
+
+    def test_multipolygon_contains(self):
+        buf = wkb.multipolygon([[_square(0, 0, 1, 1)], [_square(2, 2, 3, 3)]])
+        g = wkb.loads(buf)
+        got = geom.geometry_contains(
+            np.array([0.5, 2.5, 1.5]), np.array([0.5, 2.5, 1.5]), g
+        )
+        assert got.tolist() == [True, True, False]
+
+    def test_distance(self):
+        g = wkb.loads(wkb.polygon(_square(0, 0, 2, 2)))
+        d = geom.distance_to_geometry(
+            np.array([1.0, 3.0, 0.0, 5.0]), np.array([1.0, 1.0, -1.0, 2.0]), g
+        )
+        np.testing.assert_allclose(d, [0.0, 1.0, 1.0, 3.0], atol=1e-12)
+
+    def test_area_centroid(self):
+        g = wkb.loads(
+            wkb.polygon(_square(0, 0, 4, 4), _square(1, 1, 2, 2))
+        )
+        assert geom.geometry_area(g) == pytest.approx(15.0)
+        cx, cy = geom.centroid(wkb.loads(wkb.polygon(_square(0, 0, 2, 4))))
+        assert (cx, cy) == pytest.approx((1.0, 2.0))
+
+
+class TestTransform:
+    def test_tokyo_roundtrip(self):
+        lon = rng.uniform(128, 146, 200)
+        lat = rng.uniform(30, 45, 200)
+        tlon, tlat, _ = transform.wgs84_to_tokyo(lon, lat)
+        blon, blat, _ = transform.tokyo_to_wgs84(tlon, tlat)
+        np.testing.assert_allclose(blon, lon, atol=1e-9)
+        np.testing.assert_allclose(blat, lat, atol=1e-9)
+
+    def test_tokyo_shift_magnitude(self):
+        # The Tokyo→WGS84 datum shift around Japan is famously ~400-500 m
+        # (roughly +12" lat, -12" lon near Tokyo).
+        lon, lat, _ = transform.tokyo_to_wgs84(
+            np.array([139.7]), np.array([35.7])
+        )
+        dlon = (lon[0] - 139.7) * 3600
+        dlat = (lat[0] - 35.7) * 3600
+        assert -13 < dlon < -9  # arc-seconds west
+        assert 10 < dlat < 13  # arc-seconds north
+
+    def test_identity_for_jgd(self):
+        lon, lat = transform.to_wgs84(
+            np.array([139.0]), np.array([35.0]), "JGD2011"
+        )
+        assert lon[0] == 139.0 and lat[0] == 35.0
+
+
+class TestGridCells:
+    def test_deterministic_and_stable(self):
+        lons = rng.uniform(-180, 180, 1000)
+        lats = rng.uniform(-90, 90, 1000)
+        a = grid.latlng_to_cell(lons, lats, 12)
+        b = grid.latlng_to_cell(lons, lats, 12)
+        assert (a == b).all()
+
+    def test_parent_contains(self):
+        lons = rng.uniform(135, 145, 500)
+        lats = rng.uniform(30, 40, 500)
+        c12 = grid.latlng_to_cell(lons, lats, 12)
+        c10 = grid.latlng_to_cell(lons, lats, 10)
+        assert (grid.cell_to_parent(c12, 10) == c10).all()
+
+    def test_center_roundtrip(self):
+        lons = rng.uniform(-179, 179, 300)
+        lats = rng.uniform(-89, 89, 300)
+        c = grid.latlng_to_cell(lons, lats, 14)
+        cx, cy = grid.cell_center(c)
+        assert (grid.latlng_to_cell(cx, cy, 14) == c).all()
+
+    def test_cover_geometry_is_superset(self):
+        g = wkb.loads(wkb.polygon(_square(139.0, 35.0, 139.6, 35.4)))
+        cells = set(grid.cover_geometry(g, 10).tolist())
+        pts = rng.uniform(0, 1, size=(2000, 2))
+        px = 139.0 + pts[:, 0] * 0.6
+        py = 35.0 + pts[:, 1] * 0.4
+        pc = grid.latlng_to_cell(px, py, 10)
+        assert set(pc.tolist()) <= cells
+
+    def test_oracle_sql_expr_matches(self):
+        import duckdb
+
+        lons = rng.uniform(-180, 180, 500)
+        lats = rng.uniform(-90, 90, 500)
+        ours = grid.latlng_to_cell(lons, lats, 11)
+        con = duckdb.connect()
+        con.register(
+            "pts",
+            __import__("pandas").DataFrame({"lon": lons, "lat": lats}),
+        )
+        expr = grid.oracle_sql_expr("lon", "lat", 11)
+        theirs = con.sql(f"select {expr} as c from pts").df()["c"].to_numpy()
+        assert (ours == theirs).all()
+
+
+class TestHexCells:
+    def test_resolution_scale(self):
+        # res 8 edge ≈ 460 m in degrees (~0.0042°), aperture-7 halving
+        assert hexgrid.edge_length(8) == pytest.approx(10.0 / 7**4)
+        assert hexgrid.edge_length(10) / hexgrid.edge_length(8) == (
+            pytest.approx(1 / 7)
+        )
+
+    def test_center_in_own_cell(self):
+        lons = rng.uniform(128, 146, 1000)
+        lats = rng.uniform(30, 45, 1000)
+        c = hexgrid.latlng_to_cell(lons, lats, 8)
+        cx, cy = hexgrid.cell_to_latlng(c)
+        assert (hexgrid.latlng_to_cell(cx, cy, 8) == c).all()
+
+    def test_partition_no_gaps(self):
+        # every point maps to exactly one hex whose center is within
+        # circumradius (edge) of the point
+        lons = rng.uniform(139, 140, 2000)
+        lats = rng.uniform(35, 36, 2000)
+        c = hexgrid.latlng_to_cell(lons, lats, 7)
+        cx, cy = hexgrid.cell_to_latlng(c)
+        d = np.hypot(lons - cx, lats - cy)
+        assert (d <= hexgrid.edge_length(7) + 1e-9).all()
+
+    def test_grid_disk(self):
+        c = int(hexgrid.latlng_to_cell(np.array([139.7]), np.array([35.7]), 8)[0])
+        disk1 = hexgrid.grid_disk(c, 1)
+        assert len(disk1) == 7 and c in disk1.tolist()
+        assert len(hexgrid.grid_disk(c, 2)) == 19
+
+    def test_cover_geometry_is_superset(self):
+        g = wkb.loads(wkb.polygon(_square(139.0, 35.0, 139.5, 35.3)))
+        cells = set(hexgrid.cover_geometry(g, 6).tolist())
+        pts = rng.uniform(0, 1, size=(2000, 2))
+        px = 139.0 + pts[:, 0] * 0.5
+        py = 35.0 + pts[:, 1] * 0.3
+        pc = hexgrid.latlng_to_cell(px, py, 6)
+        assert set(pc.tolist()) <= cells
+
+
+class TestS2:
+    def test_id_structure(self):
+        lons = rng.uniform(-180, 180, 500)
+        lats = rng.uniform(-89, 89, 500)
+        c = s2.latlng_to_cell(lons, lats, 30)
+        assert (c & 1).all()  # sentinel bit
+        faces = (c >> 61) & 7
+        assert faces.max() <= 5
+
+    def test_faces_of_axes(self):
+        # +x axis → face 0, +y → 1, north pole → 2, -x → 3, -y → 4, south → 5
+        lons = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+        lats = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+        c = s2.latlng_to_cell(lons, lats, 10)
+        assert (((c >> 61) & 7) == np.array([0, 1, 2, 3, 4, 5])).all()
+
+    def test_parent_prefix_containment(self):
+        lons = rng.uniform(128, 146, 1000)
+        lats = rng.uniform(30, 45, 1000)
+        c14 = s2.latlng_to_cell(lons, lats, 14)
+        c10 = s2.latlng_to_cell(lons, lats, 10)
+        assert (s2.parent(c14, 10) == c10).all()
+        assert (s2.level_of(c14) == 14).all()
+        assert (s2.level_of(c10) == 10).all()
+
+    def test_center_roundtrip(self):
+        lons = rng.uniform(-170, 170, 500)
+        lats = rng.uniform(-80, 80, 500)
+        for level in (10, 14, 20):
+            c = s2.latlng_to_cell(lons, lats, level)
+            cx, cy = s2.cell_to_latlng(c)
+            assert (s2.latlng_to_cell(cx, cy, level) == c).all()
+
+    def test_neighbors_differ(self):
+        # distinct well-separated points at high level → distinct cells
+        lons = np.linspace(139, 140, 100)
+        lats = np.full(100, 35.5)
+        c = s2.latlng_to_cell(lons, lats, 20)
+        assert len(np.unique(c)) == 100
+
+    def test_token(self):
+        c = int(s2.latlng_to_cell(np.array([139.7]), np.array([35.7]), 12)[0])
+        t = s2.token(c)
+        assert 1 <= len(t) <= 16
+        assert int(t.ljust(16, "0"), 16) == np.uint64(c)
+
+    def test_cover_geometry_is_superset(self):
+        g = wkb.loads(wkb.polygon(_square(139.0, 35.0, 139.5, 35.3)))
+        cells = set(s2.cover_geometry(g, 11).tolist())
+        pts = rng.uniform(0, 1, size=(2000, 2))
+        px = 139.0 + pts[:, 0] * 0.5
+        py = 35.0 + pts[:, 1] * 0.3
+        pc = s2.latlng_to_cell(px, py, 11)
+        assert set(pc.tolist()) <= cells
