@@ -1,0 +1,165 @@
+"""dBASE (.dbf) reader/writer — the attribute side of a shapefile.
+
+Behavioral spec: the reference consumes dBASE via the ``dbase`` crate
+and maps field types to Arrow at /root/reference/rust/src/builder.rs:
+290-318 (Numeric/Double→f64, Character/Memo→utf8, Float→f32,
+Integer→i32, Logical→bool, Date→date32; DateTime unsupported). The
+writer exists for building deterministic test fixtures only.
+
+Field values decode to Python objects; empty numerics decode to None
+(nullable columns, builder.rs:50-97).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+from dataclasses import dataclass
+
+__all__ = ["DbfError", "DbfField", "read_dbf", "write_dbf", "read_header"]
+
+
+class DbfError(ValueError):
+    pass
+
+
+@dataclass
+class DbfField:
+    name: str
+    ftype: str  # C N F L D I (I = long integer, dBASE 7 style)
+    length: int
+    decimals: int = 0
+
+
+def read_header(buf: bytes) -> tuple[int, int, int, int]:
+    """(n_records, header_size, record_size, ldid)."""
+    if len(buf) < 32:
+        raise DbfError("dbf header too short")
+    n_records, header_size, record_size = struct.unpack_from("<IHH", buf, 4)
+    # LDID convention follows the reference: the 29th byte (index 28),
+    # value 13 meaning Shift_JIS (zip_reader.rs:146-148).
+    ldid = buf[28]
+    return n_records, header_size, record_size, ldid
+
+
+def read_fields(buf: bytes) -> list[DbfField]:
+    fields = []
+    pos = 32
+    while pos < len(buf) and buf[pos] != 0x0D:
+        raw = buf[pos : pos + 32]
+        if len(raw) < 32:
+            raise DbfError("truncated field descriptor")
+        name = raw[:11].split(b"\x00", 1)[0].decode("ascii", "replace")
+        ftype = chr(raw[11])
+        length = raw[16]
+        decimals = raw[17]
+        fields.append(DbfField(name, ftype, length, decimals))
+        pos += 32
+    return fields
+
+
+def read_dbf(
+    buf: bytes, encoding: str = "cp932"
+) -> tuple[list[DbfField], list[list[object]]]:
+    """Parse a .dbf file into (fields, rows). Deleted rows skipped."""
+    n_records, header_size, record_size, _ = read_header(buf)
+    fields = read_fields(buf)
+    rows: list[list[object]] = []
+    pos = header_size
+    for _ in range(n_records):
+        rec = buf[pos : pos + record_size]
+        pos += record_size
+        if len(rec) < record_size or rec[0:1] == b"*":
+            continue  # deleted
+        off = 1
+        row: list[object] = []
+        for f in fields:
+            raw = rec[off : off + f.length]
+            off += f.length
+            row.append(_decode_value(raw, f, encoding))
+        rows.append(row)
+    return fields, rows
+
+
+def _decode_value(raw: bytes, f: DbfField, encoding: str) -> object:
+    if f.ftype == "C":
+        return raw.decode(encoding, "replace").rstrip(" \x00") or None
+    text = raw.strip(b" \x00*").decode("ascii", "replace")
+    if f.ftype in ("N", "F"):
+        if not text:
+            return None
+        try:
+            if f.decimals == 0 and f.ftype == "N" and "." not in text:
+                return int(text)
+            return float(text)
+        except ValueError:
+            return None
+    if f.ftype == "L":
+        if text in ("T", "t", "Y", "y"):
+            return True
+        if text in ("F", "f", "N", "n"):
+            return False
+        return None
+    if f.ftype == "D":
+        if len(text) != 8:
+            return None
+        try:
+            return _dt.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
+        except ValueError:
+            return None
+    if f.ftype == "I":
+        return struct.unpack("<i", raw)[0] if len(raw) == 4 else None
+    raise DbfError(f"unsupported dBASE field type: {f.ftype}")
+
+
+def write_dbf(
+    fields: list[DbfField],
+    rows: list[list[object]],
+    encoding: str = "cp932",
+    ldid: int = 0,
+) -> bytes:
+    """Serialize rows to a dBASE III file (fixture builder)."""
+    record_size = 1 + sum(f.length for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += bytes([0x03, 95, 7, 26])  # version + fake date
+    out += struct.pack("<IHH", len(rows), header_size, record_size)
+    out += bytes(16)
+    out += bytes([ldid])  # index 28, matching the reference's convention
+    out += bytes(3)
+    assert len(out) == 32
+    for f in fields:
+        name = f.name.encode("ascii")[:10]
+        out += name + bytes(11 - len(name))
+        out += f.ftype.encode("ascii")
+        out += bytes(4)
+        out += bytes([f.length, f.decimals])
+        out += bytes(14)
+    out += b"\x0d"
+    for row in rows:
+        out += b" "
+        for f, v in zip(fields, row):
+            out += _encode_value(v, f, encoding)
+    out += b"\x1a"
+    return bytes(out)
+
+
+def _encode_value(v: object, f: DbfField, encoding: str) -> bytes:
+    if f.ftype == "C":
+        raw = ("" if v is None else str(v)).encode(encoding)[: f.length]
+        return raw + b" " * (f.length - len(raw))
+    if f.ftype in ("N", "F"):
+        if v is None:
+            return b" " * f.length
+        text = (
+            f"{v:.{f.decimals}f}" if f.decimals else str(int(v))
+        )
+        raw = text.encode("ascii")[-f.length :]
+        return b" " * (f.length - len(raw)) + raw
+    if f.ftype == "L":
+        return b"?" if v is None else (b"T" if v else b"F")
+    if f.ftype == "D":
+        if v is None:
+            return b" " * 8
+        return f"{v.year:04d}{v.month:02d}{v.day:02d}".encode("ascii")
+    raise DbfError(f"unsupported dBASE field type: {f.ftype}")
