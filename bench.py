@@ -1,0 +1,156 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline spatial-join + tile-assignment queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "images": N, "images_per_sec": ...}
+
+The image table is synthesized distributed (deterministic, no bytes —
+the join benchmark measures the join, not PNG encoding) at a row count
+proportional to the SF (scaled off lineitem's row count). A separate
+image-decode benchmark runs at fixed 20k rows with real bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ksj2gp-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images_env = os.environ.get("SPARK_GRAFT_N_IMAGES")
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    from pyspark.sql import functions as F
+
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators import cells, images as img_ops, spatial
+
+    li_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    sf = round(li_rows / 6_000_000, 4)
+    n_images = (
+        int(n_images_env) if n_images_env else max(100_000, int(li_rows * 10 / 3))
+    )
+
+    imgs = fixtures.images_df(
+        spark, n_images, with_bytes=False, partitions=cpus * 2
+    ).cache()
+    imgs.count()  # materialize outside the timed region
+    polys = fixtures.polygon_layer()
+
+    # Warmup: spin up Python workers / JIT / broadcast machinery so the
+    # first timed query isn't charged for process startup.
+    spatial.spatial_join_tiles(
+        imgs.limit(5000), polys, scheme="hex", res=7
+    ).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # Headline: hex-cell broadcast spatial join + tile assignment.
+    timed(
+        "tiles_hex",
+        lambda: spatial.spatial_join_tiles(imgs, polys, scheme="hex", res=7)
+        .select("image_id", "cell", "admin_code")
+        .count(),
+    )
+    timed(
+        "tiles_s2",
+        lambda: spatial.spatial_join_tiles(imgs, polys, scheme="s2", res=12).count(),
+    )
+    timed(
+        "tiles_grid",
+        lambda: spatial.spatial_join_tiles(imgs, polys, scheme="grid", res=10).count(),
+    )
+
+    # Salted shuffle variant (hot-cell handling at scale).
+    def salted():
+        pts = cells.with_cell(imgs, "grid", 10)
+        hot = spatial.find_hot_cells(pts, threshold_ratio=3.0)
+        return spatial.spatial_join_tiles(
+            imgs, polys, scheme="grid", res=10,
+            strategy="shuffle", n_salt=8, hot_cells=hot,
+        ).count()
+
+    timed("tiles_grid_salted_shuffle", salted)
+
+    # kNN lane for unmatched (ocean) images.
+    def knn():
+        tiles = spatial.spatial_join_tiles(imgs, polys, scheme="grid", res=10)
+        pts = cells.with_cell(imgs, "grid", 10)
+        un = spatial.unmatched_images(pts, tiles)
+        return spatial.knn_join(un, polys, k=3).count()
+
+    timed("knn_ocean", knn)
+
+    # Image lane: decode + verify + phash at fixed 20k rows (real bytes).
+    imgs_bytes = fixtures.images_df(
+        spark, 20_000, with_bytes=True, partitions=cpus
+    )
+    timed(
+        "decode_verify_20k",
+        lambda: img_ops.decode_verify(imgs_bytes)
+        .agg(F.sum(F.col("phash_match").cast("int")))
+        .collect(),
+    )
+
+    # Relational operators at SF scale.
+    import __spark_entry__ as entry_mod
+
+    for name in ("lineitem_pricing", "top_orders", "events_tumbling"):
+        q = entry_mod.queries()[name]
+        timed(name, lambda q=q: q(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    headline = timings["tiles_hex"]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_assignment",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "images": n_images,
+                "images_per_sec": round(n_images / headline, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

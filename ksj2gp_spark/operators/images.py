@@ -1,0 +1,200 @@
+"""Image-lane operators over the input_hint table
+(image_id, bytes, w, h, fmt, caption, phash).
+
+All decode/hash work runs in ``mapInPandas`` over Arrow batches (numpy
+kernels from formats.imagecodec); rows never round-trip through per-row
+Python. Decode of real JPEG is stubbed (no libjpeg here) — the Spark
+plumbing (schema, batching, UDF signatures) is exactly what a
+libjpeg-backed deployment would use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..formats import imagecodec
+
+
+def decode_verify(df: DataFrame) -> DataFrame:
+    """Decode every image and verify stored metadata: returns
+    (image_id, fmt, w_ok, h_ok, phash_recomputed, phash_match,
+    mean_pixel, decode_error). Errors are captured per row, not thrown —
+    the quarantine lane of the pipeline."""
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"],
+                "fmt": pdf["fmt"],
+                "w_ok": np.zeros(n, dtype=bool),
+                "h_ok": np.zeros(n, dtype=bool),
+                "phash_recomputed": np.zeros(n, dtype=np.int64),
+                "phash_match": np.zeros(n, dtype=bool),
+                "mean_pixel": np.full(n, np.nan),
+                "decode_error": np.array([None] * n, dtype=object),
+            }
+            for k, (buf, fmt, w, h, ph) in enumerate(
+                zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"])
+            ):
+                try:
+                    arr = imagecodec.decode_image(buf, fmt)
+                except Exception as e:  # quarantine, don't fail the job
+                    out["decode_error"][k] = f"{type(e).__name__}: {e}"
+                    continue
+                hh, ww = arr.shape[:2]
+                out["w_ok"][k] = ww == w
+                out["h_ok"][k] = hh == h
+                rec = imagecodec.phash64(arr)
+                out["phash_recomputed"][k] = rec
+                out["phash_match"][k] = rec == ph
+                out["mean_pixel"][k] = float(arr.mean())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "image_id string, fmt string, w_ok boolean, h_ok boolean, "
+            "phash_recomputed long, phash_match boolean, "
+            "mean_pixel double, decode_error string"
+        ),
+    )
+
+
+def psnr_vs_reference(df: DataFrame, reference_fn) -> DataFrame:
+    """Per-row invariant check (input_hint): decoded pixels vs a
+    reference image generator ``reference_fn(image_id, h, w) -> array``.
+    Emits (image_id, psnr, lossless, passes_40db)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, psnrs, lossless = [], [], []
+            for buf, fmt, w, h, iid in zip(
+                pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["image_id"]
+            ):
+                arr = imagecodec.decode_image(buf, fmt)
+                ref = reference_fn(iid, int(h), int(w))
+                p = imagecodec.psnr(ref, arr)
+                ids.append(iid)
+                psnrs.append(p if np.isfinite(p) else 1e9)
+                lossless.append(np.isinf(p))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "psnr": psnrs,
+                    "lossless": lossless,
+                    "passes_40db": [p >= 40.0 for p in psnrs],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="image_id string, psnr double, lossless boolean, passes_40db boolean",
+    )
+
+
+def phash_exact_dups(df: DataFrame) -> DataFrame:
+    """Exact perceptual-hash dedup: canonical row per phash + dup count.
+    Pure hash aggregation (JVM); emits (phash, canonical_image_id,
+    dup_count)."""
+    return (
+        df.groupBy("phash")
+        .agg(
+            F.min("image_id").alias("canonical_image_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def phash_near_dups(df: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates by banded phash (LSH on Hamming space): the
+    64-bit hash is split into 64/band_bits bands; rows sharing any band
+    value are candidates, verified by exact Hamming distance ≤ 4.
+
+    Banding is JVM bit arithmetic; verification joins only within
+    buckets (the standard LSH candidate-pruning shape)."""
+    n_bands = 64 // band_bits
+    bands = df.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), b * band_bits)
+                            % F.lit(1 << band_bits)
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("image_id", "phash", "bv.band", "bv.band_val")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            F.col("a.phash").alias("phash_a"),
+            F.col("b.phash").alias("phash_b"),
+        )
+        .dropDuplicates(["image_a", "image_b"])
+    )
+    hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
+    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= 4)
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Decode → block-mean resize → re-encode PNG. Demonstrates the
+    transform shape for multimodal preprocessing at scale."""
+
+    def run(batches):
+        for pdf in batches:
+            blobs = []
+            for buf, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                arr = imagecodec.decode_image(buf, fmt)
+                small = imagecodec.resize_block_mean(arr, out_h, out_w)
+                blobs.append(
+                    imagecodec.encode_image(
+                        np.clip(small, 0, 255).astype(np.uint8), "png"
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": blobs,
+                    "w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "h": np.full(len(pdf), out_h, dtype=np.int32),
+                    "fmt": ["png"] * len(pdf),
+                    "caption": pdf["caption"],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "image_id string, bytes binary, w int, h int, "
+            "fmt string, caption string"
+        ),
+    )
+
+
+def top_duplicated(df: DataFrame, n: int = 10) -> DataFrame:
+    """Window demo: top-n most duplicated phash groups."""
+    w = Window.orderBy(F.desc("dup_count"), "phash")
+    return (
+        phash_exact_dups(df)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )

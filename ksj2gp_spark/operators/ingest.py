@@ -1,0 +1,147 @@
+"""KSJ ZIP → polygons DataFrame ingestion (SURVEY.md §2.1 S1-S4, §3.3).
+
+Spark shape: ``spark.read.format("binaryFile").load("*.zip")`` →
+``mapInPandas`` partition that parses each ZIP fully in executor memory
+(zipsrc + shp + dbf kernels), applies CRS/encoding detection, KSJ id
+extraction, colname + codelist translation, and emits one row per
+feature with WKB geometry. Failed ZIPs go to an error lane column
+instead of failing the job.
+
+Attribute values are emitted as a map<string,string> (post-translation
+everything is label text; the reference also retypes codelist columns
+to utf8, builder.rs:272-285). A typed-schema variant can pivot the map
+out per dataset at plan time.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..formats import dbf as dbf_mod
+from ..formats import shp as shp_mod
+from ..formats import zipsrc
+from ..geo import wkb
+from ..ksj import TranslateOptions, extract_ksj_id, translate_colnames
+from ..ksj.codelists import get_codelist_map, translate_value
+
+INGEST_SCHEMA = (
+    "zip_path string, ksj_id string, year int, shp_name string, "
+    "feature_idx long, crs string, geometry binary, geom_type string, "
+    "attrs map<string,string>, error string"
+)
+
+
+def parse_zip_bytes(
+    zip_path: str,
+    zip_bytes: bytes,
+    translate: bool = True,
+    ignore_translation_errors: bool = True,
+) -> pd.DataFrame:
+    """Parse one KSJ ZIP into feature rows (pure Python, UDF-usable)."""
+    filename = os.path.basename(zip_path)
+    try:
+        ksj_id, year = extract_ksj_id(filename)
+    except Exception:
+        ksj_id, year = "", 0
+    rows = []
+    try:
+        shp_names = zipsrc.list_shp_files(zip_bytes)
+        if not shp_names:
+            raise zipsrc.ZipSourceError("no .shp member in ZIP")
+        for shp_name in shp_names:
+            bundle = zipsrc.read_bundle(zip_bytes, shp_name)
+            opts = TranslateOptions(
+                translate_colnames=translate,
+                translate_contents=translate,
+                ignore_translation_errors=ignore_translation_errors,
+                ksj_id=ksj_id,
+                year=year,
+                target_shp=shp_name,
+            )
+            geoms = shp_mod.read_shp(bundle.shp)
+            fields, recs = dbf_mod.read_dbf(bundle.dbf, bundle.encoding)
+            colnames = [translate_colnames(f.name, opts) for f in fields]
+            codelists = [
+                get_codelist_map(f.name, year, shp_name)
+                if translate
+                else None
+                for f in fields
+            ]
+            for idx, (g, rec) in enumerate(zip(geoms, recs)):
+                if g is None:
+                    rows.append(
+                        _row(
+                            zip_path, ksj_id, year, shp_name, idx,
+                            bundle.crs, None, "NullShape", {},
+                            "NullShape rejected",
+                        )
+                    )
+                    continue
+                attrs = {}
+                for name, cl, value in zip(colnames, codelists, rec):
+                    v = translate_value(value, cl)
+                    attrs[name] = None if v is None else str(v)
+                rows.append(
+                    _row(
+                        zip_path, ksj_id, year, shp_name, idx, bundle.crs,
+                        wkb.dumps(g), g.name, attrs, None,
+                    )
+                )
+    except Exception as e:
+        rows.append(
+            _row(
+                zip_path, ksj_id, year, "", -1, "", None, "",
+                {}, f"{type(e).__name__}: {e}",
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def _row(zip_path, ksj_id, year, shp_name, idx, crs, geometry, gtype, attrs, err):
+    return {
+        "zip_path": zip_path,
+        "ksj_id": ksj_id,
+        "year": year,
+        "shp_name": shp_name,
+        "feature_idx": idx,
+        "crs": crs,
+        "geometry": geometry,
+        "geom_type": gtype,
+        "attrs": attrs,
+        "error": err,
+    }
+
+
+def ingest_zips(spark: SparkSession, path: str, translate: bool = True) -> DataFrame:
+    """Distributed ingestion: binaryFile scan → per-ZIP parse UDF."""
+    raw = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                yield parse_zip_bytes(p, bytes(content), translate=translate)
+
+    return raw.select("path", "content").mapInPandas(parse, schema=INGEST_SCHEMA)
+
+
+def polygons_from_ingest(
+    ingested: DataFrame, admin_code_attr: str = "行政区域コード"
+) -> DataFrame:
+    """Project the ingest frame into the spatial-join polygon layer
+    shape (polygon_id, admin_code, geometry, crs)."""
+    from pyspark.sql import functions as F
+
+    return (
+        ingested.filter(F.col("error").isNull())
+        .select(
+            F.concat_ws(
+                "_", F.col("ksj_id"), F.col("shp_name"), F.col("feature_idx")
+            ).alias("polygon_id"),
+            F.col("attrs").getItem(admin_code_attr).alias("行政区域コード"),
+            F.col("geometry"),
+            F.col("crs"),
+        )
+    )

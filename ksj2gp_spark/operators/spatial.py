@@ -1,0 +1,248 @@
+"""Spatial join + kNN operators — the engine's core (SURVEY.md §2.4).
+
+Design (BASELINE north_star): candidate pairs come from a cell-keyed
+equi-join between point cells and polygon cell covers; exact refinement
+is vectorized point-in-polygon inside ``mapInPandas``; kNN is a
+vectorized distance top-k. Two physical strategies:
+
+* ``broadcast`` — polygon covers are broadcast (KSJ admin layers are
+  MB-scale): **zero shuffle** of the image table; the only exchange is
+  the final write. This is the 100 TB path: a 10^12-row probe side
+  streams through map tasks.
+* ``shuffle`` — for polygon layers too big to broadcast: shuffle hash
+  join on cell, with explicit **salting** of hot cells (Tokyo/Osaka
+  skew): probe rows get ``salt = pmod(xxhash64(image_id), S)`` and the
+  build side replicates hot-cell rows S times, flattening partition
+  sizes. AQE skew-join remains on as a backstop.
+
+Refinement receives polygon geometry via a Spark broadcast variable
+(dict polygon_id → WKB) so candidate rows never carry geometry bytes
+through the join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..geo import geom, wkb
+from .cells import normalize_polygons, polygon_cover_pdf, with_cell
+
+DEFAULT_RES = {"hex": 7, "s2": 12, "grid": 10}
+
+
+def candidate_join(
+    images: DataFrame,
+    cover: DataFrame,
+    strategy: str = "broadcast",
+    n_salt: int = 8,
+    hot_cells: list[int] | None = None,
+) -> DataFrame:
+    """Cell-keyed candidate equi-join. ``images`` must carry ``cell``."""
+    if strategy == "broadcast":
+        return images.join(F.broadcast(cover), "cell")
+    if strategy != "shuffle":
+        raise ValueError(f"unknown join strategy: {strategy}")
+
+    if not hot_cells:
+        # Plain shuffle hash join; AQE skew handling applies.
+        return images.join(cover, "cell")
+
+    spark = images.sparkSession
+    hot_df = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"cell": np.asarray(hot_cells, dtype=np.int64)})
+        ).withColumn("is_hot", F.lit(True))
+    )
+    probe = (
+        images.join(hot_df, "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_salt)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("is_hot")
+    )
+    build = (
+        cover.join(hot_df, "cell", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("is_hot"),
+                    F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("is_hot")
+    )
+    return probe.join(build, ["cell", "salt"]).drop("salt")
+
+
+def find_hot_cells(
+    images_with_cell: DataFrame, threshold_ratio: float = 4.0, max_cells: int = 10_000
+) -> list[int]:
+    """Data-driven hot-cell detection: cells whose row count exceeds
+    ``threshold_ratio`` × the mean cell load. One aggregation pass; the
+    result is tiny (cell ids only) and broadcast back."""
+    counts = images_with_cell.groupBy("cell").count()
+    stats = counts.agg(F.avg("count").alias("mean")).collect()[0]
+    if stats["mean"] is None:
+        return []
+    hot = (
+        counts.filter(F.col("count") > threshold_ratio * float(stats["mean"]))
+        .orderBy(F.desc("count"))
+        .limit(max_cells)
+        .select("cell")
+        .collect()
+    )
+    return [r["cell"] for r in hot]
+
+
+def refine_pip(
+    candidates: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    out_cols: list[str],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Exact point-in-polygon refinement over candidate pairs.
+
+    Vectorized per (batch × polygon): groups each Arrow batch by
+    polygon_id and evaluates covers() for all its points at once.
+    Geometry travels as a broadcast dict, not through the join.
+    """
+    spark = candidates.sparkSession
+    geo_b = spark.sparkContext.broadcast(
+        {
+            row["polygon_id"]: bytes(row["geometry"])
+            for _, row in polygons_pdf.iterrows()
+        }
+    )
+    schema = candidates.select(*out_cols).schema
+
+    def refine(batches):
+        geos: dict[str, wkb.Geometry] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lons = pdf[lon_col].to_numpy(dtype=np.float64)
+            lats = pdf[lat_col].to_numpy(dtype=np.float64)
+            for pid, idx in pdf.groupby("polygon_id").indices.items():
+                g = geos.get(pid)
+                if g is None:
+                    g = geos[pid] = wkb.loads(geo_b.value[pid])
+                keep[idx] = geom.geometry_contains(lons[idx], lats[idx], g)
+            yield pdf.loc[keep, out_cols]
+
+    return candidates.mapInPandas(refine, schema=schema)
+
+
+def spatial_join_tiles(
+    images: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    scheme: str = "hex",
+    res: int | None = None,
+    strategy: str = "broadcast",
+    n_salt: int = 8,
+    hot_cells: list[int] | None = None,
+    crs: str | None = None,
+    extra_cols: tuple[str, ...] = ("行政区域コード",),
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """images(lon, lat, image_id, …) × polygon layer → tile assignments
+    ``(image_id, cell, admin_code, polygon_id)``.
+
+    The full operator: normalize CRS → cover → cell-index points →
+    candidate join → exact PIP refine.
+    """
+    res = res if res is not None else DEFAULT_RES[scheme]
+    spark = images.sparkSession
+    polys = normalize_polygons(polygons_pdf)
+    cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=extra_cols)
+    cover = spark.createDataFrame(cover_pdf)
+
+    pts = with_cell(images, scheme, res, crs=crs)
+    cand = candidate_join(pts, cover, strategy, n_salt, hot_cells)
+    out_cols = ["image_id", "cell", "polygon_id", *extra_cols]
+    refined = refine_pip(cand, polys, out_cols)
+    return refined.withColumnRenamed(admin_col, "admin_code")
+
+
+def knn_join(
+    images: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    k: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """k nearest polygons per image point (planar degrees), fully
+    vectorized: a points×polygons distance matrix per Arrow batch with
+    deterministic (distance, admin_code) tie-breaking.
+
+    The polygon side is broadcast; at larger polygon cardinality the
+    candidate set would first be pruned by expanding cell rings
+    (grid_disk) — the per-batch kernel below is unchanged by that.
+    """
+    spark = images.sparkSession
+    polys = normalize_polygons(polygons_pdf)
+    payload = [
+        (row["polygon_id"], row[admin_col], bytes(row["geometry"]))
+        for _, row in polys.iterrows()
+    ]
+    b = spark.sparkContext.broadcast(payload)
+
+    def topk(batches):
+        geos = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if geos is None:
+                geos = [
+                    (pid, code, wkb.loads(buf)) for pid, code, buf in b.value
+                ]
+                order = np.argsort([c for _, c, _ in geos], kind="stable")
+                geos = [geos[i] for i in order]
+            lons = pdf[lon_col].to_numpy(dtype=np.float64)
+            lats = pdf[lat_col].to_numpy(dtype=np.float64)
+            dmat = np.stack(
+                [geom.distance_to_geometry(lons, lats, g) for _, _, g in geos],
+                axis=1,
+            )
+            # stable argsort on distance; admin_code order pre-applied
+            top = np.argsort(dmat, axis=1, kind="stable")[:, :k]
+            n = len(pdf)
+            rows = {
+                "image_id": np.repeat(pdf["image_id"].to_numpy(), k),
+                "rank": np.tile(np.arange(1, k + 1), n),
+                "polygon_id": np.array(
+                    [geos[j][0] for j in top.ravel()], dtype=object
+                ),
+                "admin_code": np.array(
+                    [geos[j][1] for j in top.ravel()], dtype=object
+                ),
+                "distance": np.take_along_axis(dmat, top, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(
+        topk,
+        schema=(
+            "image_id string, rank int, polygon_id string, "
+            "admin_code string, distance double"
+        ),
+    )
+
+
+def unmatched_images(
+    images_with_cell: DataFrame, tiles: DataFrame
+) -> DataFrame:
+    """Anti-join lane: images that matched no polygon (ocean)."""
+    return images_with_cell.join(
+        tiles.select("image_id"), "image_id", "left_anti"
+    )

@@ -1,0 +1,70 @@
+"""DataFrame-level KSJ translation operators.
+
+Spark mapping of the reference's P1–P4 (SURVEY.md §2.2): column names
+are metadata → a plan-time ``select(alias)`` projection; codelist value
+translation is a broadcast-map lookup with COALESCE fallback —
+``coalesce(map[format(code)], format(code))`` — entirely JVM-side via a
+``create_map`` literal (no Python in the hot path). Nulls stay null
+(``element_at`` on null key yields null and coalesce of two nulls is
+null). Numeric codes are formatted with round-half-even ``{v:.0}``
+semantics first (builder.rs:113-137), matched here by
+``format_number``-free casting: Spark's ``bround`` + cast.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..ksj import TranslateOptions, get_codelist_map, translate_colnames
+
+
+def _code_as_string(col: Column, dtype) -> Column:
+    """Normalize a code column to the string the codelist is keyed by,
+    matching Rust ``format!("{v:.0}")`` for numerics (round-half-even,
+    no decimal point)."""
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.bround(col, 0).cast("long").cast("string")
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
+        return col.cast("string")
+    return col
+
+
+def codelist_expr(col: Column, dtype, mapping: dict[str, str]) -> Column:
+    """code → label with pass-through-on-miss, null-stays-null."""
+    key = _code_as_string(col, dtype)
+    m = F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in mapping.items())
+    )
+    return F.coalesce(m.getItem(key), key)
+
+
+def translate_dataframe(
+    df: DataFrame,
+    opts: TranslateOptions,
+    extra_codelists: dict[str, dict[str, str]] | None = None,
+    geometry_cols: tuple[str, ...] = ("geometry", "crs"),
+) -> DataFrame:
+    """Apply the full reference translation to an ingested KSJ frame:
+    codelist value translation (per-column broadcast maps chosen at
+    plan time) + column renaming, preserving field order."""
+    exprs = []
+    for field in df.schema.fields:
+        name = field.name
+        if name in geometry_cols:
+            exprs.append(F.col(name))
+            continue
+        col = F.col(name)
+        if opts.translate_contents:
+            mapping = get_codelist_map(
+                name, opts.year, opts.target_shp, extra_codelists
+            )
+            if mapping:
+                col = codelist_expr(col, field.dataType, mapping)
+        new_name = (
+            translate_colnames(name, opts) if opts.translate_colnames else name
+        )
+        exprs.append(col.alias(new_name))
+    return df.select(*exprs)

@@ -1,0 +1,120 @@
+"""Partitioned tile sink with per-partition lineage manifests and
+resumable, idempotent commits (BASELINE north_rule: "resumes from the
+last committed checkpoint after executor loss without reprocessing
+completed partitions").
+
+Design (SURVEY.md §2.8): a batch job with an explicit commit log — the
+Spark-native equivalent of an Iceberg snapshot at the granularity the
+driver controls. The job is split into logical **chunks** (input key
+ranges, dataset partitions, …). Each chunk is processed end-to-end and
+written with ``mode=overwrite`` into its own subdirectory (idempotent:
+a crashed half-written chunk is simply rewritten), and only then is the
+chunk's lineage manifest committed via atomic rename. On restart,
+chunks with a committed manifest are skipped without touching data.
+
+Manifest contents per chunk: row count, approx distinct cells,
+per-admin-code histogram, wall time, engine version — the "per-partition
+lineage manifests and row-count + cell-assignment metrics" of the
+north_star.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import __version__
+
+MANIFEST_DIR = "_lineage"
+
+
+def _manifest_path(base: str, chunk: str) -> str:
+    return os.path.join(base, MANIFEST_DIR, f"{chunk}.json")
+
+
+def committed_chunks(base: str) -> set[str]:
+    d = os.path.join(base, MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return set()
+    return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
+
+
+def _write_manifest(base: str, chunk: str, payload: dict) -> None:
+    d = os.path.join(base, MANIFEST_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{chunk}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, ensure_ascii=False, indent=1)
+    os.replace(tmp, _manifest_path(base, chunk))  # atomic commit
+
+
+def tile_metrics(df: DataFrame, cell_col: str = "cell") -> dict:
+    """One aggregation pass: rows, approx distinct cells, admin histogram."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct(cell_col).alias("approx_cells"),
+    ).collect()[0]
+    hist = {
+        r["admin_code"]: r["n"]
+        for r in df.groupBy("admin_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    } if "admin_code" in df.columns else {}
+    return {
+        "rows": agg["rows"],
+        "approx_cells": agg["approx_cells"],
+        "admin_histogram": hist,
+    }
+
+
+def write_chunk(
+    df: DataFrame, base: str, chunk: str, cell_col: str = "cell"
+) -> dict:
+    """Write one chunk idempotently and commit its manifest."""
+    t0 = time.time()
+    out = os.path.join(base, f"chunk={chunk}")
+    df.write.mode("overwrite").parquet(out)
+    written = df.sparkSession.read.parquet(out)
+    payload = {
+        "chunk": chunk,
+        "engine_version": __version__,
+        "path": out,
+        "elapsed_sec": round(time.time() - t0, 3),
+        **tile_metrics(written, cell_col),
+    }
+    _write_manifest(base, chunk, payload)
+    return payload
+
+
+def run_resumable(
+    base: str,
+    chunks: Iterable[str],
+    process: Callable[[str], DataFrame],
+    cell_col: str = "cell",
+) -> dict:
+    """Process chunks, skipping committed ones. Returns a run summary
+    {chunk: manifest}, with skipped chunks loaded from their manifests."""
+    done = committed_chunks(base)
+    summary: dict[str, dict] = {}
+    for chunk in chunks:
+        if chunk in done:
+            with open(_manifest_path(base, chunk)) as f:
+                summary[chunk] = json.load(f)
+            summary[chunk]["skipped"] = True
+            continue
+        summary[chunk] = write_chunk(process(chunk), base, chunk, cell_col)
+    return summary
+
+
+def read_tiles(spark, base: str) -> DataFrame:
+    """Read back all committed chunks (uncommitted ones are excluded —
+    their data may be partial)."""
+    done = sorted(committed_chunks(base))
+    paths = [os.path.join(base, f"chunk={c}") for c in done]
+    if not paths:
+        raise FileNotFoundError(f"no committed chunks under {base}")
+    return spark.read.parquet(*paths)

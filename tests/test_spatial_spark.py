@@ -1,0 +1,149 @@
+"""End-to-end Spark spatial-join tests against the sequential oracle
+(FIXTURES.md §5): row-set equality per scheme/strategy, skew salting,
+Tokyo-datum lane, kNN lane, and parallelism-independence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ksj2gp_spark import fixtures
+from ksj2gp_spark.operators import cells, spatial
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = fixtures.images_df(spark, N, with_bytes=False).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def expected():
+    ids = np.arange(N, dtype=np.int64)
+    lon, lat = fixtures.anchor_lonlat(ids)
+    admin = fixtures.expected_admin_code(lon, lat)
+    pdf = pd.DataFrame(
+        {"image_id": [f"img{i:08d}" for i in ids], "admin_code": admin}
+    )
+    return pdf[pdf["admin_code"].notna()]
+
+
+def _check_against_oracle(tiles_df, expected):
+    got = (
+        tiles_df.select("image_id", "admin_code")
+        .toPandas()
+        .sort_values(["image_id", "admin_code"])
+        .reset_index(drop=True)
+    )
+    # An anchor on a shared polygon edge may legitimately match two
+    # polygons; the fixture oracle assigns first-match, so compare sets
+    # per image: the oracle's assignment must be among the matches, and
+    # off-edge images must match exactly one polygon.
+    by_img = got.groupby("image_id")["admin_code"].agg(set)
+    exp = expected.set_index("image_id")["admin_code"]
+    assert set(by_img.index) == set(exp.index)
+    for img, code in exp.items():
+        assert code in by_img[img], f"{img}: {code} not in {by_img[img]}"
+    multi = (by_img.map(len) > 1).sum()
+    assert multi <= len(exp) * 0.01  # edge hits are rare
+
+
+@pytest.mark.parametrize("scheme", ["grid", "hex", "s2"])
+def test_broadcast_join_matches_oracle(spark, images, expected, scheme):
+    tiles = spatial.spatial_join_tiles(
+        images, fixtures.polygon_layer(), scheme=scheme
+    )
+    _check_against_oracle(tiles, expected)
+
+
+def test_shuffle_salted_join_matches_oracle(spark, images, expected):
+    pts = cells.with_cell(images, "grid", 10)
+    hot = spatial.find_hot_cells(pts, threshold_ratio=2.0)
+    assert hot, "skewed fixture should produce hot cells"
+    tiles = spatial.spatial_join_tiles(
+        images,
+        fixtures.polygon_layer(),
+        scheme="grid",
+        strategy="shuffle",
+        n_salt=4,
+        hot_cells=hot,
+    )
+    _check_against_oracle(tiles, expected)
+
+
+def test_tokyo_datum_lane(spark, images, expected):
+    """Polygon layer stored in Tokyo datum; engine must Helmert it back
+    and produce identical assignments."""
+    tiles = spatial.spatial_join_tiles(
+        images, fixtures.polygon_layer_tokyo_datum(), scheme="grid"
+    )
+    _check_against_oracle(tiles, expected)
+
+
+def test_ocean_images_unmatched(spark, images):
+    tiles = spatial.spatial_join_tiles(
+        images, fixtures.polygon_layer(), scheme="grid"
+    )
+    pts = cells.with_cell(images, "grid", 10)
+    un = spatial.unmatched_images(pts, tiles)
+    ids = [r["image_id"] for r in un.select("image_id").collect()]
+    lon, lat = fixtures.anchor_lonlat(
+        np.array([int(i[3:]) for i in ids], dtype=np.int64)
+    )
+    assert (lon > fixtures.LON1).all()  # exactly the ocean lane
+
+
+def test_knn_lane(spark, images):
+    tiles = spatial.spatial_join_tiles(
+        images, fixtures.polygon_layer(), scheme="grid"
+    )
+    pts = cells.with_cell(images, "grid", 10)
+    un = spatial.unmatched_images(pts, tiles)
+    knn = spatial.knn_join(un, fixtures.polygon_layer(), k=3).toPandas()
+    n_unmatched = un.count()
+    assert len(knn) == 3 * n_unmatched
+    # ocean anchors are east of the box: nearest polygons must be the
+    # easternmost slice of some band, and distances non-decreasing
+    for _, g in knn.groupby("image_id"):
+        g = g.sort_values("rank")
+        d = g["distance"].to_numpy()
+        assert (np.diff(d) >= -1e-12).all()
+        assert (d > 0).all()
+
+
+def test_parallelism_independent_rowset(spark, expected):
+    """Same input at different partition counts → identical row sets
+    (the local[8]/local[32] determinism requirement)."""
+    outs = []
+    for parts in (2, 16):
+        imgs = fixtures.images_df(spark, 1000, with_bytes=False, partitions=parts)
+        tiles = spatial.spatial_join_tiles(
+            imgs, fixtures.polygon_layer(), scheme="hex"
+        )
+        pdf = (
+            tiles.select("image_id", "cell", "admin_code")
+            .toPandas()
+            .sort_values(["image_id", "cell", "admin_code"])
+            .reset_index(drop=True)
+        )
+        outs.append(pdf)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_salting_flattens_partitions(spark, images):
+    """The salted build side replicates hot-cell rows n_salt times."""
+    pts = cells.with_cell(images, "grid", 10)
+    hot = spatial.find_hot_cells(pts, threshold_ratio=2.0)
+    polys = cells.normalize_polygons(fixtures.polygon_layer())
+    cover_pdf = cells.polygon_cover_pdf(polys, "grid", 10, extra_cols=())
+    cover = spark.createDataFrame(cover_pdf)
+    cand_plain = spatial.candidate_join(pts, cover, "shuffle")
+    cand_salted = spatial.candidate_join(
+        pts, cover, "shuffle", n_salt=4, hot_cells=hot
+    )
+    assert cand_plain.count() == cand_salted.count()
+    # max per-(cell) probe groups exceed mean by construction (70% hot):
+    per_cell = cand_plain.groupBy("cell").count().toPandas()["count"]
+    assert per_cell.max() > 2 * per_cell.mean()
