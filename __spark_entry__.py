@@ -419,6 +419,168 @@ QUALIFY rank <= 5
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs — pure relational dedup."""
+    from ksj2gp_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.id_a, co.id_b,
+       co.co / (sa.sz + sb.sz - co.co) AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = co.id_a
+JOIN sizes sb ON sb.doc_id = co.id_b
+WHERE co.co / (sa.sz + sb.sz - co.co) >= 0.2
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ksj2gp_spark.operators.text import quality_score
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return quality_score(d).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "digit_ratio", "quality_score",
+    )
+
+
+_QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(n_digits / n_chars, 6) AS digit_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0
+             ELSE 1.0
+                  - least(1.0, (n_punct / n_chars) * 4) * 0.25
+                  - least(1.0, (n_digits / n_chars) * 4) * 0.25
+                  - least(1.0, abs((n_chars - (n_tokens - 1)) / n_tokens - 5.0) / 5.0) * 0.25
+             END, 6) AS quality_score
+FROM f
+"""
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (lag + cumulative sum)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+  FROM o
+)
+SELECT user_id, sess_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: hash family not SQL)."""
+    from ksj2gp_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.2)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from ksj2gp_spark.operators.dedup import simhash_near_dups
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_near_dups(d, max_hamming=10)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID histogram (rows-only: n-gram scoring UDF)."""
+    from ksj2gp_spark.operators.text import with_lang_id
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        with_lang_id(d)
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dups via hyperplane-LSH buckets
+    (rows-only: bucket subset is engine-defined)."""
+    from ksj2gp_spark.operators.dedup import embedding_near_dups
+
+    # The synthetic embeddings top out around cosine 0.51; 0.3 is the
+    # "near" band there (≈ the 99th percentile of the pair distribution).
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(e, threshold=0.3)
+
+
+def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image lane: decode + metadata verification counts over a
+    deterministic synthetic batch (rows-only: PNG decode is a UDF)."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators.images import decode_verify
+
+    imgs = fixtures.images_df(spark, 2000, with_bytes=True)
+    out = decode_verify(imgs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("phash_match").cast("long")).alias("n_phash_match"),
+        F.sum(F.col("w_ok").cast("long")).alias("n_w_ok"),
+        F.sum(F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -452,6 +614,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "similarity_topk": q_similarity_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_quality": q_doc_quality,
+        "sessionize_batch": q_sessionize_batch,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lang_id": q_lang_id,
+        "embedding_near_dups": q_embedding_near_dups,
+        "image_decode_verify": q_image_decode_verify,
     }
 
 
@@ -494,4 +664,10 @@ GROUP BY p.admin_code
         "dedup_exact": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
         "similarity_topk": _SIMILARITY_SQL,
+        "ngram_jaccard": _NGRAM_SQL,
+        "doc_quality": _QUALITY_SQL,
+        "sessionize_batch": _SESSIONIZE_SQL,
+        # minhash_pairs / simhash_pairs / lang_id / embedding_near_dups /
+        # image_decode_verify: engine-defined hash families and codecs —
+        # rows-only checks by design.
     }

@@ -35,11 +35,14 @@ def edge_length(res: int) -> float:
 
 
 def _axial_round(qf: np.ndarray, rf: np.ndarray):
-    """Cube-round fractional axial coords to the containing hex."""
+    """Cube-round fractional axial coords to the containing hex.
+
+    Uses np.rint (banker's rounding, same as np.round with decimals=0
+    but without the slow decimal-scaling path)."""
     sf = -qf - rf
-    q = np.round(qf)
-    r = np.round(rf)
-    s = np.round(sf)
+    q = np.rint(qf)
+    r = np.rint(rf)
+    s = np.rint(sf)
     dq = np.abs(q - qf)
     dr = np.abs(r - rf)
     ds = np.abs(s - sf)

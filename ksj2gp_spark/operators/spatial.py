@@ -166,7 +166,11 @@ def spatial_join_tiles(
     cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=extra_cols)
     cover = spark.createDataFrame(cover_pdf)
 
-    pts = with_cell(images, scheme, res, crs=crs)
+    # Project the probe side down to the join-relevant columns before
+    # anything moves through Arrow: image payload bytes must never ride
+    # through the candidate join or the refine UDF.
+    probe = images.select("image_id", "lon", "lat")
+    pts = with_cell(probe, scheme, res, crs=crs)
     cand = candidate_join(pts, cover, strategy, n_salt, hot_cells)
     out_cols = ["image_id", "cell", "polygon_id", *extra_cols]
     refined = refine_pip(cand, polys, out_cols)
@@ -196,6 +200,7 @@ def knn_join(
         for _, row in polys.iterrows()
     ]
     b = spark.sparkContext.broadcast(payload)
+    images = images.select("image_id", lon_col, lat_col)
 
     def topk(batches):
         geos = None

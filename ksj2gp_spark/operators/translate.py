@@ -26,7 +26,9 @@ def _code_as_string(col: Column, dtype) -> Column:
     matching Rust ``format!("{v:.0}")`` for numerics (round-half-even,
     no decimal point)."""
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
-        return F.bround(col, 0).cast("long").cast("string")
+        # try_cast: NaN/overflow → null (ANSI mode throws on plain cast);
+        # nulls stay null, matching the reference's null semantics.
+        return F.bround(col, 0).try_cast("long").cast("string")
     if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
         return col.cast("string")
     return col
@@ -38,7 +40,7 @@ def codelist_expr(col: Column, dtype, mapping: dict[str, str]) -> Column:
     m = F.create_map(
         *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in mapping.items())
     )
-    return F.coalesce(m.getItem(key), key)
+    return F.coalesce(F.try_element_at(m, key), key)
 
 
 def translate_dataframe(

@@ -1,0 +1,189 @@
+"""Tests for training-data pipeline operators: dedup (minhash/simhash/
+ngram/embedding), text analysis, and the image lane — each against a
+brute-force or constructed oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ksj2gp_spark.formats import imagecodec
+from ksj2gp_spark.operators import dedup, images as img_ops, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about spark joins and shuffles",
+        "numbers 12345 and symbols !!! ??? ,,, fill this low quality row",
+        "der schnelle braune fuchs springt über den faulen hund im wald und der baum ist das",
+        "le renard brun rapide saute par dessus le chien et les arbres des la",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    # near-duplicates of doc 0: one word changed / one appended
+    rows.append((100, base[0].replace("lazy", "sleepy")))
+    rows.append((101, base[0] + " today"))
+    # exact duplicate of doc 1
+    rows.append((102, base[1]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+class TestDedup:
+    def test_minhash_lsh_finds_near_dups(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.3
+        ).toPandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (0, 100) in found
+        assert (0, 101) in found
+        assert (1, 102) in found  # exact dup has jaccard 1.0
+        ej = pairs.set_index(["id_a", "id_b"])["est_jaccard"]
+        assert ej.loc[(1, 102)] == 1.0
+        # unrelated docs are not paired
+        assert (0, 1) not in found and (3, 4) not in found
+
+    def test_simhash_near_dups(self, spark, docs):
+        pairs = dedup.simhash_near_dups(docs, max_hamming=10).toPandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (1, 102) in found
+        h = pairs.set_index(["id_a", "id_b"])["hamming"]
+        assert h.loc[(1, 102)] == 0
+        assert (0, 3) not in found
+
+    def test_ngram_jaccard_exact(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).toPandas()
+        found = {tuple(sorted((a, b))): j for a, b, j in
+                 zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+        assert found[(1, 102)] == 1.0
+        # oracle for (0, 101): compute 3-gram jaccard by hand
+        t0 = "the quick brown fox jumps over the lazy dog near the river bank"
+        t1 = t0 + " today"
+
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        a, b = sh(t0), sh(t1)
+        expected = len(a & b) / len(a | b)
+        assert found[(0, 101)] == pytest.approx(expected)
+
+    def test_embedding_near_dups(self, spark):
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        vecs = list(base)
+        vecs.append(base[3] + rng.standard_normal(16).astype(np.float32) * 0.01)
+        pdf = pd.DataFrame(
+            {"vec_id": list(range(21)), "embedding": [v.tolist() for v in vecs]}
+        )
+        df = spark.createDataFrame(pdf)
+        pairs = dedup.embedding_near_dups(df, threshold=0.98).toPandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (3, 20) in found
+
+
+class TestText:
+    def test_lang_id(self, spark, docs):
+        out = text.with_lang_id(docs).toPandas().set_index("doc_id")["lang_guess"]
+        assert out[0] == "en" and out[3] == "de" and out[4] == "fr"
+        ja = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["これは日本語の文です"]}))
+        assert text.with_lang_id(ja).collect()[0]["lang_guess"] == "ja"
+
+    def test_quality_score(self, spark, docs):
+        out = text.quality_score(docs).toPandas().set_index("doc_id")
+        assert out.loc[2, "quality_score"] < out.loc[0, "quality_score"]
+        assert out.loc[2, "digit_ratio"] > 0
+        assert (out["n_tokens"] > 0).all()
+
+    def test_token_count(self, spark, docs):
+        out = text.token_count(docs).toPandas().set_index("doc_id")
+        t0 = "the quick brown fox jumps over the lazy dog near the river bank"
+        assert out.loc[0, "ws_tokens"] == len(t0.split())
+        assert out.loc[0, "approx_bpe_tokens"] == int(np.ceil(len(t0) / 4))
+
+    def test_fingerprint_stability(self, spark, docs):
+        out = text.fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+        assert out[1] == out[102]  # identical text → identical fingerprint
+        assert out[0] != out[1]
+
+
+class TestImageOps:
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        from ksj2gp_spark import fixtures
+
+        return fixtures.images_df(spark, 300, with_bytes=True).cache()
+
+    def test_decode_verify_all_pass(self, spark, images):
+        out = img_ops.decode_verify(images).toPandas()
+        assert len(out) == 300
+        assert out["decode_error"].isna().all()
+        assert out["w_ok"].all() and out["h_ok"].all()
+        assert out["phash_match"].all()
+
+    def test_psnr_invariant_and_caption_equality(self, spark, images):
+        """The input_hint per-row invariant: decoded pixels vs the
+        deterministic reference generator; captions exact."""
+
+        def ref(image_id, h, w):
+            return imagecodec.make_test_image(int(image_id[3:]), h, w)
+
+        out = img_ops.psnr_vs_reference(images, ref).toPandas()
+        assert out["passes_40db"].all()
+        png_rows = out.merge(
+            images.select("image_id", "fmt").toPandas(), on="image_id"
+        )
+        assert png_rows.loc[png_rows.fmt == "png", "lossless"].all()
+        assert not png_rows.loc[png_rows.fmt == "jpeg", "lossless"].any()
+        # caption equality vs regeneration
+        cap = images.select("image_id", "caption").toPandas()
+        import numpy as np
+
+        from ksj2gp_spark import fixtures
+
+        ids = np.array([int(s[3:]) for s in cap["image_id"]], dtype=np.int64)
+        expected = fixtures.images_pdf(ids, with_bytes=False)["caption"]
+        assert (cap["caption"].to_numpy() == expected.to_numpy()).all()
+
+    def test_decode_error_lane(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["bad1"],
+                "bytes": [b"\xff\xd8\xffnot-a-real-format"],
+                "w": np.array([8], dtype=np.int32),
+                "h": np.array([8], dtype=np.int32),
+                "fmt": ["jpeg"],
+                "caption": ["x"],
+                "phash": np.array([0], dtype=np.int64),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = img_ops.decode_verify(df).toPandas()
+        assert out.loc[0, "decode_error"] is not None
+        assert "NotImplementedError" in out.loc[0, "decode_error"]
+
+    def test_resize(self, spark, images):
+        out = img_ops.resize_images(images.limit(20), 4, 4).toPandas()
+        assert (out["w"] == 4).all() and (out["h"] == 4).all()
+        arr = imagecodec.decode_image(out.loc[0, "bytes"], "png")
+        assert arr.shape[:2] == (4, 4)
+
+    def test_phash_near_dups_on_quantized_pair(self, spark):
+        from ksj2gp_spark import fixtures
+
+        arr = imagecodec.make_test_image(42, 32, 32)
+        rows = [
+            ("a", imagecodec.encode_image(arr, "png"), "png"),
+            ("b", imagecodec.encode_image(arr, "jpeg"), "jpeg"),
+        ]
+        pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+        pdf["phash"] = [
+            imagecodec.phash64(imagecodec.decode_image(b, f))
+            for b, f in zip(pdf["bytes"], pdf["fmt"])
+        ]
+        del fixtures
+        df = spark.createDataFrame(pdf)
+        near = img_ops.phash_near_dups(df).toPandas()
+        assert len(near) == 1
+        assert near.loc[0, "hamming"] <= 4

@@ -1,0 +1,174 @@
+"""Structured Streaming tests: windowed aggregation equals the batch
+query, checkpoint restart resumes without reprocessing, and the
+stateful sessionize operator."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from ksj2gp_spark.streaming import events as stream_ops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    """Events split into two files BY TIME (second file strictly newer),
+    so incremental delivery respects event-time order and the watermark
+    never classifies file 2 as late."""
+    from pyspark.sql import Window, functions as F
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    w = Window.orderBy("ts", "event_id")
+    ranked = src.withColumn("rn", F.row_number().over(w))
+    n = src.count()
+    d = str(tmp_path / "events_in")
+    os.makedirs(d)
+    files = []
+    for i, half in enumerate(
+        [ranked.filter(F.col("rn") <= n // 2), ranked.filter(F.col("rn") > n // 2)]
+    ):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.drop("rn").coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{i}.parquet")
+        shutil.copy(part, dst)
+        files.append(dst)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    return d, files, staged
+
+
+def test_windowed_counts_match_batch(spark, tmp_path, event_dir):
+    d, _, _ = event_dir
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_ops.read_event_stream(spark, d)
+    agg = stream_ops.windowed_event_counts(stream, "5 minutes", "10 minutes")
+    q = stream_ops.run_stream_to_parquet(agg, out, ckpt)
+    q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value_cents").alias("sum_value_cents"),
+        )
+        .toPandas()
+    )
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(
+            F.window("ts", "5 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+        .toPandas()
+    )
+    k = ["window_start", "event_type"]
+    got = got.sort_values(k).reset_index(drop=True)
+    batch = batch.sort_values(k).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_checkpoint_restart_resumes(spark, tmp_path, event_dir):
+    _, files, staged = event_dir
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    # Epoch 1: only file 0 present.
+    shutil.copy(files[0], staged)
+    stream = stream_ops.read_event_stream(spark, staged)
+    agg = stream_ops.windowed_event_counts(stream)
+    q = stream_ops.run_stream_to_parquet(agg, out, ckpt)
+    q.awaitTermination(120)
+    epochs_1 = set(
+        r["epoch_id"]
+        for r in spark.read.parquet(out).select("epoch_id").distinct().collect()
+    )
+
+    # Restart with the second file added: only the new data is processed
+    # (new epoch ids appear; old epochs are not rewritten).
+    shutil.copy(files[1], staged)
+    stream = stream_ops.read_event_stream(spark, staged)
+    agg = stream_ops.windowed_event_counts(stream)
+    q = stream_ops.run_stream_to_parquet(agg, out, ckpt)
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    epochs_2 = set(
+        r["epoch_id"] for r in df.select("epoch_id").distinct().collect()
+    )
+    assert epochs_1 < epochs_2  # strictly more epochs, old ones intact
+
+    # Final per-window maxima equal the full batch aggregation.
+    from pyspark.sql import functions as F
+
+    got = (
+        df.groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    total = spark.read.parquet(staged).count()
+    assert got == total
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:05:00",
+                    "2024-01-01 02:00:00",
+                    "2024-01-01 00:01:00",
+                    "2024-01-01 00:02:00",
+                    "2024-01-01 00:03:00",
+                ]
+            ),
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_type": ["view"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    d = str(tmp_path / "sess_in")
+    spark.createDataFrame(pdf).write.parquet(d)
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    stream = stream_ops.read_event_stream(spark, d)
+    sessions = stream_ops.sessionize(stream, gap_sec=1800)
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        sessions.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    # one state row per user covering all its events (single epoch here)
+    by_user = got.groupby("user_id")["n_events"].max()
+    assert by_user[1] == 3 and by_user[2] == 3
