@@ -65,11 +65,17 @@ def main() -> None:
     imgs.count()  # materialize outside the timed region
     polys = fixtures.polygon_layer()
 
-    # Warmup: spin up Python workers / JIT / broadcast machinery so the
-    # first timed query isn't charged for process startup.
-    spatial.spatial_join_tiles(
-        imgs.limit(5000), polys, scheme="hex", res=7
-    ).count()
+    # Warmup: the first full-shape query on a fresh local[N] session pays
+    # a large one-off cost (N python workers forking + importing numpy/
+    # pandas/pyarrow concurrently → kernel-side contention, plus JVM JIT
+    # of the codegen'd join). Run the full pipeline shape twice at small
+    # row count but FULL partition count so every worker slot is warm
+    # before any timed region starts.
+    for _ in range(2):
+        warm = fixtures.images_df(
+            spark, 4_000 * cpus, with_bytes=False, partitions=cpus * 2
+        )
+        spatial.spatial_join_tiles(warm, polys, scheme="hex", res=7).count()
 
     timings: dict[str, float] = {}
 
@@ -79,16 +85,26 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # Headline: hex-cell broadcast spatial join + tile assignment.
+    # Headline: hex-cell fused (single Arrow pass) spatial join.
     timed(
         "tiles_hex",
-        lambda: spatial.spatial_join_tiles(imgs, polys, scheme="hex", res=7)
+        lambda: spatial.spatial_join_tiles(
+            imgs, polys, scheme="hex", res=7, strategy="fused"
+        )
         .select("image_id", "cell", "admin_code")
         .count(),
     )
     timed(
+        "tiles_hex_broadcast_bhj",
+        lambda: spatial.spatial_join_tiles(
+            imgs, polys, scheme="hex", res=7, strategy="broadcast"
+        ).count(),
+    )
+    timed(
         "tiles_s2",
-        lambda: spatial.spatial_join_tiles(imgs, polys, scheme="s2", res=12).count(),
+        lambda: spatial.spatial_join_tiles(
+            imgs, polys, scheme="s2", res=12, strategy="fused"
+        ).count(),
     )
     timed(
         "tiles_grid",

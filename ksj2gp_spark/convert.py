@@ -1,0 +1,72 @@
+"""CLI conversion entry point — the Spark equivalent of ksj2gp-cli
+(/root/reference/rust/ksj2gp-cli/src/main.rs:9-79):
+
+    spark-submit --py-files ksj2gp_spark.zip -m ksj2gp_spark.convert \\
+        <input.zip or glob> <output path>
+
+* output format from the output extension/suffix: ``.parquet`` →
+  GeoParquet-style parquet with bbox covering; ``.geojson`` → GeoJSON
+  feature lines (reprojected to WGS84, matching the reference's
+  GeoJSON-only transform rule).
+* converts every ``.shp`` in each ZIP (the reference CLI takes the
+  first; a Spark job has no reason to drop the rest).
+* translations hardcoded on, like the reference CLI (main.rs:59-63).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def convert(spark: SparkSession, zip_path: str, out_path: str) -> int:
+    from .operators import ingest
+    from .sinks import geoparquet
+
+    ingested = ingest.ingest_zips(spark, zip_path, translate=True).cache()
+    errors = ingested.filter(F.col("error").isNotNull())
+    n_err = errors.count()
+    if n_err:
+        for r in errors.select("zip_path", "error").limit(20).collect():
+            print(f"ERROR {r['zip_path']}: {r['error']}", file=sys.stderr)
+    good = ingested.filter(F.col("error").isNull())
+    n = good.count()
+
+    if out_path.endswith(".geojson"):
+        crs = good.select("crs").first()
+        df = good.select(
+            "ksj_id", "shp_name", "feature_idx", "geometry", "crs"
+        )
+        geoparquet.write_geojson(df, out_path)
+        del crs
+    else:
+        crs_row = good.select("crs").first()
+        geoparquet.write_geoparquet(
+            good.drop("error"),
+            out_path,
+            crs_name=crs_row["crs"] if crs_row else "JGD2011",
+        )
+    return n
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print(
+            "usage: python -m ksj2gp_spark.convert <input.zip|glob> <out>",
+            file=sys.stderr,
+        )
+        return 2
+    spark = (
+        SparkSession.builder.appName("ksj2gp-convert")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    n = convert(spark, argv[0], argv[1])
+    print(f"converted {n} features -> {argv[1]}")
+    spark.stop()
+    return 0 if n > 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

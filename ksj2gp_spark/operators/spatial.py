@@ -142,6 +142,77 @@ def refine_pip(
     return candidates.mapInPandas(refine, schema=schema)
 
 
+def fused_join_tiles(
+    images: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    scheme: str,
+    res: int,
+    crs: str | None = None,
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """Single-pass map-side spatial join for broadcast-sized polygon
+    layers: ONE ``mapInPandas`` computes cells, probes the broadcast
+    cover (vectorized pandas hash-merge), and refines with exact PIP —
+    the probe table crosses the JVM↔Python Arrow boundary exactly once
+    and nothing shuffles. This is the 10^12-row path; the ``broadcast``
+    strategy keeps the same work visible to Catalyst as a
+    BroadcastHashJoin at the cost of a second Arrow pass."""
+    from .cells import _cell_fn
+
+    spark = images.sparkSession
+    polys = normalize_polygons(polygons_pdf)
+    cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=(admin_col,))
+    cover_b = spark.sparkContext.broadcast(cover_pdf)
+    geos_b = spark.sparkContext.broadcast(
+        {row["polygon_id"]: bytes(row["geometry"]) for _, row in polys.iterrows()}
+    )
+    cell_fn = _cell_fn(scheme, res)
+    crs_name = crs
+
+    def run(batches):
+        from ..geo import transform as _tf
+
+        cover = cover_b.value
+        parsed: dict[str, wkb.Geometry] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lons = pdf["lon"].to_numpy(dtype=np.float64)
+            lats = pdf["lat"].to_numpy(dtype=np.float64)
+            if crs_name:
+                lons, lats = _tf.to_wgs84(lons, lats, crs_name)
+            cells_v = cell_fn(lons, lats)
+            cand = pd.DataFrame(
+                {"i": np.arange(len(pdf)), "cell": cells_v}
+            ).merge(cover, on="cell", sort=False)
+            if cand.empty:
+                continue
+            keep = np.zeros(len(cand), dtype=bool)
+            ci = cand["i"].to_numpy()
+            for pid, idx in cand.groupby("polygon_id").indices.items():
+                g = parsed.get(pid)
+                if g is None:
+                    g = parsed[pid] = wkb.loads(geos_b.value[pid])
+                rows = ci[idx]
+                keep[idx] = geom.geometry_contains(lons[rows], lats[rows], g)
+            hit = cand.loc[keep]
+            sel = hit["i"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy()[sel],
+                    "cell": hit["cell"].to_numpy(),
+                    "polygon_id": hit["polygon_id"].to_numpy(),
+                    "admin_code": hit[admin_col].to_numpy(),
+                }
+            )
+
+    probe = images.select("image_id", "lon", "lat")
+    return probe.mapInPandas(
+        run,
+        schema="image_id string, cell long, polygon_id string, admin_code string",
+    )
+
+
 def spatial_join_tiles(
     images: DataFrame,
     polygons_pdf: pd.DataFrame,
@@ -157,10 +228,16 @@ def spatial_join_tiles(
     """images(lon, lat, image_id, …) × polygon layer → tile assignments
     ``(image_id, cell, admin_code, polygon_id)``.
 
-    The full operator: normalize CRS → cover → cell-index points →
-    candidate join → exact PIP refine.
+    Strategies: ``fused`` (single Arrow pass, broadcast dict cover —
+    fastest for broadcast-sized layers), ``broadcast`` (Catalyst-visible
+    BroadcastHashJoin + refine pass), ``shuffle`` (+ optional hot-cell
+    salting) for polygon layers too large to broadcast.
     """
     res = res if res is not None else DEFAULT_RES[scheme]
+    if strategy == "fused":
+        return fused_join_tiles(
+            images, polygons_pdf, scheme, res, crs=crs, admin_col=admin_col
+        )
     spark = images.sparkSession
     polys = normalize_polygons(polygons_pdf)
     cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=extra_cols)

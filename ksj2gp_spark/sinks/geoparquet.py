@@ -1,0 +1,207 @@
+"""GeoParquet-style sink (reference S5) and GeoJSON sink (S6).
+
+S5 semantics (geoparquet_writer.rs:15-100): WKB geometry column, a
+**bbox covering** (the reference sets ``set_generate_covering(true)``)
+and GeoParquet ``geo`` file metadata. In Spark the covering becomes
+explicit ``bbox_xmin/ymin/xmax/ymax`` columns computed vectorized —
+they land in parquet column statistics, so any engine (including this
+one) gets min/max row-group pruning for spatial range predicates: the
+reference's one optimizer-adjacent trick, generalized to a cluster.
+
+S6 semantics (geojson_writer.rs:14-62): GeoJSON is the only sink that
+reprojects — features are transformed to WGS84 before serialization.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..geo import transform, wkb
+
+GEO_METADATA_VERSION = "1.1.0"
+
+
+def with_bbox_covering(
+    df: DataFrame, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Add bbox covering columns from WKB (vectorized per Arrow batch)."""
+
+    def add_bbox(batches):
+        for pdf in batches:
+            n = len(pdf)
+            xmin = np.empty(n)
+            ymin = np.empty(n)
+            xmax = np.empty(n)
+            ymax = np.empty(n)
+            for i, buf in enumerate(pdf[geometry_col]):
+                xmin[i], ymin[i], xmax[i], ymax[i] = wkb.loads(buf).bounds()
+            out = pdf.copy()
+            out["bbox_xmin"] = xmin
+            out["bbox_ymin"] = ymin
+            out["bbox_xmax"] = xmax
+            out["bbox_ymax"] = ymax
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType()) for c in
+           ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")]
+    )
+    return df.mapInPandas(add_bbox, schema=schema)
+
+
+def geo_file_metadata(
+    geometry_col: str = "geometry", crs_name: str = "JGD2011"
+) -> str:
+    """GeoParquet-style ``geo`` metadata JSON (stored alongside output;
+    parquet key-value metadata isn't directly settable from the Spark
+    writer, so the sink writes a sidecar `_geo_metadata.json`)."""
+    return json.dumps(
+        {
+            "version": GEO_METADATA_VERSION,
+            "primary_column": geometry_col,
+            "columns": {
+                geometry_col: {
+                    "encoding": "WKB",
+                    "crs": crs_name,
+                    "covering": {
+                        "bbox": {
+                            "xmin": ["bbox_xmin"],
+                            "ymin": ["bbox_ymin"],
+                            "xmax": ["bbox_xmax"],
+                            "ymax": ["bbox_ymax"],
+                        }
+                    },
+                }
+            },
+        },
+        ensure_ascii=False,
+    )
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    crs_name: str = "JGD2011",
+    sort_spatially: bool = True,
+) -> None:
+    """Write WKB rows as parquet with bbox covering columns.
+
+    ``sort_spatially`` range-partitions by (bbox_xmin, bbox_ymin) so
+    row groups are spatially coherent — that's what turns the bbox
+    column min/max statistics into an effective spatial index at read
+    time (tight per-row-group bounds instead of full-extent bounds).
+    """
+    import os
+
+    out = with_bbox_covering(df, geometry_col)
+    if sort_spatially:
+        out = out.repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism, 1),
+            "bbox_xmin",
+            "bbox_ymin",
+        ).sortWithinPartitions("bbox_xmin", "bbox_ymin")
+    out.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_geo_metadata.json"), "w") as f:
+        f.write(geo_file_metadata(geometry_col, crs_name))
+
+
+def read_geoparquet_bbox(
+    spark, path: str, minx: float, miny: float, maxx: float, maxy: float
+) -> DataFrame:
+    """Spatial range scan using the covering columns — the predicate is
+    plain column comparisons, so it pushes down to parquet row-group
+    statistics (check PushedFilters in .explain)."""
+    return spark.read.parquet(path).filter(
+        (F.col("bbox_xmax") >= minx)
+        & (F.col("bbox_xmin") <= maxx)
+        & (F.col("bbox_ymax") >= miny)
+        & (F.col("bbox_ymin") <= maxy)
+    )
+
+
+def _geometry_to_geojson(g: wkb.Geometry) -> dict:
+    def ring_coords(r):
+        return [[float(x), float(y)] for x, y in np.asarray(r)[:, :2]]
+
+    if g.kind == wkb.POINT:
+        return {
+            "type": "Point",
+            "coordinates": [float(g.coords[0]), float(g.coords[1])],
+        }
+    if g.kind == wkb.MULTIPOINT:
+        return {"type": "MultiPoint", "coordinates": ring_coords(g.coords)}
+    if g.kind == wkb.LINESTRING:
+        return {"type": "LineString", "coordinates": ring_coords(g.coords)}
+    if g.kind == wkb.MULTILINESTRING:
+        return {
+            "type": "MultiLineString",
+            "coordinates": [ring_coords(p) for p in g.coords],
+        }
+    if g.kind == wkb.POLYGON:
+        return {
+            "type": "Polygon",
+            "coordinates": [ring_coords(r) for r in g.coords],
+        }
+    if g.kind == wkb.MULTIPOLYGON:
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [ring_coords(r) for r in poly] for poly in g.coords
+            ],
+        }
+    raise wkb.WkbError(f"GeoJSON: unsupported {g.name}")
+
+
+def to_geojson_features(
+    df: DataFrame,
+    geometry_col: str = "geometry",
+    crs_col: str = "crs",
+) -> DataFrame:
+    """(id…, geometry WKB, crs) → one GeoJSON Feature JSON string per
+    row, reprojected to WGS84 first (the reference's GeoJSON sink is
+    the only one that transforms, geojson_writer.rs:22,51)."""
+    prop_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in (geometry_col, crs_col)
+    ]
+
+    def convert(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                g = wkb.loads(row[geometry_col])
+                crs = row.get(crs_col, "JGD2011") if crs_col in pdf else "JGD2011"
+                if crs == "Tokyo":
+                    if g.kind == wkb.POLYGON:
+                        rings = []
+                        for r in g.coords:
+                            lo, la, _ = transform.tokyo_to_wgs84(
+                                r[:, 0], r[:, 1]
+                            )
+                            rings.append(np.column_stack([lo, la]))
+                        g = wkb.Geometry(wkb.POLYGON, rings)
+                feature = {
+                    "type": "Feature",
+                    "geometry": _geometry_to_geojson(g),
+                    "properties": {
+                        c: (None if pd.isna(row[c]) else row[c])
+                        for c in prop_cols
+                    },
+                }
+                out.append(json.dumps(feature, ensure_ascii=False))
+            yield pd.DataFrame({"feature": out})
+
+    return df.mapInPandas(convert, schema="feature string")
+
+
+def write_geojson(df: DataFrame, path: str, **kw) -> None:
+    to_geojson_features(df, **kw).write.mode("overwrite").text(path)

@@ -1,0 +1,118 @@
+"""GeoParquet sink tests: bbox covering columns, sidecar metadata,
+pushdown-able spatial range scan, GeoJSON sink with the
+reprojects-only-GeoJSON rule, and the CLI conversion entry."""
+
+import glob
+import io
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from ksj2gp_spark import fixtures
+from ksj2gp_spark.geo import wkb
+from ksj2gp_spark.sinks import geoparquet
+
+
+@pytest.fixture(scope="module")
+def polygons_df(spark):
+    return spark.createDataFrame(fixtures.polygon_layer())
+
+
+def test_bbox_covering_and_metadata(spark, tmp_path, polygons_df):
+    out = str(tmp_path / "gp.parquet")
+    geoparquet.write_geoparquet(polygons_df, out)
+    back = spark.read.parquet(out)
+    cols = set(back.columns)
+    assert {"bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"} <= cols
+    pdf = back.toPandas()
+    for _, r in pdf.iterrows():
+        minx, miny, maxx, maxy = wkb.loads(r["geometry"]).bounds()
+        assert (r["bbox_xmin"], r["bbox_ymin"]) == (minx, miny)
+        assert (r["bbox_xmax"], r["bbox_ymax"]) == (maxx, maxy)
+    meta = json.load(open(os.path.join(out, "_geo_metadata.json")))
+    assert meta["primary_column"] == "geometry"
+    assert meta["columns"]["geometry"]["encoding"] == "WKB"
+    assert "bbox" in meta["columns"]["geometry"]["covering"]
+
+
+def test_bbox_scan_pushdown(spark, tmp_path, polygons_df):
+    out = str(tmp_path / "gp2.parquet")
+    geoparquet.write_geoparquet(polygons_df, out)
+    scan = geoparquet.read_geoparquet_bbox(spark, out, 139.0, 35.0, 139.3, 35.3)
+    got = scan.toPandas()
+    # correct result: only polygons intersecting the query box
+    layer = fixtures.polygon_layer()
+    expected = set()
+    for _, r in layer.iterrows():
+        minx, miny, maxx, maxy = wkb.loads(r["geometry"]).bounds()
+        if maxx >= 139.0 and minx <= 139.3 and maxy >= 35.0 and miny <= 35.3:
+            expected.add(r["polygon_id"])
+    assert set(got["polygon_id"]) == expected
+    # the predicate reaches the parquet scan (PushedFilters non-empty)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "bbox_xmax" in plan.split("PushedFilters")[1][:200]
+
+
+def test_geojson_sink_reprojects_tokyo(spark, tmp_path):
+    layer = fixtures.polygon_layer_tokyo_datum()
+    df = spark.createDataFrame(layer[["polygon_id", "geometry", "crs"]])
+    out = str(tmp_path / "out.geojson")
+    geoparquet.write_geojson(df, out)
+    lines = []
+    for p in sorted(glob.glob(os.path.join(out, "part-*"))):
+        lines += open(p).read().splitlines()
+    assert len(lines) == len(layer)
+    feats = [json.loads(line) for line in lines]
+    # coordinates must be back in WGS84: compare against the WGS84 layer
+    wgs = {
+        r["polygon_id"]: wkb.loads(r["geometry"]).coords[0]
+        for _, r in fixtures.polygon_layer().iterrows()
+    }
+    for f in feats:
+        pid = f["properties"]["polygon_id"]
+        ring = np.asarray(f["geometry"]["coordinates"][0])
+        np.testing.assert_allclose(ring, wgs[pid][:, :2], atol=1e-6)
+
+
+def test_cli_convert(spark, tmp_path):
+    from ksj2gp_spark import convert as cli
+    from ksj2gp_spark.formats import dbf, shp
+
+    layer = fixtures.polygon_layer()
+    geoms = [wkb.loads(b) for b in layer["geometry"]]
+    shp_buf, shx_buf = shp.write_shp(geoms)
+    fields = [dbf.DbfField("N03_007", "C", 5)]
+    rows = [[r["行政区域コード"]] for _, r in layer.iterrows()]
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        zf.writestr("d/admin.shp", shp_buf)
+        zf.writestr("d/admin.shx", shx_buf)
+        zf.writestr("d/admin.dbf", dbf.write_dbf(fields, rows, ldid=13))
+        zf.writestr(
+            "d/KS-META.xml",
+            "<referenceSystemIdentifier><code>JGD2011 / (B, L)</code>"
+            "</referenceSystemIdentifier>".encode("cp932"),
+        )
+    zp = str(tmp_path / "N03-20240101_13_GML.zip")
+    open(zp, "wb").write(bio.getvalue())
+
+    out = str(tmp_path / "out.parquet")
+    n = cli.convert(spark, zp, out)
+    assert n == 21
+    back = spark.read.parquet(out)
+    assert back.count() == 21
+    assert "bbox_xmin" in back.columns
+    a0 = back.select("attrs").first()["attrs"]
+    assert a0["行政区域コード"].startswith(("13", "27", "01"))
+
+    out2 = str(tmp_path / "out.geojson")
+    n2 = cli.convert(spark, zp, out2)
+    assert n2 == 21
+    lines = []
+    for p in sorted(glob.glob(os.path.join(out2, "part-*"))):
+        lines += open(p).read().splitlines()
+    assert len(lines) == 21
