@@ -21,6 +21,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -419,6 +420,77 @@ QUALIFY rank <= 5
 """
 
 
+def q_rasterize_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster: every grid cell (res 7) over the polygon-layer
+    bbox gets the admin code covering its center — the inverse
+    direction of the tile join (raster↔vector, north_star). Pure
+    Catalyst: cell generation via sequence/explode, centers by integer
+    arithmetic, assignment via broadcast bbox join."""
+    res = 7
+    size = 360.0 / (1 << res)
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    polys_rows = []
+    for _, r in fixtures.polygon_layer().iterrows():
+        minx, miny, maxx, maxy = _wkb.loads(r["geometry"]).bounds()
+        polys_rows.append((r["polygon_id"], r["行政区域コード"], minx, miny, maxx, maxy))
+    polys = spark.createDataFrame(
+        polys_rows, "polygon_id string, admin_code string, xmin double, ymin double, xmax double, ymax double"
+    )
+    i0 = int(np.floor((fixtures.LON0 + 180.0) / size))
+    i1 = int(np.floor((fixtures.LON1 + 180.0) / size))
+    j0 = int(np.floor((fixtures.LAT0 + 90.0) / size))
+    j1 = int(np.floor((fixtures.LAT1 + 90.0) / size))
+    cells = (
+        spark.range(i0, i1 + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(
+            spark.range(j0, j1 + 1).select(F.col("id").alias("j"))
+        )
+        .select(
+            (F.lit(res) * F.lit(1 << 58) + F.col("i") * F.lit(1 << 29) + F.col("j")).alias("cell"),
+            ((F.col("i") + F.lit(0.5)) * F.lit(size) - F.lit(180.0)).alias("cx"),
+            ((F.col("j") + F.lit(0.5)) * F.lit(size) - F.lit(90.0)).alias("cy"),
+        )
+    )
+    return (
+        cells.join(
+            F.broadcast(polys),
+            (F.col("cx") >= F.col("xmin"))
+            & (F.col("cx") <= F.col("xmax"))
+            & (F.col("cy") >= F.col("ymin"))
+            & (F.col("cy") <= F.col("ymax")),
+        )
+        .select("cell", "polygon_id", "admin_code")
+    )
+
+
+def _rasterize_sql() -> str:
+    res = 7
+    size = 360.0 / (1 << res)
+    import numpy as _np
+
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    i0 = int(_np.floor((fixtures.LON0 + 180.0) / size))
+    i1 = int(_np.floor((fixtures.LON1 + 180.0) / size))
+    j0 = int(_np.floor((fixtures.LAT0 + 90.0) / size))
+    j1 = int(_np.floor((fixtures.LAT1 + 90.0) / size))
+    return f"""
+WITH {_polys_values_sql()},
+cells AS (
+  SELECT {res} * 288230376151711744 + i.i * 536870912 + j.j AS cell,
+         (i.i + 0.5) * {size!r} - 180.0 AS cx,
+         (j.j + 0.5) * {size!r} - 90.0 AS cy
+  FROM generate_series({i0}, {i1}) AS i(i)
+  CROSS JOIN generate_series({j0}, {j1}) AS j(j)
+)
+SELECT c.cell, p.polygon_id, p.admin_code
+FROM cells c JOIN polys p
+  ON c.cx >= p.xmin AND c.cx <= p.xmax AND c.cy >= p.ymin AND c.cy <= p.ymax
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — pure relational dedup."""
     from ksj2gp_spark.operators.dedup import ngram_jaccard_pairs
@@ -622,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "embedding_near_dups": q_embedding_near_dups,
         "image_decode_verify": q_image_decode_verify,
+        "rasterize_admin": q_rasterize_admin,
     }
 
 
@@ -667,6 +740,7 @@ GROUP BY p.admin_code
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
+        "rasterize_admin": _rasterize_sql(),
         # minhash_pairs / simhash_pairs / lang_id / embedding_near_dups /
         # image_decode_verify: engine-defined hash families and codecs —
         # rows-only checks by design.

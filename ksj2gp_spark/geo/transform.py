@@ -37,7 +37,7 @@ def _geodetic_to_ecef(lon_deg, lat_deg, h, ellps):
     return x, y, z
 
 
-def _ecef_to_geodetic(x, y, z, ellps, iters: int = 8):
+def _ecef_to_geodetic(x, y, z, ellps, iters: int = 15):
     a, inv_f = ellps
     f = 1.0 / inv_f
     e2 = f * (2 - f)

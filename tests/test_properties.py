@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the geometry kernels — the
+invariants the distributed join relies on, under arbitrary inputs."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ksj2gp_spark.geo import geom, grid, hexgrid, s2, transform, wkb
+
+lon_st = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+lat_st = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+jp_lon = st.floats(min_value=122.0, max_value=154.0, allow_nan=False)
+jp_lat = st.floats(min_value=20.0, max_value=46.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=st.integers(min_value=4, max_value=12))
+def test_hex_point_in_own_cell(lon, lat, res):
+    c = hexgrid.latlng_to_cell(np.array([lon]), np.array([lat]), res)
+    cx, cy = hexgrid.cell_to_latlng(c)
+    # the cell's center is within one circumradius of the point
+    assert np.hypot(lon - cx[0], lat - cy[0]) <= hexgrid.edge_length(res) + 1e-9
+    # center maps back to the same cell
+    assert hexgrid.latlng_to_cell(cx, cy, res)[0] == c[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_st, lat=lat_st,
+       lvl=st.integers(min_value=1, max_value=28),
+       dlvl=st.integers(min_value=1, max_value=4))
+def test_s2_parent_prefix(lon, lat, lvl, dlvl):
+    parent_lvl = max(0, lvl - dlvl)
+    c = s2.latlng_to_cell(np.array([lon]), np.array([lat]), lvl)
+    p = s2.latlng_to_cell(np.array([lon]), np.array([lat]), parent_lvl)
+    assert s2.parent(c, parent_lvl)[0] == p[0]
+    assert int(s2.level_of(c)[0]) == lvl
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=st.integers(min_value=1, max_value=20))
+def test_grid_parent_contains(lon, lat, res):
+    parent_res = max(0, res - 3)
+    c = grid.latlng_to_cell(np.array([lon]), np.array([lat]), res)
+    p = grid.latlng_to_cell(np.array([lon]), np.array([lat]), parent_res)
+    assert grid.cell_to_parent(c, parent_res)[0] == p[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=jp_lon, lat=jp_lat)
+def test_helmert_roundtrip(lon, lat):
+    # 2D round-trip drops the intermediate ellipsoidal height (the
+    # datum offset puts the surface ~20m off the other ellipsoid), which
+    # costs up to ~2mm horizontally — identical to proj's 2D pipeline.
+    tl, tb, _ = transform.wgs84_to_tokyo(np.array([lon]), np.array([lat]))
+    bl, bb, _ = transform.tokyo_to_wgs84(tl, tb)
+    assert abs(bl[0] - lon) < 5e-7 and abs(bb[0] - lat) < 5e-7
+    # threading h through is exact
+    tl, tb, th = transform.wgs84_to_tokyo(np.array([lon]), np.array([lat]))
+    bl, bb, _ = transform.tokyo_to_wgs84(tl, tb, th)
+    assert abs(bl[0] - lon) < 1e-12 and abs(bb[0] - lat) < 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    coords=st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_wkb_roundtrip_polygon(coords):
+    buf = wkb.polygon(coords)
+    g = wkb.loads(buf)
+    assert g.kind == wkb.POLYGON
+    assert wkb.loads(wkb.dumps(g)).bounds() == g.bounds()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    px=st.floats(min_value=-3, max_value=7, allow_nan=False),
+    py=st.floats(min_value=-3, max_value=7, allow_nan=False),
+)
+def test_pip_distance_consistency(px, py):
+    """covers(p) ⇔ distance(p)==0 for a fixed concave polygon."""
+    ring = np.array(
+        [(0, 0), (4, 0), (4, 1), (1, 1), (1, 4), (0, 4), (0, 0)], dtype=float
+    )
+    g = wkb.Geometry(wkb.POLYGON, [ring])
+    inside = bool(geom.polygon_contains(np.array([px]), np.array([py]), [ring])[0])
+    d = float(geom.distance_to_geometry(np.array([px]), np.array([py]), g)[0])
+    if inside:
+        assert d == 0.0
+    else:
+        assert d > 0.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    x0=st.floats(min_value=130, max_value=140, allow_nan=False),
+    y0=st.floats(min_value=30, max_value=40, allow_nan=False),
+    w=st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+    h=st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_covers_are_supersets(x0, y0, w, h, seed):
+    """Any point inside a random rectangle maps to a cell in the
+    rectangle's cover — the invariant the candidate join depends on."""
+    g = wkb.loads(wkb.polygon([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]))
+    rng = np.random.default_rng(seed)
+    px = x0 + rng.uniform(0, 1, 50) * w
+    py = y0 + rng.uniform(0, 1, 50) * h
+    for mod, res in ((hexgrid, 6), (s2, 10), (grid, 8)):
+        cover = set(mod.cover_geometry(g, res).tolist())
+        cells = mod.latlng_to_cell(px, py, res)
+        assert set(cells.tolist()) <= cover, mod.__name__
