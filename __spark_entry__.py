@@ -426,7 +426,7 @@ def q_rasterize_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction of the tile join (raster↔vector, north_star). Pure
     Catalyst: cell generation via sequence/explode, centers by integer
     arithmetic, assignment via broadcast bbox join."""
-    res = 7
+    res = 12
     size = 360.0 / (1 << res)
     from ksj2gp_spark.geo import wkb as _wkb
 
@@ -466,7 +466,7 @@ def q_rasterize_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rasterize_sql() -> str:
-    res = 7
+    res = 12
     size = 360.0 / (1 << res)
     import numpy as _np
 
@@ -635,6 +635,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(e, threshold=0.3)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the similarity scale path;
+    rows-only: list assignment is engine-defined). Returns each
+    vector's approx top-5 with rank."""
+    from ksj2gp_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_topk(e, k=5, nlist=8, nprobe=4).select(
+        "vec_id", "rank", "neighbor_id", F.round("sim", 3).alias("sim3")
+    )
+
+
 def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image lane: decode + metadata verification counts over a
     deterministic synthetic batch (rows-only: PNG decode is a UDF)."""
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "image_decode_verify": q_image_decode_verify,
         "rasterize_admin": q_rasterize_admin,
+        "similarity_ivf": q_similarity_ivf,
     }
 
 

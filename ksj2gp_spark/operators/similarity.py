@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two lanes (SURVEY training-data mandate):
+
+* ``brute_force_topk`` — exact cosine top-k via JVM-side
+  ``zip_with``/``aggregate`` expressions (the correctness baseline; the
+  contract query ``similarity_topk`` uses this shape).
+* ``ivf_topk`` — the scale path: an IVF (inverted-file) index. Centroids
+  are fit driver-side on a deterministic sample (k-means with fixed
+  seeding — the sample is small even when the table is not), broadcast,
+  and each vector is assigned to its nearest centroid in a vectorized
+  pandas UDF. Queries search only the ``nprobe`` nearest inverted lists,
+  so the pair join is per-list instead of all-pairs:
+  cost O(n·k·d) fit + O(n·d·k/nlist·nprobe) search vs O(n²·d) brute.
+
+At cluster scale the assignment and search are both single map passes
+over the embedding table; only the (tiny) centroid matrix is broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, v: a + v
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every vector (all-pairs)."""
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("a_vec"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("b_vec"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("a_id") != F.col("b_id"))
+    sim = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        F.sqrt(_dot(F.col("a_vec"), F.col("a_vec")))
+        * F.sqrt(_dot(F.col("b_vec"), F.col("b_vec")))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.col("b_id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias(id_col),
+            "rank",
+            F.col("b_id").alias("neighbor_id"),
+            "sim",
+        )
+    )
+
+
+def fit_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 20260816,
+) -> np.ndarray:
+    """Deterministic k-means on a bounded sample (driver-side numpy).
+
+    Sampling uses a hash order on ids so the same centroids come out at
+    any parallelism. Vectors are L2-normalized first (cosine ≡ dot)."""
+    sampled = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.vstack(sampled[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def assign_lists(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One map pass: each vector → its nearest centroid (list id)."""
+    cent = centroids
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("list_id", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: search only the nprobe nearest lists.
+
+    Build side: vectors exploded once per owning list. Probe side: each
+    query exploded to its nprobe closest lists. The join is an
+    equi-join on list_id — the all-pairs cross join never materializes.
+    """
+    cent = fit_centroids(df, nlist=nlist, id_col=id_col, vec_col=vec_col)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ cent.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    build = assign_lists(base, cent, id_col, "vec").select(
+        F.col(id_col).alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("list_id"),
+    )
+    probe = base.select(
+        F.col(id_col).alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.explode(probes(F.col("vec"))).alias("list_id"),
+    )
+    pairs = probe.join(build, "list_id").filter(F.col("a_id") != F.col("b_id"))
+    sim = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        F.sqrt(_dot(F.col("a_vec"), F.col("a_vec")))
+        * F.sqrt(_dot(F.col("b_vec"), F.col("b_vec")))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.col("b_id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias(id_col),
+            "rank",
+            F.col("b_id").alias("neighbor_id"),
+            "sim",
+        )
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, id_col: str = "vec_id") -> float:
+    """Fraction of exact top-k pairs recovered by the approximate lane."""
+    e = exact.select(id_col, "neighbor_id")
+    a = approx.select(id_col, "neighbor_id")
+    hit = e.join(a, [id_col, "neighbor_id"]).count()
+    total = e.count()
+    return hit / total if total else 1.0

@@ -1,0 +1,50 @@
+"""IVF ANN tests: recall vs the exact brute-force baseline, and
+determinism of the centroid fit across parallelism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ksj2gp_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    exact = similarity.brute_force_topk(emb, k=5).cache()
+    # These synthetic embeddings have weak cluster structure (pairwise
+    # cosines < 0.52), the hard case for IVF: recall must still be
+    # useful at nprobe=nlist/2, improve monotonically with nprobe, and
+    # reach exactness at full probe.
+    r4 = similarity.recall_at_k(
+        exact, similarity.ivf_topk(emb, k=5, nlist=8, nprobe=4)
+    )
+    r6 = similarity.recall_at_k(
+        exact, similarity.ivf_topk(emb, k=5, nlist=8, nprobe=6)
+    )
+    r8 = similarity.recall_at_k(
+        exact, similarity.ivf_topk(emb, k=5, nlist=8, nprobe=8)
+    )
+    assert r4 >= 0.7, f"recall@nprobe4 {r4}"
+    assert r4 <= r6 <= r8
+    assert r8 == 1.0
+
+
+def test_centroids_deterministic(spark, emb):
+    c1 = similarity.fit_centroids(emb, nlist=8)
+    c2 = similarity.fit_centroids(emb.repartition(7), nlist=8)
+    np.testing.assert_allclose(c1, c2)
+
+
+def test_assign_lists_partition(spark, emb):
+    cent = similarity.fit_centroids(emb, nlist=8)
+    base = emb.selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    lists = similarity.assign_lists(base, cent).toPandas()
+    assert lists["list_id"].between(0, 7).all()
+    sizes = lists.groupby("list_id").size()
+    assert len(sizes) >= 4  # vectors actually spread across lists
