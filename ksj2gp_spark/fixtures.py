@@ -146,10 +146,16 @@ def images_pdf(
     lon, lat = anchor_lonlat(ids)
     fmts = np.where(ids % 3 == 0, "jpeg", "png")
     admin = expected_admin_code(lon, lat)
-    captions = [
-        f"caption {i} {a if a is not None else 'ocean'}"
-        for i, a in zip(ids, admin)
-    ]
+    # vectorized string building (no per-row Python format() calls);
+    # pandas zfill pads to ≥8 without truncating longer ids — matches
+    # f"img{i:08d}" at any scale incl. 10^12-row id spaces (np.char.zfill
+    # would truncate to its width, so it is NOT used here).
+    id_ser = pd.Series(ids).astype("string")
+    image_ids = ("img" + id_ser.str.zfill(8)).to_numpy(dtype=object)
+    admin_str = np.where(admin == None, "ocean", admin)  # noqa: E711
+    captions = (
+        "caption " + id_ser + " " + pd.Series(admin_str, dtype="string")
+    ).to_numpy(dtype=object)
     if with_bytes:
         blobs, ws, hs, phashes = [], [], [], []
         for i, fmt in zip(ids, fmts):
@@ -170,7 +176,7 @@ def images_pdf(
         phashes = (((ids * _MIX) % (1 << 63))).tolist()
     return pd.DataFrame(
         {
-            "image_id": [f"img{i:08d}" for i in ids],
+            "image_id": image_ids,
             "bytes": blobs,
             "w": np.asarray(ws, dtype=np.int32),
             "h": np.asarray(hs, dtype=np.int32),
