@@ -4,10 +4,12 @@
     spark-submit --py-files ksj2gp_spark.zip -m ksj2gp_spark.convert \\
         <input.zip or glob> <output path>
 
-* output format from the output extension/suffix: ``.parquet`` →
-  GeoParquet-style parquet with bbox covering; ``.geojson`` → GeoJSON
-  feature lines (reprojected to WGS84, matching the reference's
-  GeoJSON-only transform rule).
+* output format from the output extension/suffix (main.rs:38-47):
+  ``.parquet`` → GeoParquet-style parquet with bbox covering;
+  ``.geojson`` → GeoJSON feature lines (reprojected to WGS84, matching
+  the reference's GeoJSON-only transform rule); ``.gpkg`` → GeoPackage
+  (single-file SQLite export, collected driver-side like the
+  reference's single-threaded writer).
 * converts every ``.shp`` in each ZIP (the reference CLI takes the
   first; a Spark job has no reason to drop the rest).
 * translations hardcoded on, like the reference CLI (main.rs:59-63).
@@ -40,6 +42,22 @@ def convert(spark: SparkSession, zip_path: str, out_path: str) -> int:
         )
         geoparquet.write_geojson(df, out_path)
         del crs
+    elif out_path.endswith(".gpkg"):
+        import pandas as pd
+
+        from .sinks import gpkg
+
+        crs_row = good.select("crs").first()
+        pdf = good.select("attrs", "geometry").toPandas()
+        # one typed column per dBASE field, like the reference's layer
+        attrs = pd.DataFrame(list(pdf["attrs"]))
+        pdf = pd.concat([attrs, pdf[["geometry"]]], axis=1)
+        gpkg.write_gpkg(
+            pdf,
+            out_path,
+            layer="layer1",
+            crs_name=crs_row["crs"] if crs_row else "JGD2011",
+        )
     else:
         crs_row = good.select("crs").first()
         geoparquet.write_geoparquet(

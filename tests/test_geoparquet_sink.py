@@ -116,3 +116,12 @@ def test_cli_convert(spark, tmp_path):
     for p in sorted(glob.glob(os.path.join(out2, "part-*"))):
         lines += open(p).read().splitlines()
     assert len(lines) == 21
+
+    out3 = str(tmp_path / "out.gpkg")
+    n3 = cli.convert(spark, zp, out3)
+    assert n3 == 21
+    from ksj2gp_spark.sinks import gpkg
+
+    back3 = gpkg.read_gpkg(out3, "layer1")
+    assert len(back3) == 21
+    assert back3["行政区域コード"].str.startswith(("13", "27", "01")).all()
