@@ -131,6 +131,16 @@ def main() -> None:
 
     timed("knn_ocean", knn)
 
+    # Fused single-pass assignment + ocean/kNN lane: no anti-join
+    # shuffle, no tile recomputation — the scale path for the combined
+    # output (row-set equal to tiles ∪ knn(unmatched), see tests).
+    timed(
+        "assign_or_knn_fused",
+        lambda: spatial.fused_assign_or_knn(
+            imgs, polys, scheme="grid", res=10, k=3
+        ).count(),
+    )
+
     # Image lane: decode + verify + phash at fixed 20k rows (real bytes).
     imgs_bytes = fixtures.images_df(
         spark, 20_000, with_bytes=True, partitions=cpus

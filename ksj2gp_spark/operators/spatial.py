@@ -321,6 +321,139 @@ def knn_join(
     )
 
 
+def fused_assign_or_knn(
+    images: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    scheme: str = "grid",
+    res: int | None = None,
+    k: int = 3,
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """Single-pass tile assignment WITH the ocean/kNN fallback lane.
+
+    The relational composition (tile join → left_anti on image_id →
+    kNN) shuffles the full probe table twice just to find the ~% of
+    rows that matched nothing. At 10^12 rows that anti-join dominates
+    the job. This operator fuses all three into ONE ``mapInPandas``
+    pass: per Arrow batch it computes cells, probes the broadcast
+    cover, PIP-refines, and — for rows with no polygon hit — runs the
+    vectorized kNN kernel. Zero shuffles, zero recomputation; matched
+    rows emit ``rank = 0``, ocean rows emit ranks ``1..k`` with their
+    distance.
+
+    Row-set contract: equal to
+    ``spatial_join_tiles(...)  UNION  knn_join(unmatched, ...)``
+    (asserted in tests/test_spatial_spark.py).
+    """
+    from .cells import _cell_fn
+
+    res = res if res is not None else DEFAULT_RES[scheme]
+    spark = images.sparkSession
+    polys = normalize_polygons(polygons_pdf)
+    cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=(admin_col,))
+    cover_b = spark.sparkContext.broadcast(cover_pdf)
+    payload = [
+        (row["polygon_id"], row[admin_col], bytes(row["geometry"]))
+        for _, row in polys.iterrows()
+    ]
+    geos_b = spark.sparkContext.broadcast(payload)
+    cell_fn = _cell_fn(scheme, res)
+
+    def run(batches):
+        cover = cover_b.value
+        geo_map = {pid: buf for pid, _, buf in geos_b.value}
+        parsed: dict[str, wkb.Geometry] = {}
+        knn_geos = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lons = pdf["lon"].to_numpy(dtype=np.float64)
+            lats = pdf["lat"].to_numpy(dtype=np.float64)
+            cells_v = cell_fn(lons, lats)
+            cand = pd.DataFrame(
+                {"i": np.arange(len(pdf)), "cell": cells_v}
+            ).merge(cover, on="cell", sort=False)
+            keep = np.zeros(len(cand), dtype=bool)
+            ci = cand["i"].to_numpy()
+            for pid, idx in cand.groupby("polygon_id").indices.items():
+                g = parsed.get(pid)
+                if g is None:
+                    g = parsed[pid] = wkb.loads(geo_map[pid])
+                rows = ci[idx]
+                keep[idx] = geom.geometry_contains(lons[rows], lats[rows], g)
+            hit = cand.loc[keep]
+            sel = hit["i"].to_numpy()
+            ids = pdf["image_id"].to_numpy()
+            out_parts = [
+                pd.DataFrame(
+                    {
+                        "image_id": ids[sel],
+                        "cell": hit["cell"].to_numpy(),
+                        "polygon_id": hit["polygon_id"].to_numpy(),
+                        "admin_code": hit[admin_col].to_numpy(),
+                        "rank": np.zeros(len(hit), dtype=np.int32),
+                        "distance": np.zeros(len(hit)),
+                    }
+                )
+            ]
+            # ocean lane: rows with zero polygon hits
+            matched = np.zeros(len(pdf), dtype=bool)
+            matched[sel] = True
+            ocean = np.flatnonzero(~matched)
+            if len(ocean):
+                if knn_geos is None:
+                    knn_geos = [
+                        (pid, code, wkb.loads(buf))
+                        for pid, code, buf in geos_b.value
+                    ]
+                    order = np.argsort(
+                        [c for _, c, _ in knn_geos], kind="stable"
+                    )
+                    knn_geos = [knn_geos[i] for i in order]
+                olon, olat = lons[ocean], lats[ocean]
+                dmat = np.stack(
+                    [
+                        geom.distance_to_geometry(olon, olat, g)
+                        for _, _, g in knn_geos
+                    ],
+                    axis=1,
+                )
+                top = np.argsort(dmat, axis=1, kind="stable")[:, :k]
+                n = len(ocean)
+                out_parts.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": np.repeat(ids[ocean], k),
+                            "cell": np.repeat(cells_v[ocean], k),
+                            "polygon_id": np.array(
+                                [knn_geos[j][0] for j in top.ravel()],
+                                dtype=object,
+                            ),
+                            "admin_code": np.array(
+                                [knn_geos[j][1] for j in top.ravel()],
+                                dtype=object,
+                            ),
+                            "rank": np.tile(
+                                np.arange(1, k + 1, dtype=np.int32), n
+                            ),
+                            "distance": np.take_along_axis(
+                                dmat, top, axis=1
+                            ).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out_parts, ignore_index=True)
+
+    probe = images.select("image_id", "lon", "lat")
+    return probe.mapInPandas(
+        run,
+        schema=(
+            "image_id string, cell long, polygon_id string, "
+            "admin_code string, rank int, distance double"
+        ),
+    )
+
+
 def unmatched_images(
     images_with_cell: DataFrame, tiles: DataFrame
 ) -> DataFrame:

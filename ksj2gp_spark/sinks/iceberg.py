@@ -1,0 +1,339 @@
+"""Iceberg-style table layer: snapshot/manifest metadata over parquet.
+
+The north_rule mandates operating "over Iceberg tables of image +
+caption pairs". No Iceberg runtime jar ships in this environment, so
+this module implements the Iceberg *table format contract* directly on
+the filesystem — the same metadata architecture, scoped to what the
+engine needs:
+
+* **Snapshot isolation + atomic commits.** Data files are immutable;
+  a commit writes data first, then the snapshot manifest, then a new
+  ``v{N}.metadata.json``, and finally swaps ``version-hint.text`` via
+  atomic rename. Readers resolve the hint → metadata → manifest → file
+  list, so a crashed writer can never corrupt a readable table.
+* **Time travel / rollback.** Every snapshot keeps its parent id;
+  ``read(..., snapshot_id=...)`` reads any retained snapshot and
+  ``rollback`` commits a new metadata version pointing at an old one
+  (history is preserved, exactly like Iceberg's rollback).
+* **File-level stats pruning.** Each manifest records per-file row
+  counts and per-column min/max taken from the parquet footers;
+  ``scan`` prunes files by those stats before Spark ever opens them —
+  Iceberg's manifest-filtering behavior, and the mechanism that makes
+  bbox/cell range scans cheap at 100 TB (entire files skipped, not
+  just row groups).
+
+Layout::
+
+    table/
+      metadata/version-hint.text      # current metadata version
+      metadata/v{N}.metadata.json     # schema + snapshot log + current id
+      metadata/snap-{id}.json         # manifest: data files + stats
+      data/snap-{id}/part-*.parquet   # immutable data files
+
+On a real cluster the same protocol works on any atomic-rename store
+(HDFS); for S3-class stores the hint swap would go through a catalog
+service — the reader/writer contract here is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_VERSION = 2
+
+
+class CommitError(RuntimeError):
+    pass
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _hint_path(path: str) -> str:
+    return os.path.join(_meta_dir(path), "version-hint.text")
+
+
+def current_version(path: str) -> int:
+    """0 when the table doesn't exist yet."""
+    try:
+        with open(_hint_path(path)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _load_metadata(path: str, version: int | None = None) -> dict:
+    v = version if version is not None else current_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"no iceberg-style table at {path}")
+    with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _load_manifest(path: str, snapshot_id: int) -> dict:
+    with open(os.path.join(_meta_dir(path), f"snap-{snapshot_id}.json")) as f:
+        return json.load(f)
+
+
+def _file_stats(file_path: str) -> dict:
+    """Row count + per-column min/max from the parquet footer (scalar
+    columns only — the stats that drive manifest pruning)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # binary stats are not order-meaningful here
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+
+    def _jsonable(d):
+        return {
+            k: (v.isoformat() if hasattr(v, "isoformat") else v)
+            for k, v in d.items()
+        }
+
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(file_path),
+        "min": _jsonable(mins),
+        "max": _jsonable(maxs),
+    }
+
+
+def _commit(
+    path: str,
+    df: DataFrame,
+    operation: str,
+    parent_files: list[dict],
+) -> int:
+    meta_dir = _meta_dir(path)
+    os.makedirs(meta_dir, exist_ok=True)
+    version = current_version(path)
+    parent_meta = _load_metadata(path, version) if version else None
+    snapshot_id = (
+        max((s["snapshot_id"] for s in parent_meta["snapshots"]), default=0) + 1
+        if parent_meta
+        else 1
+    )
+
+    # 1. data files (immutable, snapshot-owned directory)
+    data_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(data_dir, name)
+        new_files.append(
+            {"path": os.path.relpath(fp, path), **_file_stats(fp)}
+        )
+
+    all_files = parent_files + new_files
+    # 2. snapshot manifest
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_snapshot_id": (
+            parent_meta["current_snapshot_id"] if parent_meta else None
+        ),
+        "operation": operation,
+        "timestamp_ms": int(time.time() * 1000),
+        "files": all_files,
+        "summary": {
+            "added_files": len(new_files),
+            "total_files": len(all_files),
+            "added_rows": sum(f["rows"] for f in new_files),
+            "total_rows": sum(f["rows"] for f in all_files),
+        },
+    }
+    with open(os.path.join(meta_dir, f"snap-{snapshot_id}.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    # 3. new metadata version
+    snapshots = (parent_meta["snapshots"] if parent_meta else []) + [
+        {
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": manifest["parent_snapshot_id"],
+            "operation": operation,
+            "timestamp_ms": manifest["timestamp_ms"],
+            "summary": manifest["summary"],
+        }
+    ]
+    new_meta = {
+        "format_version": FORMAT_VERSION,
+        "schema": json.loads(df.schema.json()),
+        "current_snapshot_id": snapshot_id,
+        "snapshots": snapshots,
+    }
+    new_version = version + 1
+    meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(new_meta, f, indent=1)
+
+    # 4. atomic hint swap — THE commit point
+    tmp = _hint_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(tmp, _hint_path(path))
+    return snapshot_id
+
+
+def append(df: DataFrame, path: str) -> int:
+    """Append a snapshot; returns the new snapshot id."""
+    version = current_version(path)
+    parent_files: list[dict] = []
+    if version:
+        meta = _load_metadata(path, version)
+        parent_files = _load_manifest(path, meta["current_snapshot_id"])[
+            "files"
+        ]
+    return _commit(path, df, "append", parent_files)
+
+
+def overwrite(df: DataFrame, path: str) -> int:
+    """Replace table contents in a new snapshot (old ones stay
+    readable until expired)."""
+    return _commit(path, df, "overwrite", [])
+
+
+def history(path: str) -> list[dict]:
+    return _load_metadata(path)["snapshots"]
+
+
+def _live_files(path: str, snapshot_id: int | None = None) -> list[dict]:
+    meta = _load_metadata(path)
+    sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+    if sid not in {s["snapshot_id"] for s in meta["snapshots"]}:
+        raise CommitError(f"unknown/expired snapshot {sid}")
+    return _load_manifest(path, sid)["files"]
+
+
+def read(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the current (or a time-travel) snapshot."""
+    files = _live_files(path, snapshot_id)
+    if not files:
+        raise FileNotFoundError(f"snapshot has no data files: {path}")
+    return spark.read.parquet(*(os.path.join(path, f["path"]) for f in files))
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple] | None = None,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned scan: ``bounds`` maps column → (lo, hi); files
+    whose stats ranges don't overlap are never opened. Returns
+    (DataFrame, {"files_total", "files_read"}) so callers/tests can see
+    the pruning. The residual predicate must still be applied by the
+    caller (stats prune files, they don't filter rows)."""
+    files = _live_files(path, snapshot_id)
+    selected = []
+    for fmeta in files:
+        keep = True
+        for col, (lo, hi) in (bounds or {}).items():
+            fmin = fmeta["min"].get(col)
+            fmax = fmeta["max"].get(col)
+            if fmin is None or fmax is None:
+                continue  # no stats → cannot prune
+            if fmax < lo or fmin > hi:
+                keep = False
+                break
+        if keep:
+            selected.append(fmeta)
+    info = {"files_total": len(files), "files_read": len(selected)}
+    if not selected:
+        schema_df = read(spark, path, snapshot_id).limit(0)
+        return schema_df, info
+    df = spark.read.parquet(
+        *(os.path.join(path, f["path"]) for f in selected)
+    )
+    return df, info
+
+
+def rollback(path: str, snapshot_id: int) -> int:
+    """Commit a new metadata version whose current snapshot is an
+    older one (no data is touched; history is preserved)."""
+    version = current_version(path)
+    meta = _load_metadata(path, version)
+    if snapshot_id not in {s["snapshot_id"] for s in meta["snapshots"]}:
+        raise CommitError(f"unknown snapshot {snapshot_id}")
+    new_meta = dict(meta, current_snapshot_id=snapshot_id)
+    new_version = version + 1
+    with open(
+        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f, indent=1)
+    tmp = _hint_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(tmp, _hint_path(path))
+    return new_version
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots (the current one
+    is always kept) and delete data files referenced by no retained
+    snapshot. Returns {"expired": [...], "deleted_files": n}."""
+    version = current_version(path)
+    meta = _load_metadata(path, version)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+    keep_ids = {s["snapshot_id"] for s in snaps[-keep_last:]}
+    keep_ids.add(meta["current_snapshot_id"])
+    expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+    if not expired:
+        return {"expired": [], "deleted_files": 0}
+
+    retained_files = set()
+    for sid in keep_ids:
+        retained_files.update(f["path"] for f in _load_manifest(path, sid)["files"])
+    deleted = 0
+    for s in expired:
+        man = _load_manifest(path, s["snapshot_id"])
+        for fmeta in man["files"]:
+            if fmeta["path"] in retained_files:
+                continue
+            fp = os.path.join(path, fmeta["path"])
+            if os.path.exists(fp):
+                os.remove(fp)
+                deleted += 1
+        os.remove(
+            os.path.join(_meta_dir(path), f"snap-{s['snapshot_id']}.json")
+        )
+
+    new_meta = dict(
+        meta,
+        snapshots=[s for s in snaps if s["snapshot_id"] in keep_ids],
+    )
+    new_version = version + 1
+    with open(
+        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f, indent=1)
+    tmp = _hint_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(tmp, _hint_path(path))
+    return {
+        "expired": [s["snapshot_id"] for s in expired],
+        "deleted_files": deleted,
+    }

@@ -1,0 +1,119 @@
+"""Iceberg-style table layer: snapshots, time travel, rollback,
+manifest pruning, crash-safe commits (sinks/iceberg.py)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksj2gp_spark.sinks import iceberg
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    s1 = iceberg.append(df1, path)
+    df2 = spark.range(100, 250).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    s2 = iceberg.append(df2, path)
+    return path, s1, s2
+
+
+def test_append_and_read_current(spark, table):
+    path, s1, s2 = table
+    assert (s1, s2) == (1, 2)
+    assert iceberg.read(spark, path).count() == 250
+    hist = iceberg.history(path)
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert hist[1]["parent_snapshot_id"] == 1
+    assert hist[1]["summary"]["total_rows"] == 250
+
+
+def test_time_travel_and_rollback(spark, table):
+    path, s1, s2 = table
+    assert iceberg.read(spark, path, snapshot_id=s1).count() == 100
+    iceberg.rollback(path, s1)
+    assert iceberg.read(spark, path).count() == 100
+    # history preserved; s2 still readable after rollback
+    assert iceberg.read(spark, path, snapshot_id=s2).count() == 250
+
+
+def test_overwrite_starts_fresh(spark, table):
+    path, _, _ = table
+    df = spark.range(0, 10).select(F.col("id"), F.lit(0).alias("bucket"))
+    iceberg.overwrite(df, path)
+    assert iceberg.read(spark, path).count() == 10
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    path = str(tmp_path / "pruned")
+    # 4 appends with disjoint id ranges → disjoint file stats
+    for lo in (0, 1000, 2000, 3000):
+        df = spark.range(lo, lo + 1000).repartition(2)
+        iceberg.append(df, path)
+    full, info_full = iceberg.scan(spark, path)
+    assert info_full["files_read"] == info_full["files_total"]
+    df, info = iceberg.scan(spark, path, bounds={"id": (2100, 2200)})
+    assert info["files_read"] < info["files_total"]
+    # residual predicate on the pruned scan gives the exact answer
+    assert df.filter((F.col("id") >= 2100) & (F.col("id") <= 2200)).count() == 101
+    # empty-range scan returns schema-only frame
+    edf, einfo = iceberg.scan(spark, path, bounds={"id": (10**9, 2 * 10**9)})
+    assert einfo["files_read"] == 0 and edf.count() == 0
+
+
+def test_crashed_commit_invisible(spark, table):
+    """Data+manifest written but hint not swapped → readers see the old
+    snapshot (the commit point is the atomic hint rename)."""
+    path, _, s2 = table
+    v_before = iceberg.current_version(path)
+    # simulate a crash: write orphan data + manifest + metadata but no hint
+    orphan_dir = os.path.join(path, "data", "snap-99")
+    spark.range(0, 5).write.parquet(orphan_dir)
+    with open(os.path.join(path, "metadata", "snap-99.json"), "w") as f:
+        json.dump({"snapshot_id": 99, "files": []}, f)
+    with open(
+        os.path.join(path, "metadata", f"v{v_before + 1}.metadata.json"), "w"
+    ) as f:
+        json.dump({"current_snapshot_id": 99, "snapshots": []}, f)
+    assert iceberg.current_version(path) == v_before
+    assert iceberg.read(spark, path).count() == 250
+    # next real commit lands cleanly on top
+    iceberg.append(spark.range(0, 3).select(F.col("id"), F.lit(1).alias("bucket")), path)
+    assert iceberg.read(spark, path).count() == 253
+
+
+def test_expire_snapshots_deletes_orphan_files(spark, table):
+    path, s1, s2 = table
+    out = iceberg.expire_snapshots(path, keep_last=1)
+    assert out["expired"] == [s1]
+    # s1's files are shared with s2 (append) → nothing deleted
+    assert out["deleted_files"] == 0
+    assert iceberg.read(spark, path).count() == 250
+    with pytest.raises(iceberg.CommitError):
+        iceberg.read(spark, path, snapshot_id=s1)
+
+    # overwrite then expire → old files actually deleted
+    df = spark.range(0, 10).select(F.col("id"), F.lit(0).alias("bucket"))
+    iceberg.overwrite(df, path)
+    out2 = iceberg.expire_snapshots(path, keep_last=1)
+    assert out2["deleted_files"] > 0
+    assert iceberg.read(spark, path).count() == 10
+
+
+def test_images_table_roundtrip(spark, tmp_path):
+    """input_hint shape stored and read back through the table layer."""
+    from ksj2gp_spark import fixtures
+
+    path = str(tmp_path / "images_tbl")
+    imgs = fixtures.images_df(spark, 200, with_bytes=True)
+    iceberg.append(imgs, path)
+    back = iceberg.read(spark, path)
+    assert back.count() == 200
+    assert dict(back.dtypes)["bytes"] == "binary"
+    assert dict(back.dtypes)["phash"] == "bigint"

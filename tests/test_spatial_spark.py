@@ -147,3 +147,33 @@ def test_salting_flattens_partitions(spark, images):
     # max per-(cell) probe groups exceed mean by construction (70% hot):
     per_cell = cand_plain.groupBy("cell").count().toPandas()["count"]
     assert per_cell.max() > 2 * per_cell.mean()
+
+
+def test_fused_assign_or_knn_equals_two_pass(spark, images):
+    """The fused single-pass operator's row set must equal
+    spatial_join_tiles ∪ knn_join(unmatched) — same rows, no shuffle."""
+    polys = fixtures.polygon_layer()
+    fused = spatial.fused_assign_or_knn(
+        images, polys, scheme="grid", res=10, k=3
+    ).toPandas()
+
+    tiles = spatial.spatial_join_tiles(images, polys, scheme="grid", res=10)
+    pts = cells.with_cell(images.select("image_id", "lon", "lat"), "grid", 10)
+    un = spatial.unmatched_images(pts, tiles)
+    knn = spatial.knn_join(un, polys, k=3).toPandas()
+    tiles_pdf = tiles.toPandas()
+
+    got_assigned = fused[fused["rank"] == 0]
+    key = ["image_id", "cell", "polygon_id", "admin_code"]
+    a = set(map(tuple, got_assigned[key].itertuples(index=False)))
+    b = set(map(tuple, tiles_pdf[key].itertuples(index=False)))
+    assert a == b
+
+    got_knn = fused[fused["rank"] > 0]
+    kk = ["image_id", "rank", "polygon_id", "admin_code"]
+    assert set(map(tuple, got_knn[kk].itertuples(index=False))) == set(
+        map(tuple, knn[kk].itertuples(index=False))
+    )
+    # distances agree too
+    m = got_knn.merge(knn, on=["image_id", "rank"], suffixes=("_f", "_r"))
+    assert np.allclose(m["distance_f"], m["distance_r"])
