@@ -491,6 +491,30 @@ FROM cells c JOIN polys p
 """
 
 
+def q_vectorize_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector: polygonize the rasterized admin grid back into
+    boundary rings (edge cancellation + leftmost-turn tracing,
+    operators/raster.py). The signed ring areas per admin must sum to
+    the distinct raster cell count — which the oracle computes
+    relationally from the same rasterization. A mistraced ring or
+    wrong hole orientation breaks the equality."""
+    from ksj2gp_spark.operators import raster as raster_ops
+
+    ras = q_rasterize_admin(spark, sf_dir)
+    vec = raster_ops.vectorize_cells(ras, res=12)
+    return vec.groupBy("admin_code").agg(
+        F.round(F.sum("area_cells")).cast("long").alias("n_cells")
+    )
+
+
+def _vectorize_sql() -> str:
+    return f"""
+WITH ras AS ({_rasterize_sql()})
+SELECT admin_code, count(DISTINCT cell) AS n_cells
+FROM ras GROUP BY admin_code
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — pure relational dedup."""
     from ksj2gp_spark.operators.dedup import ngram_jaccard_pairs
@@ -707,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "image_decode_verify": q_image_decode_verify,
         "rasterize_admin": q_rasterize_admin,
+        "vectorize_admin": q_vectorize_admin,
         "similarity_ivf": q_similarity_ivf,
     }
 
@@ -754,6 +779,7 @@ GROUP BY p.admin_code
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
         "rasterize_admin": _rasterize_sql(),
+        "vectorize_admin": _vectorize_sql(),
         # minhash_pairs / simhash_pairs / lang_id / embedding_near_dups /
         # image_decode_verify: engine-defined hash families and codecs —
         # rows-only checks by design.

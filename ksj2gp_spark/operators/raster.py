@@ -1,0 +1,155 @@
+"""Raster → vector: polygonize grid-cell rasters (north_star
+"raster↔vector tile assignment", the inverse of the rasterize lane).
+
+Given rows ``(cell, admin_code)`` on the square grid (geo/grid.py id
+scheme), produce per-admin dissolved polygon rings:
+
+* **Edge cancellation** (vectorized numpy): every cell contributes its
+  4 directed CCW edges; an edge shared by two cells of the same admin
+  appears once in each direction and cancels. Survivors are exactly
+  the boundary.
+* **Ring tracing** (loop over *boundary* edges only — O(perimeter),
+  not O(area)): walk directed edges, at corner-touching vertices take
+  the leftmost turn so rings stay simple and orientation-consistent.
+  Outer rings come out CCW (positive shoelace area), holes CW
+  (negative).
+
+The signed ring areas therefore sum to exactly the cell count — which
+makes the operator's correctness SQL-checkable: the DuckDB oracle
+counts distinct raster cells per admin and must equal
+``round(sum(area_cells))`` (see __spark_entry__ ``vectorize_admin``).
+
+Distribution: ``applyInPandas`` grouped by ``admin_code`` — each admin
+polygonizes independently; a 47-prefecture (or 10^5-admin) layer
+parallelizes per group, and per-group work is bounded by the admin's
+raster size. No driver-side geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..geo import grid, wkb
+
+# turn preference: for incoming direction d, try left, straight, right.
+_DIRS = ((1, 0), (0, 1), (-1, 0), (0, -1))  # E, N, W, S
+_LEFT = {(1, 0): (0, 1), (0, 1): (-1, 0), (-1, 0): (0, -1), (0, -1): (1, 0)}
+_RIGHT = {v: k for k, v in _LEFT.items()}
+
+
+def boundary_edges(ii: np.ndarray, jj: np.ndarray):
+    """Directed CCW boundary edges of the cell set (vectorized
+    cancellation). Returns (ax, ay, bx, by) int64 arrays."""
+    ii = np.asarray(ii, dtype=np.int64)
+    jj = np.asarray(jj, dtype=np.int64)
+    # 4 directed edges per cell: bottom, right, top, left (CCW)
+    ax = np.concatenate([ii, ii + 1, ii + 1, ii])
+    ay = np.concatenate([jj, jj, jj + 1, jj + 1])
+    bx = np.concatenate([ii + 1, ii + 1, ii, ii])
+    by = np.concatenate([jj, jj + 1, jj + 1, jj])
+    # pack vertices; local coords are small after normalization
+    ox, oy = ii.min(), jj.min()
+    m = np.int64(max(int(ii.max() - ox), int(jj.max() - oy)) + 2)
+    va = (ax - ox) * m + (ay - oy)
+    vb = (bx - ox) * m + (by - oy)
+    fwd = va * (m * m) + vb
+    rev = vb * (m * m) + va
+    keep = ~np.isin(fwd, rev)
+    return ax[keep], ay[keep], bx[keep], by[keep]
+
+
+def trace_rings(
+    ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray
+) -> list[np.ndarray]:
+    """Assemble directed boundary edges into closed rings (leftmost-turn
+    rule at degree-2 vertices). Returns rings as (n+1, 2) int arrays
+    (first vertex repeated last)."""
+    out_edges: dict[tuple[int, int], list[int]] = {}
+    for e in range(len(ax)):
+        out_edges.setdefault((int(ax[e]), int(ay[e])), []).append(e)
+    used = np.zeros(len(ax), dtype=bool)
+    rings: list[np.ndarray] = []
+    for start in range(len(ax)):
+        if used[start]:
+            continue
+        ring = [(int(ax[start]), int(ay[start]))]
+        e = start
+        while True:
+            used[e] = True
+            head = (int(bx[e]), int(by[e]))
+            ring.append(head)
+            if head == ring[0]:
+                break
+            cands = [c for c in out_edges.get(head, ()) if not used[c]]
+            if not cands:
+                raise ValueError("open ring — raster edges inconsistent")
+            if len(cands) == 1:
+                e = cands[0]
+            else:
+                # corner-touching cells: prefer leftmost turn
+                din = (head[0] - int(ax[e]), head[1] - int(ay[e]))
+                pref = (_LEFT[din], din, _RIGHT[din])
+                by_dir = {
+                    (int(bx[c]) - head[0], int(by[c]) - head[1]): c
+                    for c in cands
+                }
+                e = next(by_dir[d] for d in pref if d in by_dir)
+        rings.append(np.asarray(ring, dtype=np.int64))
+    return rings
+
+
+def _shoelace(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(
+        np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])
+    )
+
+
+def vectorize_cells(
+    raster: DataFrame,
+    res: int,
+    admin_col: str = "admin_code",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(cell, admin_code) raster → one row per boundary ring:
+    ``(admin_code, ring_id, n_vertices, area_cells, geometry)`` with
+    geometry as a WKB polygon of that ring in lon/lat degrees.
+    ``area_cells`` is the signed shoelace area in cell units (outer
+    rings positive, holes negative) — Σ area_cells = n distinct cells.
+    """
+    size = grid.cell_size(res)
+
+    def polygonize(pdf: pd.DataFrame) -> pd.DataFrame:
+        admin = pdf[admin_col].iloc[0]
+        cells = np.unique(pdf[cell_col].to_numpy(dtype=np.int64))
+        ii = (cells >> 29) & ((1 << 29) - 1)
+        jj = cells & ((1 << 29) - 1)
+        edges = boundary_edges(ii, jj)
+        rings = trace_rings(*edges)
+        rows = []
+        for rid, ring in enumerate(rings):
+            area = _shoelace(ring)
+            lon = ring[:, 0] * size - 180.0
+            lat = ring[:, 1] * size - 90.0
+            geom_wkb = wkb.polygon(np.column_stack([lon, lat]))
+            rows.append((admin, rid, len(ring) - 1, area, geom_wkb))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "admin_code",
+                "ring_id",
+                "n_vertices",
+                "area_cells",
+                "geometry",
+            ],
+        )
+
+    return raster.groupBy(admin_col).applyInPandas(
+        polygonize,
+        schema=(
+            "admin_code string, ring_id int, n_vertices int, "
+            "area_cells double, geometry binary"
+        ),
+    )

@@ -1,0 +1,106 @@
+"""Raster→vector polygonization (operators/raster.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ksj2gp_spark.geo import grid, wkb
+from ksj2gp_spark.operators import raster
+
+
+def _rings_for(ii, jj):
+    edges = raster.boundary_edges(np.array(ii), np.array(jj))
+    return raster.trace_rings(*edges)
+
+
+def test_single_cell():
+    rings = _rings_for([5], [7])
+    assert len(rings) == 1
+    r = rings[0]
+    assert len(r) - 1 == 4
+    assert raster._shoelace(r) == 1.0
+
+
+def test_block_2x2_dissolves():
+    rings = _rings_for([0, 1, 0, 1], [0, 0, 1, 1])
+    assert len(rings) == 1
+    assert raster._shoelace(rings[0]) == 4.0
+    assert len(rings[0]) - 1 == 8  # unit steps around the 2x2 square
+
+
+def test_donut_has_hole():
+    ii, jj = np.meshgrid(np.arange(3), np.arange(3), indexing="ij")
+    mask = ~((ii == 1) & (jj == 1))
+    rings = _rings_for(ii[mask], jj[mask])
+    areas = sorted(raster._shoelace(r) for r in rings)
+    assert len(rings) == 2
+    assert areas == [-1.0, 9.0]  # CW hole, CCW outer
+    assert sum(areas) == 8.0  # == cell count
+
+
+def test_corner_touching_checkerboard_stays_simple():
+    rings = _rings_for([0, 1], [0, 1])
+    assert len(rings) == 2
+    assert sorted(raster._shoelace(r) for r in rings) == [1.0, 1.0]
+    # each ring is simple: no repeated vertices except the closure
+    for r in rings:
+        body = [tuple(v) for v in r[:-1]]
+        assert len(set(body)) == len(body)
+
+
+def test_disconnected_components():
+    rings = _rings_for([0, 10], [0, 10])
+    assert len(rings) == 2
+    assert all(raster._shoelace(r) == 1.0 for r in rings)
+
+
+def test_l_shape_area():
+    # L-shape: 3 wide, 3 tall, missing 2x2 upper-right block
+    cells = [(i, j) for i in range(3) for j in range(3)
+             if not (i >= 1 and j >= 1)]
+    ii = [c[0] for c in cells]
+    jj = [c[1] for c in cells]
+    rings = _rings_for(ii, jj)
+    assert len(rings) == 1
+    assert raster._shoelace(rings[0]) == 5.0
+
+
+def test_vectorize_cells_spark_roundtrip(spark):
+    """rasterize (fixture layer) → vectorize → signed areas sum to the
+    distinct-cell count per admin, and the traced polygons re-rasterize
+    to the same cell set (full raster↔vector round trip)."""
+    import __spark_entry__ as e
+
+    res = 12
+    ras = e.q_rasterize_admin(spark, "/root/testdata/sf0.001")
+    vec = raster.vectorize_cells(ras, res).toPandas()
+
+    truth = (
+        ras.toPandas()
+        .groupby("admin_code")["cell"]
+        .nunique()
+        .to_dict()
+    )
+    got = vec.groupby("admin_code")["area_cells"].sum().round().astype(int)
+    assert got.to_dict() == truth
+
+    # round trip: outer-ring polygons minus holes cover the cell centers
+    size = grid.cell_size(res)
+    ras_pdf = ras.toPandas()
+    for admin, sub in vec.groupby("admin_code"):
+        want = set(
+            ras_pdf.loc[ras_pdf["admin_code"] == admin, "cell"].unique()
+        )
+        covered = set()
+        holes = set()
+        for _, row in sub.iterrows():
+            g = wkb.loads(row["geometry"])
+            minx, miny, maxx, maxy = g.bounds()
+            cand = grid.cover_bbox(minx, miny, maxx, maxy, res)
+            cx, cy = grid.cell_center(cand)
+            from ksj2gp_spark.geo import geom as G
+
+            inside = G.geometry_contains(cx, cy, g)
+            tgt = covered if row["area_cells"] > 0 else holes
+            tgt.update(cand[inside].tolist())
+        assert covered - holes == want
