@@ -1,0 +1,117 @@
+"""Public pipeline API — the engine's equivalent of the reference's
+entry surface (SURVEY.md §2.9): ``ingest_polygons`` → ``index_images``
+→ ``spatial_join`` → ``write_tiles``, plus ``run_tile_pipeline``, the
+resumable end-to-end production job.
+
+Resume unit = **data files**, not key ranges: the images table's files
+(from the Iceberg-style manifest, sinks/iceberg.py, or a parquet
+directory listing) are grouped into chunks; each chunk reads only its
+own files, joins, and commits a lineage manifest (sinks/write.py).
+A restart skips committed chunks without rescanning anything — the
+"resumes from the last committed checkpoint after executor loss
+without reprocessing completed partitions" contract, with zero
+re-read amplification (a WHERE-hash chunking would rescan the full
+table per chunk; file-aligned chunking reads each byte exactly once).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import cells, ingest, spatial
+from .sinks import iceberg, write
+
+
+def ingest_polygons(
+    spark: SparkSession,
+    zip_paths: str,
+    translate: bool = True,
+    admin_code_attr: str = "行政区域コード",
+) -> DataFrame:
+    """KSJ ZIPs → polygon layer DataFrame
+    ``(polygon_id, admin_code → attr, geometry WKB, crs)``."""
+    raw = ingest.ingest_zips(spark, zip_paths, translate=translate)
+    return ingest.polygons_from_ingest(raw, admin_code_attr=admin_code_attr)
+
+
+def index_images(
+    images: DataFrame, scheme: str = "hex", res: int | None = None
+) -> DataFrame:
+    """Attach the cell index column to an image table (vectorized)."""
+    res = res if res is not None else spatial.DEFAULT_RES[scheme]
+    return cells.with_cell(images, scheme, res)
+
+
+def spatial_join(
+    images: DataFrame,
+    polygons: DataFrame | pd.DataFrame,
+    **opts,
+) -> DataFrame:
+    """Tile assignment join; ``polygons`` may be a (broadcastable)
+    Spark or pandas polygon layer."""
+    polys_pdf = (
+        polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
+    )
+    return spatial.spatial_join_tiles(images, polys_pdf, **opts)
+
+
+def write_tiles(tiles: DataFrame, path: str, chunk: str = "all") -> dict:
+    """Write tile assignments with a lineage manifest (idempotent)."""
+    return write.write_chunk(tiles, path, chunk)
+
+
+def _image_file_chunks(
+    spark: SparkSession, images_path: str, n_chunks: int
+) -> list[list[str]]:
+    """Group the image table's data files into resume chunks."""
+    if iceberg.current_version(images_path):
+        files = [
+            os.path.join(images_path, f["path"])
+            for f in iceberg._live_files(images_path)
+        ]
+    else:
+        files = sorted(
+            os.path.join(images_path, n)
+            for n in os.listdir(images_path)
+            if n.endswith(".parquet")
+        )
+        if not files:  # nested parquet dir (spark layout)
+            raise FileNotFoundError(f"no parquet files in {images_path}")
+    n_chunks = max(1, min(n_chunks, len(files)))
+    return [files[i::n_chunks] for i in range(n_chunks)]
+
+
+def run_tile_pipeline(
+    spark: SparkSession,
+    images_path: str,
+    polygons: DataFrame | pd.DataFrame,
+    out_path: str,
+    scheme: str = "hex",
+    res: int | None = None,
+    k_ocean: int = 3,
+    n_chunks: int = 16,
+) -> dict:
+    """End-to-end resumable job: image table (Iceberg-style or parquet
+    dir) × polygon layer → ``(image_id, cell, polygon_id, admin_code,
+    rank, distance)`` tiles under ``out_path``, one committed chunk +
+    lineage manifest per file group. Fused single-pass join (assignment
+    + ocean kNN lane); re-invocation after a crash skips committed
+    chunks. Returns the run summary {chunk: manifest}."""
+    polys_pdf = (
+        polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
+    )
+    res = res if res is not None else spatial.DEFAULT_RES[scheme]
+    chunks = _image_file_chunks(spark, images_path, n_chunks)
+    chunk_ids = [f"{i:05d}" for i in range(len(chunks))]
+    file_map = dict(zip(chunk_ids, chunks))
+
+    def process(chunk_id: str) -> DataFrame:
+        imgs = spark.read.parquet(*file_map[chunk_id])
+        return spatial.fused_assign_or_knn(
+            imgs, polys_pdf, scheme=scheme, res=res, k=k_ocean
+        )
+
+    return write.run_resumable(out_path, chunk_ids, process)

@@ -1,0 +1,122 @@
+"""Public pipeline API (pipeline.py): end-to-end job, crash resume."""
+
+import io
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksj2gp_spark import fixtures, pipeline
+from ksj2gp_spark.sinks import iceberg, write
+
+
+@pytest.fixture(scope="module")
+def images_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("imgs") / "tbl")
+    imgs = fixtures.images_df(spark, 3000, with_bytes=False, partitions=6)
+    iceberg.append(imgs, path)
+    return path
+
+
+def test_run_tile_pipeline_end_to_end(spark, images_table, tmp_path):
+    out = str(tmp_path / "tiles")
+    summary = pipeline.run_tile_pipeline(
+        spark,
+        images_table,
+        fixtures.polygon_layer(),
+        out,
+        scheme="grid",
+        res=10,
+        n_chunks=3,
+    )
+    assert len(summary) == 3
+    assert all(not m.get("skipped") for m in summary.values())
+    tiles = write.read_tiles(spark, out)
+    # every image appears exactly once in the assigned lane or k times
+    # in the ocean lane
+    per_img = (
+        tiles.groupBy("image_id")
+        .agg(
+            F.sum(F.when(F.col("rank") == 0, 1).otherwise(0)).alias("n_assign"),
+            F.sum(F.when(F.col("rank") > 0, 1).otherwise(0)).alias("n_knn"),
+        )
+        .toPandas()
+    )
+    assert len(per_img) == 3000
+    assert ((per_img["n_assign"] > 0) ^ (per_img["n_knn"] == 3)).all()
+    # manifests carry metrics
+    m0 = summary["00000"]
+    assert m0["rows"] > 0 and m0["admin_histogram"]
+
+
+def test_pipeline_resume_skips_committed(spark, images_table, tmp_path):
+    out = str(tmp_path / "tiles_resume")
+    calls = []
+    orig = pipeline.spatial.fused_assign_or_knn
+
+    def failing(imgs, *a, **kw):
+        calls.append(1)
+        if len(calls) == 3:
+            raise RuntimeError("injected executor loss")
+        return orig(imgs, *a, **kw)
+
+    pipeline.spatial.fused_assign_or_knn = failing
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            pipeline.run_tile_pipeline(
+                spark, images_table, fixtures.polygon_layer(), out,
+                scheme="grid", res=10, n_chunks=4,
+            )
+    finally:
+        pipeline.spatial.fused_assign_or_knn = orig
+
+    committed_before = write.committed_chunks(out)
+    assert len(committed_before) == 2  # chunks 0,1 committed; 2 crashed
+
+    summary = pipeline.run_tile_pipeline(
+        spark, images_table, fixtures.polygon_layer(), out,
+        scheme="grid", res=10, n_chunks=4,
+    )
+    assert sum(1 for m in summary.values() if m.get("skipped")) == 2
+    tiles = write.read_tiles(spark, out).toPandas()
+    # no duplicates, full coverage
+    assert tiles["image_id"].nunique() == 3000
+    assert not tiles.duplicated(["image_id", "rank", "polygon_id"]).any()
+
+
+def test_public_api_composition(spark, tmp_path):
+    """ingest_polygons → index_images → spatial_join → write_tiles."""
+    from ksj2gp_spark.formats import dbf, shp
+    from ksj2gp_spark.geo import wkb
+
+    layer = fixtures.polygon_layer()
+    geoms = [wkb.loads(b) for b in layer["geometry"]]
+    shp_buf, shx_buf = shp.write_shp(geoms)
+    fields = [dbf.DbfField("N03_007", "C", 5)]
+    rows = [[r["行政区域コード"]] for _, r in layer.iterrows()]
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        zf.writestr("d/admin.shp", shp_buf)
+        zf.writestr("d/admin.shx", shx_buf)
+        zf.writestr("d/admin.dbf", dbf.write_dbf(fields, rows, ldid=13))
+        zf.writestr(
+            "d/KS-META.xml",
+            "<referenceSystemIdentifier><code>JGD2011 / (B, L)</code>"
+            "</referenceSystemIdentifier>".encode("cp932"),
+        )
+    zp = str(tmp_path / "N03-20240101_13_GML.zip")
+    open(zp, "wb").write(bio.getvalue())
+
+    # translate=True renames N03_007 → 行政区域コード in attrs
+    polys = pipeline.ingest_polygons(spark, zp)
+    assert polys.count() == len(layer)
+
+    imgs = fixtures.images_df(spark, 500, with_bytes=False)
+    indexed = pipeline.index_images(imgs, scheme="grid", res=10)
+    assert "cell" in indexed.columns
+
+    tiles = pipeline.spatial_join(imgs, polys, scheme="grid", res=10)
+    n = tiles.count()
+    assert n > 0
+    manifest = pipeline.write_tiles(tiles, str(tmp_path / "out"))
+    assert manifest["rows"] == n
