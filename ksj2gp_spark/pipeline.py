@@ -64,14 +64,41 @@ def write_tiles(tiles: DataFrame, path: str, chunk: str = "all") -> dict:
 
 
 def _image_file_chunks(
-    spark: SparkSession, images_path: str, n_chunks: int
+    spark: SparkSession,
+    images_path: str,
+    n_chunks: int,
+    bbox: tuple[float, float, float, float] | None = None,
 ) -> list[list[str]]:
-    """Group the image table's data files into resume chunks."""
+    """Group the image table's data files into resume chunks. With an
+    Iceberg-style table and a ``bbox``, files whose (lon, lat) manifest
+    stats don't overlap the region are pruned before any read — a
+    region-scoped job over a spatially-sorted 100 TB table opens only
+    the region's files."""
     if iceberg.current_version(images_path):
-        files = [
-            os.path.join(images_path, f["path"])
-            for f in iceberg._live_files(images_path)
-        ]
+        metas = iceberg._live_files(images_path)
+        if bbox is not None:
+            minx, miny, maxx, maxy = bbox
+            kept = []
+            for f in metas:
+                flo, fhi = f["min"], f["max"]
+                if (
+                    flo.get("lon") is not None
+                    and fhi.get("lon") is not None
+                    and flo.get("lat") is not None
+                    and fhi.get("lat") is not None
+                    and (
+                        fhi["lon"] < minx
+                        or flo["lon"] > maxx
+                        or fhi["lat"] < miny
+                        or flo["lat"] > maxy
+                    )
+                ):
+                    continue  # provably outside the region
+                kept.append(f)
+            metas = kept
+        files = [os.path.join(images_path, f["path"]) for f in metas]
+        if not files:
+            return []
     else:
         files = sorted(
             os.path.join(images_path, n)
@@ -93,6 +120,7 @@ def run_tile_pipeline(
     res: int | None = None,
     k_ocean: int = 3,
     n_chunks: int = 16,
+    bbox: tuple[float, float, float, float] | None = None,
 ) -> dict:
     """End-to-end resumable job: image table (Iceberg-style or parquet
     dir) × polygon layer → ``(image_id, cell, polygon_id, admin_code,
@@ -104,7 +132,9 @@ def run_tile_pipeline(
         polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
     )
     res = res if res is not None else spatial.DEFAULT_RES[scheme]
-    chunks = _image_file_chunks(spark, images_path, n_chunks)
+    chunks = _image_file_chunks(spark, images_path, n_chunks, bbox=bbox)
+    if not chunks:
+        return {}
     chunk_ids = [f"{i:05d}" for i in range(len(chunks))]
     file_map = dict(zip(chunk_ids, chunks))
 

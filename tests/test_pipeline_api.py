@@ -120,3 +120,47 @@ def test_public_api_composition(spark, tmp_path):
     assert n > 0
     manifest = pipeline.write_tiles(tiles, str(tmp_path / "out"))
     assert manifest["rows"] == n
+
+
+def test_bbox_prunes_files_spatially_sorted_table(spark, tmp_path):
+    """A spatially-sorted images table + bbox → the pipeline opens only
+    the region's files (manifest-stats pruning, no data read)."""
+    path = str(tmp_path / "sorted_tbl")
+    imgs = fixtures.images_df(spark, 4000, with_bytes=False).repartitionByRange(
+        8, "lon"
+    )
+    iceberg.append(imgs, path)
+
+    all_chunks = pipeline._image_file_chunks(spark, path, 100)
+    n_all = sum(len(c) for c in all_chunks)
+    assert n_all == 8
+
+    # narrow lon slice → strictly fewer files
+    pruned = pipeline._image_file_chunks(
+        spark, path, 100, bbox=(139.0, 30.0, 139.2, 45.0)
+    )
+    n_pruned = sum(len(c) for c in pruned)
+    assert 0 < n_pruned < n_all
+
+    # end-to-end with bbox gives exactly the images in range (plus
+    # nothing from pruned files) — compare against unpruned run
+    out = str(tmp_path / "tiles_bbox")
+    summary = pipeline.run_tile_pipeline(
+        spark, path, fixtures.polygon_layer(), out,
+        scheme="grid", res=10, n_chunks=4, bbox=(139.0, 30.0, 139.2, 45.0),
+    )
+    assert summary  # at least one chunk
+    got = write.read_tiles(spark, out).toPandas()
+    full = pipeline.spatial_join(
+        fixtures.images_df(spark, 4000, with_bytes=False),
+        fixtures.polygon_layer(), scheme="grid", res=10,
+    ).toPandas()
+    # pruning is a superset cover: every in-bbox assignment must be
+    # present in the pruned run
+    pdfa = fixtures.images_df(spark, 4000, with_bytes=False).toPandas()
+    in_bbox = pdfa[(pdfa["lon"] >= 139.0) & (pdfa["lon"] <= 139.2)]["image_id"]
+    assigned_in_bbox = full[full["image_id"].isin(in_bbox)]
+    missing = set(
+        map(tuple, assigned_in_bbox[["image_id", "polygon_id"]].itertuples(index=False))
+    ) - set(map(tuple, got[got["rank"] == 0][["image_id", "polygon_id"]].itertuples(index=False)))
+    assert not missing

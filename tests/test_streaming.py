@@ -172,3 +172,52 @@ def test_sessionize_stateful(spark, tmp_path):
     # one state row per user covering all its events (single epoch here)
     by_user = got.groupby("user_id")["n_events"].max()
     assert by_user[1] == 3 and by_user[2] == 3
+
+
+def test_stream_tile_assign_resumes(spark, tmp_path):
+    """Streaming spatial join: availableNow run processes current
+    files; a later run with the same checkpoint processes ONLY new
+    files (no reprocessing, no duplicate tiles)."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators import spatial as sp
+    from ksj2gp_spark.streaming import tiles as st
+
+    src = str(tmp_path / "imgs_src")
+    out = str(tmp_path / "tiles_out")
+    ckpt = str(tmp_path / "ckpt_tiles")
+
+    wave1 = fixtures.images_df(spark, 1000, with_bytes=False, partitions=2)
+    wave1.write.mode("append").parquet(src)
+
+    stream = st.read_image_stream(spark, src, max_files=1)
+    q = st.stream_tile_assign(
+        stream, fixtures.polygon_layer(), out, ckpt, scheme="grid", res=10
+    )
+    q.awaitTermination(120)
+
+    got1 = spark.read.parquet(out)
+    batch = sp.fused_assign_or_knn(
+        wave1, fixtures.polygon_layer(), scheme="grid", res=10, k=3
+    ).toPandas()
+    assert got1.count() == len(batch)
+
+    # second wave: new ids only
+    wave2 = (
+        fixtures.images_df(spark, 1500, with_bytes=False, partitions=2)
+        .filter("image_id >= 'img00001000'")
+    )
+    n2 = wave2.count()
+    assert n2 == 500
+    wave2.write.mode("append").parquet(src)
+
+    stream2 = st.read_image_stream(spark, src, max_files=1)
+    q2 = st.stream_tile_assign(
+        stream2, fixtures.polygon_layer(), out, ckpt, scheme="grid", res=10
+    )
+    q2.awaitTermination(120)
+
+    got2 = spark.read.parquet(out).toPandas()
+    # wave-1 rows not reprocessed (exactly one copy), wave-2 present
+    per_id = got2.groupby(["image_id", "rank", "polygon_id"]).size()
+    assert (per_id == 1).all()
+    assert got2["image_id"].nunique() == 1500
