@@ -265,8 +265,8 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -315,7 +315,7 @@ _EVENTS_SQL = """
 SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY 1, 2
 """

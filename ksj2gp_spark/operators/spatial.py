@@ -241,6 +241,11 @@ def spatial_join_tiles(
     spark = images.sparkSession
     polys = normalize_polygons(polygons_pdf)
     cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=extra_cols)
+    if strategy == "auto":
+        # Broadcast while the exploded cover fits comfortably under the
+        # default 8g driver/executor budget (~48 bytes/cover row in the
+        # hashed relation); beyond that, shuffle with salting readiness.
+        strategy = "broadcast" if len(cover_pdf) <= 5_000_000 else "shuffle"
     cover = spark.createDataFrame(cover_pdf)
 
     # Project the probe side down to the join-relevant columns before

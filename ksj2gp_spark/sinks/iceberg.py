@@ -290,6 +290,19 @@ def rollback(path: str, snapshot_id: int) -> int:
     return new_version
 
 
+def compact(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Rewrite the current snapshot's data into right-sized files (the
+    small-files problem: a long append history leaves many tiny files;
+    manifest pruning and scan parallelism both degrade). Commits a new
+    ``replace`` snapshot; old snapshots stay readable until expired."""
+    df = read(spark, path)
+    n = df.count()
+    n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    return _commit(path, df.repartition(n_files), "replace", [])
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` snapshots (the current one
     is always kept) and delete data files referenced by no retained

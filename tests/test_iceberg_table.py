@@ -117,3 +117,18 @@ def test_images_table_roundtrip(spark, tmp_path):
     assert back.count() == 200
     assert dict(back.dtypes)["bytes"] == "binary"
     assert dict(back.dtypes)["phash"] == "bigint"
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    path = str(tmp_path / "many_files")
+    for i in range(5):
+        iceberg.append(spark.range(i * 100, (i + 1) * 100).repartition(4), path)
+    files_before = len(iceberg._live_files(path))
+    assert files_before == 20
+    iceberg.compact(spark, path, target_rows_per_file=10_000)
+    assert len(iceberg._live_files(path)) == 1
+    assert iceberg.read(spark, path).count() == 500
+    # expiring old snapshots reclaims the small files
+    out = iceberg.expire_snapshots(path, keep_last=1)
+    assert out["deleted_files"] == files_before
+    assert iceberg.read(spark, path).count() == 500

@@ -177,3 +177,12 @@ def test_fused_assign_or_knn_equals_two_pass(spark, images):
     # distances agree too
     m = got_knn.merge(knn, on=["image_id", "rank"], suffixes=("_f", "_r"))
     assert np.allclose(m["distance_f"], m["distance_r"])
+
+
+def test_auto_strategy_picks_broadcast_small_cover(spark, images, expected):
+    got = spatial.spatial_join_tiles(
+        images, fixtures.polygon_layer(), scheme="grid", strategy="auto"
+    ).toPandas()
+    assert set(zip(got["image_id"], got["admin_code"])) == set(
+        zip(expected["image_id"], expected["admin_code"])
+    )
