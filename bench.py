@@ -141,6 +141,52 @@ def main() -> None:
         ).count(),
     )
 
+    # Raster↔vector round trip at res 18 (~2M cells over the layer
+    # bbox): rasterize is pure Catalyst (range crossJoin + broadcast
+    # bbox join), vectorize is the searchsorted boundary-tracing
+    # applyInPandas per admin.
+    def raster_roundtrip():
+        from ksj2gp_spark.geo import wkb as _wkb
+        from ksj2gp_spark.operators import raster as raster_ops
+
+        res = 18
+        size = 360.0 / (1 << res)
+        import numpy as np
+
+        rows = []
+        for _, r in polys.iterrows():
+            minx, miny, maxx, maxy = _wkb.loads(r["geometry"]).bounds()
+            rows.append((r["polygon_id"], r["行政区域コード"], minx, miny, maxx, maxy))
+        pl = spark.createDataFrame(
+            rows,
+            "polygon_id string, admin_code string, "
+            "xmin double, ymin double, xmax double, ymax double",
+        )
+        i0 = int(np.floor((fixtures.LON0 + 180.0) / size))
+        i1 = int(np.floor((fixtures.LON1 + 180.0) / size))
+        j0 = int(np.floor((fixtures.LAT0 + 90.0) / size))
+        j1 = int(np.floor((fixtures.LAT1 + 90.0) / size))
+        cells_df = (
+            spark.range(i0, i1 + 1).select(F.col("id").alias("i"))
+            .crossJoin(spark.range(j0, j1 + 1).select(F.col("id").alias("j")))
+            .select(
+                (F.lit(res) * F.lit(1 << 58) + F.col("i") * F.lit(1 << 29) + F.col("j")).alias("cell"),
+                ((F.col("i") + F.lit(0.5)) * F.lit(size) - F.lit(180.0)).alias("cx"),
+                ((F.col("j") + F.lit(0.5)) * F.lit(size) - F.lit(90.0)).alias("cy"),
+            )
+        )
+        ras = cells_df.join(
+            F.broadcast(pl),
+            (F.col("cx") >= F.col("xmin")) & (F.col("cx") <= F.col("xmax"))
+            & (F.col("cy") >= F.col("ymin")) & (F.col("cy") <= F.col("ymax")),
+        ).select("cell", "admin_code")
+        vec = raster_ops.vectorize_cells(ras, res)
+        return vec.agg(
+            F.round(F.sum("area_cells")).cast("long").alias("n_cells")
+        ).collect()[0]["n_cells"]
+
+    timed("raster_roundtrip_2m", raster_roundtrip)
+
     # Image lane: decode + verify + phash at fixed 20k rows (real bytes).
     imgs_bytes = fixtures.images_df(
         spark, 20_000, with_bytes=True, partitions=cpus
