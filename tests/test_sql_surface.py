@@ -1,0 +1,53 @@
+"""SQL-function surface (ksj2gp_spark/sql.py): spark.sql results must
+equal the DataFrame-API kernels by construction."""
+
+import numpy as np
+
+from ksj2gp_spark import fixtures
+from ksj2gp_spark.operators import cells
+from ksj2gp_spark.sql import register_sql_functions
+
+
+def test_sql_cells_match_dataframe_api(spark):
+    names = register_sql_functions(spark)
+    assert "hex_cell" in names and "s2_cell" in names
+    imgs = fixtures.images_df(spark, 500, with_bytes=False)
+    imgs.createOrReplaceTempView("imgs_sql")
+    for fn, scheme, res in (
+        ("grid_cell", "grid", 10),
+        ("hex_cell", "hex", 7),
+        ("s2_cell", "s2", 12),
+    ):
+        got = (
+            spark.sql(
+                f"SELECT image_id, {fn}(lon, lat, {res}) AS cell FROM imgs_sql"
+            )
+            .toPandas()
+            .sort_values("image_id")["cell"]
+            .to_numpy()
+        )
+        want = (
+            cells.with_cell(imgs, scheme, res)
+            .select("image_id", "cell")
+            .toPandas()
+            .sort_values("image_id")["cell"]
+            .to_numpy()
+        )
+        assert (got == want).all(), fn
+
+
+def test_sql_tokyo_transform_and_colname(spark):
+    register_sql_functions(spark)
+    from ksj2gp_spark.geo import transform
+
+    row = spark.sql(
+        "SELECT tokyo_to_wgs84_lon(139.741357, 35.658099) AS lon, "
+        "tokyo_to_wgs84_lat(139.741357, 35.658099) AS lat, "
+        "ksj_colname('A03_001', 'A03', 2006) AS name"
+    ).first()
+    lo, la, _ = transform.tokyo_to_wgs84(
+        np.array([139.741357]), np.array([35.658099])
+    )
+    assert abs(row["lon"] - lo[0]) < 1e-12
+    assert abs(row["lat"] - la[0]) < 1e-12
+    assert row["name"] and row["name"] != "A03_001"  # translated to Japanese
