@@ -116,3 +116,28 @@ def test_covers_are_supersets(x0, y0, w, h, seed):
         cover = set(mod.cover_geometry(g, res).tolist())
         cells = mod.latlng_to_cell(px, py, res)
         assert set(cells.tolist()) <= cover, mod.__name__
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_polygonize_signed_areas_equal_cell_count(cells_set):
+    """Any cell set: traced rings' signed areas sum to the cell count,
+    and every ring is simple (no repeated vertex except closure)."""
+    import numpy as np
+
+    from ksj2gp_spark.operators import raster
+
+    ii = np.array([c[0] for c in cells_set])
+    jj = np.array([c[1] for c in cells_set])
+    rings = raster.trace_rings(*raster.boundary_edges(ii, jj))
+    total = sum(raster._shoelace(r) for r in rings)
+    assert total == len(cells_set)
+    for r in rings:
+        body = [tuple(v) for v in r[:-1]]
+        assert len(set(body)) == len(body)
