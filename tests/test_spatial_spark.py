@@ -186,3 +186,70 @@ def test_auto_strategy_picks_broadcast_small_cover(spark, images, expected):
     assert set(zip(got["image_id"], got["admin_code"])) == set(
         zip(expected["image_id"], expected["admin_code"])
     )
+
+
+@pytest.mark.parametrize("scheme,res", [("hex", 8), ("s2", 13), ("grid", 11)])
+def test_join_concave_polygon_with_hole(spark, scheme, res):
+    """End-to-end join against an L-shaped polygon with a hole plus a
+    disjoint triangle, checked per-point against a slow ray-cast oracle
+    (covers semantics: boundary handling may differ on exact edges, so
+    probe points are kept off edges)."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as W
+
+    ell = [
+        (139.0, 35.0), (141.0, 35.0), (141.0, 35.6), (139.8, 35.6),
+        (139.8, 36.4), (139.0, 36.4), (139.0, 35.0),
+    ]
+    hole = [
+        (139.2, 35.15), (139.6, 35.15), (139.6, 35.45), (139.2, 35.45),
+        (139.2, 35.15),
+    ]
+    tri = [(140.3, 36.0), (140.9, 36.0), (140.6, 36.5), (140.3, 36.0)]
+    polys = pd.DataFrame(
+        {
+            "polygon_id": ["L", "T"],
+            "行政区域コード": ["90001", "90002"],
+            "geometry": [W.polygon(ell, hole), W.polygon(tri)],
+        }
+    )
+
+    n = 3000
+    ids = np.arange(n)
+    rs = np.random.default_rng(7)
+    lon = rs.uniform(138.9, 141.1, n)
+    lat = rs.uniform(34.9, 36.6, n)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": [f"p{i:05d}" for i in ids], "lon": lon, "lat": lat}
+        )
+    )
+
+    def slow_contains(ring, px, py):
+        inside = False
+        for k in range(len(ring) - 1):
+            x0, y0 = ring[k]
+            x1, y1 = ring[k + 1]
+            if (y0 <= py) != (y1 <= py):
+                if px < x0 + (py - y0) * (x1 - x0) / (y1 - y0):
+                    inside = not inside
+        return inside
+
+    expected = set()
+    for i in range(n):
+        in_l = slow_contains(ell, lon[i], lat[i]) and not slow_contains(
+            hole, lon[i], lat[i]
+        )
+        if in_l:
+            expected.add((f"p{i:05d}", "L"))
+        if slow_contains(tri, lon[i], lat[i]):
+            expected.add((f"p{i:05d}", "T"))
+
+    for strategy in ("broadcast", "fused"):
+        got = spatial.spatial_join_tiles(
+            pts, polys, scheme=scheme, res=res, strategy=strategy
+        ).toPandas()
+        assert (
+            set(zip(got["image_id"], got["polygon_id"])) == expected
+        ), f"{scheme}/{strategy}"
