@@ -43,6 +43,39 @@ def codelist_expr(col: Column, dtype, mapping: dict[str, str]) -> Column:
     return F.coalesce(F.try_element_at(m, key), key)
 
 
+def codelist_join(
+    df: DataFrame,
+    col_name: str,
+    mapping: dict[str, str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Broadcast-join form of :func:`codelist_expr` for LARGE codelists.
+
+    A ``create_map`` literal embeds the whole dictionary in the plan —
+    fine for the reference's curated lists (≤ a few hundred entries),
+    but a 10^5-entry dimension would bloat the plan and codegen. This
+    variant materializes the mapping as a broadcast DataFrame and does
+    ``LEFT JOIN + coalesce`` — identical semantics (pass-through on
+    miss, null stays null), Catalyst-visible BroadcastHashJoin, O(1)
+    plan size.
+    """
+    spark = df.sparkSession
+    out_col = out_col or col_name
+    dtype = df.schema[col_name].dataType
+    key = _code_as_string(F.col(col_name), dtype)
+    dim = spark.createDataFrame(
+        list(mapping.items()), "__code string, __label string"
+    )
+    joined = df.withColumn("__code", key).join(
+        F.broadcast(dim), "__code", "left"
+    )
+    others = [c for c in df.columns if c != col_name]
+    return joined.select(
+        *others,
+        F.coalesce(F.col("__label"), F.col("__code")).alias(out_col),
+    )
+
+
 def translate_dataframe(
     df: DataFrame,
     opts: TranslateOptions,

@@ -187,3 +187,42 @@ class TestImageOps:
         near = img_ops.phash_near_dups(df).toPandas()
         assert len(near) == 1
         assert near.loc[0, "hamming"] <= 4
+
+
+def test_codelist_join_matches_expr(spark):
+    """Broadcast-join codelist form ≡ create_map literal form, incl.
+    pass-through on miss, null stays null, numeric {v:.0} keys."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F, types as T
+
+    from ksj2gp_spark.operators.translate import codelist_expr, codelist_join
+
+    mapping = {str(i): f"label_{i}" for i in range(0, 2000, 2)}  # evens only
+    pdf = pd.DataFrame({
+        "id": range(6),
+        "code": [0.0, 3.0, 1998.0, 2001.0, None, 2.5],
+    })
+    df = spark.createDataFrame(pdf)
+    via_expr = (
+        df.select(
+            "id",
+            codelist_expr(F.col("code"), T.DoubleType(), mapping).alias("label"),
+        )
+        .toPandas()
+        .sort_values("id")["label"]
+        .tolist()
+    )
+    via_join = (
+        codelist_join(df, "code", mapping, out_col="label")
+        .select("id", "label")
+        .toPandas()
+        .sort_values("id")["label"]
+        .tolist()
+    )
+    assert via_expr == via_join
+    # evens translated, odds passed through, null stays null,
+    # 2.5 rounds half-even to 2 → translated
+    assert via_join[0] == "label_0" and via_join[1] == "3"
+    assert via_join[2] == "label_1998" and via_join[3] == "2001"
+    assert via_join[4] is None and via_join[5] == "label_2"
