@@ -22,11 +22,18 @@ import sys
 from pyspark.sql import SparkSession, functions as F
 
 
-def convert(spark: SparkSession, zip_path: str, out_path: str) -> int:
+def convert(
+    spark: SparkSession,
+    zip_path: str,
+    out_path: str,
+    target_shp: str | None = None,
+) -> int:
     from .operators import ingest
     from .sinks import geoparquet
 
-    ingested = ingest.ingest_zips(spark, zip_path, translate=True).cache()
+    ingested = ingest.ingest_zips(
+        spark, zip_path, translate=True, target_shp=target_shp
+    ).cache()
     errors = ingested.filter(F.col("error").isNotNull())
     n_err = errors.count()
     if n_err:
@@ -69,9 +76,10 @@ def convert(spark: SparkSession, zip_path: str, out_path: str) -> int:
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) != 2:
+    if len(argv) not in (2, 3):
         print(
-            "usage: python -m ksj2gp_spark.convert <input.zip|glob> <out>",
+            "usage: python -m ksj2gp_spark.convert <input.zip|glob> <out> "
+            "[target_shp]",
             file=sys.stderr,
         )
         return 2
@@ -80,7 +88,7 @@ def main(argv: list[str]) -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
-    n = convert(spark, argv[0], argv[1])
+    n = convert(spark, argv[0], argv[1], argv[2] if len(argv) == 3 else None)
     print(f"converted {n} features -> {argv[1]}")
     spark.stop()
     return 0 if n > 0 else 1

@@ -39,8 +39,15 @@ def parse_zip_bytes(
     zip_bytes: bytes,
     translate: bool = True,
     ignore_translation_errors: bool = True,
+    target_shp: str | None = None,
 ) -> pd.DataFrame:
-    """Parse one KSJ ZIP into feature rows (pure Python, UDF-usable)."""
+    """Parse one KSJ ZIP into feature rows (pure Python, UDF-usable).
+
+    ``target_shp`` restricts a multi-layer ZIP to one ``.shp`` member —
+    the reference's candidate-selection workflow (the web UI prompts
+    when >1, worker.ts:49-60; the CLI takes the first, main.rs:38).
+    Default: convert every member (a distributed job has no reason to
+    drop the rest)."""
     filename = os.path.basename(zip_path)
     try:
         ksj_id, year = extract_ksj_id(filename)
@@ -51,6 +58,12 @@ def parse_zip_bytes(
         shp_names = zipsrc.list_shp_files(zip_bytes)
         if not shp_names:
             raise zipsrc.ZipSourceError("no .shp member in ZIP")
+        if target_shp is not None:
+            if target_shp not in shp_names:
+                raise zipsrc.ZipSourceError(
+                    f"target_shp {target_shp!r} not in ZIP (members: {shp_names})"
+                )
+            shp_names = [target_shp]
         for shp_name in shp_names:
             bundle = zipsrc.read_bundle(zip_bytes, shp_name)
             opts = TranslateOptions(
@@ -115,14 +128,22 @@ def _row(zip_path, ksj_id, year, shp_name, idx, crs, geometry, gtype, attrs, err
     }
 
 
-def ingest_zips(spark: SparkSession, path: str, translate: bool = True) -> DataFrame:
+def ingest_zips(
+    spark: SparkSession,
+    path: str,
+    translate: bool = True,
+    target_shp: str | None = None,
+) -> DataFrame:
     """Distributed ingestion: binaryFile scan → per-ZIP parse UDF."""
     raw = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                yield parse_zip_bytes(p, bytes(content), translate=translate)
+                yield parse_zip_bytes(
+                    p, bytes(content), translate=translate,
+                    target_shp=target_shp,
+                )
 
     return raw.select("path", "content").mapInPandas(parse, schema=INGEST_SCHEMA)
 

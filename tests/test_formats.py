@@ -258,3 +258,45 @@ class TestZipSource:
         assert names == ["札幌市.shp"]
         b = zipsrc.read_bundle(z, "札幌市.shp")
         assert b.crs == "Tokyo"
+
+
+def test_parse_zip_target_shp_selection():
+    """Multi-layer ZIP: target_shp restricts to one member; a wrong
+    target lands in the error lane (reference candidate workflow)."""
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from ksj2gp_spark.formats import dbf as dbf_mod, shp as shp_mod
+    from ksj2gp_spark.geo import wkb
+    from ksj2gp_spark.operators.ingest import parse_zip_bytes
+
+    g = [wkb.loads(wkb.polygon([(0, 0), (1, 0), (1, 1), (0, 0)]))]
+    shp_buf, shx_buf = shp_mod.write_shp(g)
+    fields = [dbf_mod.DbfField("N03_007", "C", 5)]
+    dbf_buf = dbf_mod.write_dbf(fields, [["13101"]], ldid=13)
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        for layer in ("a", "b"):
+            zf.writestr(f"{layer}.shp", shp_buf)
+            zf.writestr(f"{layer}.shx", shx_buf)
+            zf.writestr(f"{layer}.dbf", dbf_buf)
+        zf.writestr(
+            "KS-META.xml",
+            "<referenceSystemIdentifier><code>JGD2011 / (B, L)</code>"
+            "</referenceSystemIdentifier>".encode("cp932"),
+        )
+    zb = bio.getvalue()
+
+    all_rows = parse_zip_bytes("N03-20240101_13_GML.zip", zb)
+    assert sorted(all_rows["shp_name"].unique()) == ["a.shp", "b.shp"]
+
+    only_b = parse_zip_bytes("N03-20240101_13_GML.zip", zb, target_shp="b.shp")
+    ok = only_b[only_b["error"].isnull()]
+    assert list(ok["shp_name"].unique()) == ["b.shp"]
+
+    bad = parse_zip_bytes("N03-20240101_13_GML.zip", zb, target_shp="zzz.shp")
+    assert bad["error"].notna().all()
+    assert "zzz.shp" in bad["error"].iloc[0]
+    del np
