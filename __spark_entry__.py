@@ -321,6 +321,38 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (15 min width, 5 min slide) via explode(sequence)
+    — each event lands in width/slide = 3 windows; counts per
+    (window_start, event_type). Integer-second arithmetic keeps the
+    DuckDB oracle exact."""
+    width, slide = 900, 300
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    t = F.unix_timestamp("ts")
+    w_lo = (F.floor((t - F.lit(width)) / F.lit(slide)) + F.lit(1)).cast("long")
+    w_hi = F.floor(t / F.lit(slide)).cast("long")
+    return (
+        e.withColumn("wid", F.explode(F.sequence(w_lo, w_hi)))
+        .groupBy(
+            (F.col("wid") * F.lit(slide)).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_EVENTS_SLIDING_SQL = """
+SELECT CAST(w.w * 300 AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events e,
+     LATERAL (SELECT unnest(generate_series(
+         CAST(floor((epoch(e.ts) - 900) / 300) AS BIGINT) + 1,
+         CAST(floor(epoch(e.ts) / 300) AS BIGINT))) AS w) AS w
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents (hash-groupBy canonical row)."""
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -719,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "similarity_topk": q_similarity_topk,
@@ -772,6 +805,7 @@ GROUP BY p.admin_code
         "lineitem_pricing": _PRICING_SQL,
         "top_orders": _TOP_ORDERS_SQL,
         "events_tumbling": _EVENTS_SQL,
+        "events_sliding": _EVENTS_SLIDING_SQL,
         "dedup_exact": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
         "similarity_topk": _SIMILARITY_SQL,

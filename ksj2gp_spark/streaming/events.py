@@ -85,6 +85,21 @@ def run_stream_to_parquet(
     return writer.start()
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: watermarked ``dropDuplicates`` on the key
+    — duplicates arriving within the watermark horizon (at-least-once
+    sources, replayed batches) are dropped; state is bounded because
+    keys older than the watermark are evicted."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        [*key_cols, "ts"]
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, closed boolean"

@@ -221,3 +221,36 @@ def test_stream_tile_assign_resumes(spark, tmp_path):
     per_id = got2.groupby(["image_id", "rank", "polygon_id"]).size()
     assert (per_id == 1).all()
     assert got2["image_id"].nunique() == 1500
+
+
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    """At-least-once replay: the same event file appended twice; the
+    watermarked streaming dedup emits each (event_id, ts) once."""
+    from pyspark.sql import functions as F
+
+    from ksj2gp_spark.streaming import events as ev
+
+    src = str(tmp_path / "dup_src")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(2000)
+        .cache()
+    )
+    n_distinct = base.select("event_id", "ts").distinct().count()
+    base.write.mode("append").parquet(src)
+    base.write.mode("append").parquet(src)  # replay
+
+    stream = ev.read_event_stream(spark, src, max_files=2)
+    deduped = ev.dedup_stream(stream)
+    q = ev.run_stream_to_parquet(deduped, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_distinct
+    assert (
+        got.groupBy("event_id", "ts").count().filter(F.col("count") > 1).count()
+        == 0
+    )
