@@ -141,6 +141,82 @@ def main() -> None:
         ).count(),
     )
 
+    # Conversion lane — the reference's own role (ZIP shapefile →
+    # GeoParquet with translation): 8 ZIPs × 20k features ingested
+    # distributed and written with bbox covering. Fixture ZIPs are
+    # built outside the timed region.
+    def build_convert_fixtures(n_per: int, n_zips: int) -> str:
+        import io as _io
+        import tempfile
+        import zipfile as _zipfile
+
+        import numpy as np
+
+        from ksj2gp_spark.formats import dbf as dbf_mod, shp as shp_mod
+        from ksj2gp_spark.geo import wkb as _wkb
+
+        d = tempfile.mkdtemp(prefix="bench_convert_")
+        rng = np.random.default_rng(0)
+        for z in range(n_zips):
+            x0 = rng.uniform(130, 140, n_per)
+            y0 = rng.uniform(33, 40, n_per)
+            geoms = [
+                _wkb.loads(
+                    _wkb.polygon(
+                        [(x, y), (x + 0.01, y), (x + 0.01, y + 0.01), (x, y)]
+                    )
+                )
+                for x, y in zip(x0, y0)
+            ]
+            shp_buf, shx_buf = shp_mod.write_shp(geoms)
+            fields = [
+                dbf_mod.DbfField("N03_007", "C", 5),
+                dbf_mod.DbfField("N03_004", "C", 10),
+            ]
+            rows_attr = [
+                [f"13{i % 900 + 100:03d}", f"city{i % 100}"]
+                for i in range(n_per)
+            ]
+            bio = _io.BytesIO()
+            with _zipfile.ZipFile(bio, "w") as zf:
+                zf.writestr("d/admin.shp", shp_buf)
+                zf.writestr("d/admin.shx", shx_buf)
+                zf.writestr(
+                    "d/admin.dbf", dbf_mod.write_dbf(fields, rows_attr, ldid=13)
+                )
+                zf.writestr(
+                    "d/KS-META.xml",
+                    "<referenceSystemIdentifier><code>JGD2011 / (B, L)"
+                    "</code></referenceSystemIdentifier>".encode("cp932"),
+                )
+            with open(
+                os.path.join(d, f"N03-2024010{z}_13_GML.zip"), "wb"
+            ) as f:
+                f.write(bio.getvalue())
+        return d
+
+    N_PER, N_ZIPS = 20_000, 8
+    convert_dir = build_convert_fixtures(N_PER, N_ZIPS)
+
+    def convert_lane():
+        from ksj2gp_spark.operators import ingest as ingest_ops
+        from ksj2gp_spark.sinks import geoparquet as gp_sink
+
+        ingested = ingest_ops.ingest_zips(
+            spark, os.path.join(convert_dir, "*.zip")
+        )
+        good = ingested.filter(F.col("error").isNull())
+        gp_sink.write_geoparquet(
+            good.drop("error"), os.path.join(convert_dir, "out.parquet")
+        )
+        n_out = spark.read.parquet(
+            os.path.join(convert_dir, "out.parquet")
+        ).count()
+        assert n_out == N_PER * N_ZIPS, n_out
+        return n_out
+
+    timed("convert_160k_features", convert_lane)
+
     # Raster↔vector round trip at res 18 (~2M cells over the layer
     # bbox): rasterize is pure Catalyst (range crossJoin + broadcast
     # bbox join), vectorize is the searchsorted boundary-tracing
