@@ -326,6 +326,155 @@ def knn_join(
     )
 
 
+def knn_join_pruned(
+    images: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    k: int = 3,
+    res: int = 8,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """kNN with cell-ring candidate pruning — the large-polygon-set
+    path. ``knn_join`` evaluates every polygon per point (right at 21
+    admin polygons, quadratic-cost wrong at 10^5). Here polygons are
+    bucketed by their grid-cell cover; per occupied *point cell* the
+    kernel expands Chebyshev rings of cells, accumulating candidate
+    polygons, and stops once k candidates are in hand AND the next
+    ring's distance lower bound — a polygon absent from all cells
+    within ring R is at least ``(R-1)·cell_size`` away — exceeds the
+    worst current kth distance. Exact distances are then computed only
+    against the candidate set.
+
+    Output contract is identical to ``knn_join`` (same deterministic
+    (distance, admin_code) ordering); equality is tested against the
+    brute-force kernel on a 2000-polygon layer.
+    """
+    from ..geo import grid as grid_mod
+
+    spark = images.sparkSession
+    polys = normalize_polygons(polygons_pdf)
+    k = min(k, len(polys))
+    cover_pdf = polygon_cover_pdf(polys, "grid", res, extra_cols=())
+    pid_order = {
+        pid: n for n, pid in enumerate(polys["polygon_id"].tolist())
+    }
+    cell_map: dict[int, list[int]] = {}
+    for cell, pid in zip(cover_pdf["cell"], cover_pdf["polygon_id"]):
+        cell_map.setdefault(int(cell), []).append(pid_order[pid])
+    payload = [
+        (row["polygon_id"], row[admin_col], bytes(row["geometry"]))
+        for _, row in polys.iterrows()
+    ]
+    b = spark.sparkContext.broadcast((payload, cell_map))
+    size = grid_mod.cell_size(res)
+    res_hi = np.int64(res) << 58
+    images = images.select("image_id", lon_col, lat_col)
+
+    def topk(batches):
+        payload_v = None
+        cmap = None
+        parsed: dict[int, wkb.Geometry] = {}
+
+        def geo(c: int) -> wkb.Geometry:
+            g = parsed.get(c)
+            if g is None:
+                g = parsed[c] = wkb.loads(payload_v[c][2])
+            return g
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if payload_v is None:
+                payload_v, cmap = b.value
+            lons = pdf[lon_col].to_numpy(dtype=np.float64)
+            lats = pdf[lat_col].to_numpy(dtype=np.float64)
+            cells_v = grid_mod.latlng_to_cell(lons, lats, res)
+            out_pid = np.empty((len(pdf), k), dtype=object)
+            out_adm = np.empty((len(pdf), k), dtype=object)
+            out_d = np.empty((len(pdf), k), dtype=np.float64)
+            cell_groups = pd.Series(cells_v).groupby(cells_v).indices
+            for cell, idx in cell_groups.items():
+                ci = int((cell >> 29) & ((1 << 29) - 1))
+                cj = int(cell & ((1 << 29) - 1))
+                cand: set[int] = set()
+                R = 0
+                done_bound = False
+                while True:
+                    # add ring R cells
+                    if R == 0:
+                        ring = [(ci, cj)]
+                    else:
+                        rng_ = range(-R, R + 1)
+                        ring = [(ci + d, cj - R) for d in rng_]
+                        ring += [(ci + d, cj + R) for d in rng_]
+                        ring += [(ci - R, cj + d) for d in rng_[1:-1]]
+                        ring += [(ci + R, cj + d) for d in rng_[1:-1]]
+                    for (ri, rj) in ring:
+                        key = int(res_hi | (np.int64(ri) << 29) | np.int64(rj))
+                        hit = cmap.get(key)
+                        if hit:
+                            cand.update(hit)
+                    if len(cand) >= k:
+                        cl = sorted(cand)
+                        sub_lon, sub_lat = lons[idx], lats[idx]
+                        dmat = np.stack(
+                            [
+                                geom.distance_to_geometry(
+                                    sub_lon, sub_lat, geo(c)
+                                )
+                                for c in cl
+                            ],
+                            axis=1,
+                        )
+                        kth_worst = np.sort(dmat, axis=1)[:, k - 1].max()
+                        # polygons not seen within ring R are ≥ R·size away
+                        if kth_worst <= R * size or done_bound:
+                            order_keys = np.array(
+                                [
+                                    (payload_v[c][1], payload_v[c][0])
+                                    for c in cl
+                                ],
+                                dtype=object,
+                            )
+                            ord_idx = np.lexsort(
+                                (order_keys[:, 1], order_keys[:, 0])
+                            )
+                            dmat = dmat[:, ord_idx]
+                            cl = [cl[o] for o in ord_idx]
+                            top = np.argsort(dmat, axis=1, kind="stable")[:, :k]
+                            out_pid[idx] = np.array(
+                                [payload_v[c][0] for c in cl], dtype=object
+                            )[top]
+                            out_adm[idx] = np.array(
+                                [payload_v[c][1] for c in cl], dtype=object
+                            )[top]
+                            out_d[idx] = np.take_along_axis(dmat, top, axis=1)
+                            break
+                    R += 1
+                    if R > (1 << res):  # layer exhausted — use all cands
+                        done_bound = True
+                        cand.update(range(len(payload_v)))
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "image_id": np.repeat(pdf["image_id"].to_numpy(), k),
+                    "rank": np.tile(np.arange(1, k + 1), n),
+                    "polygon_id": out_pid.ravel(),
+                    "admin_code": out_adm.ravel(),
+                    "distance": out_d.ravel(),
+                }
+            )
+
+    return images.mapInPandas(
+        topk,
+        schema=(
+            "image_id string, rank int, polygon_id string, "
+            "admin_code string, distance double"
+        ),
+    )
+
+
 def fused_assign_or_knn(
     images: DataFrame,
     polygons_pdf: pd.DataFrame,

@@ -253,3 +253,35 @@ def test_join_concave_polygon_with_hole(spark, scheme, res):
         assert (
             set(zip(got["image_id"], got["polygon_id"])) == expected
         ), f"{scheme}/{strategy}"
+
+
+def test_knn_pruned_equals_brute_force(spark):
+    """Ring-pruned kNN ≡ brute-force kNN on a 800-polygon layer
+    (identical distances and neighbor ids)."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as W
+
+    rs = np.random.default_rng(3)
+    NP_, NPT = 800, 1200
+    x = rs.uniform(130, 142, NP_); y = rs.uniform(31, 43, NP_)
+    w = rs.uniform(0.01, 0.08, NP_); h = rs.uniform(0.01, 0.08, NP_)
+    polys = pd.DataFrame({
+        "polygon_id": [f"pg{i:05d}" for i in range(NP_)],
+        "行政区域コード": [f"{10000 + i}" for i in range(NP_)],
+        "geometry": [
+            W.polygon([(a, b), (a + c, b), (a + c, b + d), (a, b + d), (a, b)])
+            for a, b, c, d in zip(x, y, w, h)
+        ],
+    })
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": [f"p{i:05d}" for i in range(NPT)],
+        "lon": rs.uniform(129.5, 142.5, NPT),
+        "lat": rs.uniform(30.5, 43.5, NPT),
+    }))
+    brute = spatial.knn_join(pts, polys, k=3).toPandas()
+    pruned = spatial.knn_join_pruned(pts, polys, k=3, res=8).toPandas()
+    m = brute.merge(pruned, on=["image_id", "rank"], suffixes=("_b", "_p"))
+    assert len(m) == NPT * 3
+    assert np.allclose(m["distance_b"], m["distance_p"])
+    assert (m["polygon_id_b"] == m["polygon_id_p"]).all()
