@@ -523,6 +523,70 @@ FROM cells c JOIN polys p
 """
 
 
+# Concave staircase polygon with a rectangular hole — exercises the
+# exact-PIP kernel (ray cast) against a pure-SQL ray-cast oracle whose
+# float expression mirrors geo/geom.py::ring_contains term-for-term
+# (x0 + (py - y0) * dx / dy, half-open vertical rule), so doubles are
+# bit-identical across engines.
+_CONCAVE_OUTER = [
+    (139.07, 35.03), (140.93, 35.03), (140.93, 35.61), (139.81, 35.61),
+    (139.81, 36.22), (140.93, 36.22), (140.93, 36.77), (139.07, 36.77),
+    (139.07, 35.03),
+]
+_CONCAVE_HOLE = [
+    (139.23, 35.17), (139.59, 35.17), (139.59, 35.43), (139.23, 35.43),
+    (139.23, 35.17),
+]
+
+
+def q_concave_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images inside a concave (staircase) polygon with a hole — the
+    engine's real path (grid cell cover → candidate join → vectorized
+    ray-cast PIP refine) vs a relational ray-cast oracle."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    imgs = _images_from_customer(spark, sf_dir)
+    polys = pd.DataFrame(
+        {
+            "polygon_id": ["stair"],
+            "行政区域コード": ["99001"],
+            "geometry": [_wkb.polygon(_CONCAVE_OUTER, _CONCAVE_HOLE)],
+        }
+    )
+    tiles = spatial.spatial_join_tiles(
+        imgs, polys, scheme="grid", res=GRID_RES
+    )
+    return tiles.select("image_id", "cell")
+
+
+def _concave_sql() -> str:
+    def edges_values(ring, name):
+        rows = ", ".join(
+            f"({x0!r}, {y0!r}, {x1!r}, {y1!r})"
+            for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:])
+        )
+        return f"{name}(x0, y0, x1, y1) AS (VALUES {rows})"
+
+    def crossings(tbl):
+        return (
+            f"(SELECT count(*) FROM {tbl} e"
+            f" WHERE ((e.y0 <= i.lat) <> (e.y1 <= i.lat))"
+            f" AND i.lon < e.x0 + (i.lat - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0))"
+        )
+
+    return f"""
+WITH {_IMAGES_CTE.strip()},
+{edges_values(_CONCAVE_OUTER, "oedges")},
+{edges_values(_CONCAVE_HOLE, "hedges")}
+SELECT i.image_id, {_CELL_SQL} AS cell
+FROM images i
+WHERE {crossings("oedges")} % 2 = 1
+  AND {crossings("hedges")} % 2 = 0
+"""
+
+
 def q_vectorize_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector: polygonize the rasterized admin grid back into
     boundary rings (edge cancellation + leftmost-turn tracing,
@@ -765,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_verify": q_image_decode_verify,
         "rasterize_admin": q_rasterize_admin,
         "vectorize_admin": q_vectorize_admin,
+        "concave_tiles": q_concave_tiles,
         "similarity_ivf": q_similarity_ivf,
     }
 
@@ -814,6 +879,7 @@ GROUP BY p.admin_code
         "sessionize_batch": _SESSIONIZE_SQL,
         "rasterize_admin": _rasterize_sql(),
         "vectorize_admin": _vectorize_sql(),
+        "concave_tiles": _concave_sql(),
         # minhash_pairs / simhash_pairs / lang_id / embedding_near_dups /
         # image_decode_verify: engine-defined hash families and codecs —
         # rows-only checks by design.
