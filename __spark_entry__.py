@@ -767,6 +767,25 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates by banded perceptual hash (LSH over
+    Hamming space) verified by exact bit_count distance — all JVM-side
+    (rows-only: the deterministic fixture phashes are engine-defined)."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators.images import phash_near_dups
+
+    imgs = fixtures.images_df(spark, 3000, with_bytes=False)
+    # plant near-dups: bit-flipped copies of the first 200 images
+    variants = (
+        imgs.filter(F.col("image_id") < "img00000200")
+        .withColumn("image_id", F.concat(F.col("image_id"), F.lit("v")))
+        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(3)))
+    )
+    return phash_near_dups(imgs.unionByName(variants)).select(
+        "image_a", "image_b", "hamming"
+    )
+
+
 def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image lane: decode + metadata verification counts over a
     deterministic synthetic batch (rows-only: PNG decode is a UDF)."""
@@ -827,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "embedding_near_dups": q_embedding_near_dups,
         "image_decode_verify": q_image_decode_verify,
+        "phash_near_dups": q_phash_near_dups,
         "rasterize_admin": q_rasterize_admin,
         "vectorize_admin": q_vectorize_admin,
         "concave_tiles": q_concave_tiles,
