@@ -587,6 +587,57 @@ WHERE {crossings("oedges")} % 2 = 1
 """
 
 
+def q_admin_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-admin geometry statistics through the WKB kernels — shoelace
+    area and centroid computed in a vectorized Arrow pass over the
+    distributed polygon layer; the oracle derives the same values
+    relationally from the rectangle bounds."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import geom as geom_mod, wkb as _wkb
+
+    layer = spark.createDataFrame(fixtures.polygon_layer())
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = _wkb.loads(bytes(r["geometry"]))
+                area = geom_mod.geometry_area(g)
+                cx, cy = geom_mod.centroid(g)
+                rows.append((r["polygon_id"], r["行政区域コード"], area, cx, cy))
+            yield pd.DataFrame(
+                rows,
+                columns=["polygon_id", "admin_code", "area", "cx", "cy"],
+            )
+
+    out = layer.mapInPandas(
+        stats,
+        schema=(
+            "polygon_id string, admin_code string, area double, "
+            "cx double, cy double"
+        ),
+    )
+    return out.select(
+        "polygon_id",
+        "admin_code",
+        F.round("area", 9).alias("area9"),
+        F.round("cx", 9).alias("cx9"),
+        F.round("cy", 9).alias("cy9"),
+    )
+
+
+def _geometry_stats_sql() -> str:
+    return f"""
+WITH {_polys_values_sql()}
+SELECT polygon_id, admin_code,
+       round((xmax - xmin) * (ymax - ymin), 9) AS area9,
+       round((xmin + xmax) / 2, 9) AS cx9,
+       round((ymin + ymax) / 2, 9) AS cy9
+FROM polys
+"""
+
+
 def q_vectorize_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector: polygonize the rasterized admin grid back into
     boundary rings (edge cancellation + leftmost-turn tracing,
@@ -850,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_admin": q_rasterize_admin,
         "vectorize_admin": q_vectorize_admin,
         "concave_tiles": q_concave_tiles,
+        "admin_geometry_stats": q_admin_geometry_stats,
         "similarity_ivf": q_similarity_ivf,
     }
 
@@ -900,6 +952,7 @@ GROUP BY p.admin_code
         "rasterize_admin": _rasterize_sql(),
         "vectorize_admin": _vectorize_sql(),
         "concave_tiles": _concave_sql(),
+        "admin_geometry_stats": _geometry_stats_sql(),
         # minhash_pairs / simhash_pairs / lang_id / embedding_near_dups /
         # image_decode_verify: engine-defined hash families and codecs —
         # rows-only checks by design.
