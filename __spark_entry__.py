@@ -693,6 +693,113 @@ WHERE co.co / (sa.sz + sb.sz - co.co) >= 0.2
 """
 
 
+# Relational MinHash+LSH: the hash family is (a_i·sid + b_i) mod p over
+# dense shingle ordinals, so the whole pipeline — shingling, signature
+# mins, banding, bucket self-join — is exact integer relational algebra
+# that DuckDB reproduces verbatim (unlike the vectorized xxhash-based
+# operators/dedup.py lane, which stays rows-only by design).
+_MH_P = 2147483647
+_MH_PARAMS = [(2 * i + 1, 7919 * (i + 1) % _MH_P) for i in range(16)]
+_MH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def q_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.split(F.col("text"), " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sids = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn(
+            "sid",
+            F.row_number().over(Window.orderBy("shingle")).cast("long"),
+        )
+    )
+    hashes = spark.createDataFrame(
+        [(h, a, b) for h, (a, b) in enumerate(_MH_PARAMS)],
+        "h int, a long, b long",
+    )
+    sig = (
+        sh.join(sids, "shingle")
+        .crossJoin(F.broadcast(hashes))
+        .groupBy("doc_id", "h")
+        .agg(
+            F.min(
+                (F.col("a") * F.col("sid") + F.col("b")) % F.lit(_MH_P)
+            ).alias("minh")
+        )
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("h") / F.lit(_MH_BANDS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minh"))),
+                    lambda s: s["minh"].cast("string"),
+                ),
+                "-",
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+_MINHASH_REL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+),
+sids AS (
+  SELECT shingle,
+         CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+hashes(h, a, b) AS (VALUES {", ".join(f"({h}, {a}, {b})" for h, (a, b) in enumerate(_MH_PARAMS))}),
+sig AS (
+  SELECT s.doc_id, hs.h,
+         min((hs.a * d.sid + hs.b) % {_MH_P}) AS minh
+  FROM sh s JOIN sids d ON s.shingle = d.shingle
+  CROSS JOIN hashes hs
+  GROUP BY s.doc_id, hs.h
+),
+bands AS (
+  SELECT doc_id, CAST(floor(h / {_MH_BANDS}) AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY h) AS band_val
+  FROM sig GROUP BY doc_id, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksj2gp_spark.operators.text import quality_score
 
@@ -892,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
         "sessionize_batch": q_sessionize_batch,
+        "minhash_relational": q_minhash_relational,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -949,6 +1057,7 @@ GROUP BY p.admin_code
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
+        "minhash_relational": _MINHASH_REL_SQL,
         "rasterize_admin": _rasterize_sql(),
         "vectorize_admin": _vectorize_sql(),
         "concave_tiles": _concave_sql(),
