@@ -482,6 +482,7 @@ def fused_assign_or_knn(
     res: int | None = None,
     k: int = 3,
     admin_col: str = "行政区域コード",
+    crs: str | None = None,
 ) -> DataFrame:
     """Single-pass tile assignment WITH the ocean/kNN fallback lane.
 
@@ -513,7 +514,11 @@ def fused_assign_or_knn(
     geos_b = spark.sparkContext.broadcast(payload)
     cell_fn = _cell_fn(scheme, res)
 
+    crs_name = crs
+
     def run(batches):
+        from ..geo import transform as _tf
+
         cover = cover_b.value
         geo_map = {pid: buf for pid, _, buf in geos_b.value}
         parsed: dict[str, wkb.Geometry] = {}
@@ -523,6 +528,8 @@ def fused_assign_or_knn(
                 continue
             lons = pdf["lon"].to_numpy(dtype=np.float64)
             lats = pdf["lat"].to_numpy(dtype=np.float64)
+            if crs_name:
+                lons, lats = _tf.to_wgs84(lons, lats, crs_name)
             cells_v = cell_fn(lons, lats)
             cand = pd.DataFrame(
                 {"i": np.arange(len(pdf)), "cell": cells_v}

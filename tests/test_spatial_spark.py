@@ -285,3 +285,33 @@ def test_knn_pruned_equals_brute_force(spark):
     assert len(m) == NPT * 3
     assert np.allclose(m["distance_b"], m["distance_p"])
     assert (m["polygon_id_b"] == m["polygon_id_p"]).all()
+
+
+def test_fused_assign_or_knn_tokyo_datum_images(spark, images, expected):
+    """Image coordinates arriving in the Tokyo datum: the fused operator
+    reprojects inside the same Arrow pass (crs param) and assignments
+    equal the WGS84 run."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import transform
+
+    pdf = images.toPandas()
+    tlon, tlat, _ = transform.wgs84_to_tokyo(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy()
+    )
+    tokyo_imgs = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": pdf["image_id"], "lon": tlon, "lat": tlat}
+        )
+    )
+    got = spatial.fused_assign_or_knn(
+        tokyo_imgs, fixtures.polygon_layer(), scheme="grid", res=10,
+        crs="Tokyo",
+    ).toPandas()
+    want = spatial.fused_assign_or_knn(
+        images, fixtures.polygon_layer(), scheme="grid", res=10
+    ).toPandas()
+    key = ["image_id", "rank", "polygon_id", "admin_code"]
+    assert set(map(tuple, got[key].itertuples(index=False))) == set(
+        map(tuple, want[key].itertuples(index=False))
+    )
