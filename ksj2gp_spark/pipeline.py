@@ -111,6 +111,30 @@ def _image_file_chunks(
     return [files[i::n_chunks] for i in range(n_chunks)]
 
 
+def write_images_table(
+    df: DataFrame,
+    path: str,
+    sort_scheme: str = "grid",
+    sort_res: int = 6,
+    files_per_commit: int | None = None,
+) -> int:
+    """Append an image table spatially sorted by cell id. Sorting makes
+    each data file's (lon, lat) footer stats tight, which is what turns
+    the Iceberg manifest's min/max into an effective spatial index —
+    ``run_tile_pipeline(bbox=...)`` then opens only the region's files.
+    Returns the new snapshot id."""
+    sorted_df = cells.with_cell(df, sort_scheme, sort_res)
+    n_files = files_per_commit or max(
+        df.sparkSession.sparkContext.defaultParallelism, 1
+    )
+    sorted_df = (
+        sorted_df.repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell")
+        .drop("cell")
+    )
+    return iceberg.append(sorted_df, path)
+
+
 def run_tile_pipeline(
     spark: SparkSession,
     images_path: str,
@@ -121,6 +145,7 @@ def run_tile_pipeline(
     k_ocean: int = 3,
     n_chunks: int = 16,
     bbox: tuple[float, float, float, float] | None = None,
+    crs: str | None = None,
 ) -> dict:
     """End-to-end resumable job: image table (Iceberg-style or parquet
     dir) × polygon layer → ``(image_id, cell, polygon_id, admin_code,
@@ -141,7 +166,7 @@ def run_tile_pipeline(
     def process(chunk_id: str) -> DataFrame:
         imgs = spark.read.parquet(*file_map[chunk_id])
         return spatial.fused_assign_or_knn(
-            imgs, polys_pdf, scheme=scheme, res=res, k=k_ocean
+            imgs, polys_pdf, scheme=scheme, res=res, k=k_ocean, crs=crs
         )
 
     return write.run_resumable(out_path, chunk_ids, process)

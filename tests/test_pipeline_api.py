@@ -164,3 +164,24 @@ def test_bbox_prunes_files_spatially_sorted_table(spark, tmp_path):
         map(tuple, assigned_in_bbox[["image_id", "polygon_id"]].itertuples(index=False))
     ) - set(map(tuple, got[got["rank"] == 0][["image_id", "polygon_id"]].itertuples(index=False)))
     assert not missing
+
+
+def test_write_images_table_enables_pruning(spark, tmp_path):
+    """write_images_table's cell sort makes file stats tight: a bbox
+    pipeline run opens strictly fewer files than exist, and an
+    unsorted append of the same data prunes nothing."""
+    imgs = fixtures.images_df(spark, 4000, with_bytes=False, partitions=8)
+
+    unsorted = str(tmp_path / "unsorted")
+    iceberg.append(imgs, unsorted)
+    sorted_p = str(tmp_path / "sorted")
+    pipeline.write_images_table(imgs, sorted_p, files_per_commit=8)
+
+    bbox = (139.0, 30.0, 139.2, 45.0)
+    n_uns = sum(len(c) for c in pipeline._image_file_chunks(spark, unsorted, 100, bbox=bbox))
+    n_all = sum(len(c) for c in pipeline._image_file_chunks(spark, sorted_p, 100))
+    n_srt = sum(len(c) for c in pipeline._image_file_chunks(spark, sorted_p, 100, bbox=bbox))
+    assert n_uns == 8  # random layout: every file overlaps, no pruning
+    assert n_srt < n_all  # sorted layout: region hits a strict subset
+    # row content identical
+    assert iceberg.read(spark, sorted_p).count() == 4000
