@@ -523,6 +523,54 @@ FROM cells c JOIN polys p
 """
 
 
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical tile rollup: res-10 assignments aggregated to their
+    res-7 parent cells through the engine's ``cell_to_parent`` kernel
+    (vectorized pandas UDF); the oracle reproduces the parent-id
+    integer arithmetic relationally."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ksj2gp_spark.geo import grid as grid_mod
+
+    parent7 = pandas_udf(
+        lambda cells: pd.Series(
+            grid_mod.cell_to_parent(cells.to_numpy(dtype="int64"), 7)
+        ),
+        "long",
+    )
+
+    tiles = _tiles(spark, sf_dir)
+    return (
+        tiles.withColumn("parent_cell", parent7(F.col("cell")))
+        .groupBy("parent_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.countDistinct("image_id").alias("n_images"),
+            F.countDistinct("admin_code").alias("n_admins"),
+        )
+    )
+
+
+_ROLLUP_SQL = f"""
+WITH {_IMAGES_CTE.strip()},
+{_polys_values_sql()},
+t AS (
+  SELECT i.image_id, {_CELL_SQL} AS cell, p.admin_code
+  FROM images i JOIN polys p
+    ON i.lon >= p.xmin AND i.lon <= p.xmax
+   AND i.lat >= p.ymin AND i.lat <= p.ymax
+)
+SELECT 7 * 288230376151711744
+       + (((cell // 536870912) % 536870912) // 8) * 536870912
+       + ((cell % 536870912) // 8) AS parent_cell,
+       count(*) AS n_tiles,
+       count(DISTINCT image_id) AS n_images,
+       count(DISTINCT admin_code) AS n_admins
+FROM t GROUP BY 1
+"""
+
+
 # Concave staircase polygon with a rectangular hole — exercises the
 # exact-PIP kernel (ray cast) against a pure-SQL ray-cast oracle whose
 # float expression mirrors geo/geom.py::ring_contains term-for-term
@@ -1010,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_admin": q_vectorize_admin,
         "concave_tiles": q_concave_tiles,
         "admin_geometry_stats": q_admin_geometry_stats,
+        "tile_rollup": q_tile_rollup,
         "similarity_ivf": q_similarity_ivf,
     }
 
@@ -1062,6 +1111,7 @@ GROUP BY p.admin_code
         "vectorize_admin": _vectorize_sql(),
         "concave_tiles": _concave_sql(),
         "admin_geometry_stats": _geometry_stats_sql(),
+        "tile_rollup": _ROLLUP_SQL,
         # minhash_pairs / simhash_pairs / lang_id / embedding_near_dups /
         # image_decode_verify: engine-defined hash families and codecs —
         # rows-only checks by design.
