@@ -146,6 +146,7 @@ def run_tile_pipeline(
     n_chunks: int = 16,
     bbox: tuple[float, float, float, float] | None = None,
     crs: str | None = None,
+    partition_cols: tuple[str, ...] = (),
 ) -> dict:
     """End-to-end resumable job: image table (Iceberg-style or parquet
     dir) × polygon layer → ``(image_id, cell, polygon_id, admin_code,
@@ -169,4 +170,6 @@ def run_tile_pipeline(
             imgs, polys_pdf, scheme=scheme, res=res, k=k_ocean, crs=crs
         )
 
-    return write.run_resumable(out_path, chunk_ids, process)
+    return write.run_resumable(
+        out_path, chunk_ids, process, partition_cols=partition_cols
+    )

@@ -72,12 +72,30 @@ def tile_metrics(df: DataFrame, cell_col: str = "cell") -> dict:
 
 
 def write_chunk(
-    df: DataFrame, base: str, chunk: str, cell_col: str = "cell"
+    df: DataFrame,
+    base: str,
+    chunk: str,
+    cell_col: str = "cell",
+    partition_cols: tuple[str, ...] = (),
 ) -> dict:
-    """Write one chunk idempotently and commit its manifest."""
+    """Write one chunk idempotently and commit its manifest.
+    ``partition_cols`` (e.g. ``("admin_code",)``) produces hive-style
+    subdirectories inside the chunk so downstream per-admin reads
+    prune at the directory level. Partitioning happens on derived
+    ``_p_<col>`` copies, so the data columns keep their exact types
+    and every file still carries the full row schema."""
     t0 = time.time()
     out = os.path.join(base, f"chunk={chunk}")
-    df.write.mode("overwrite").parquet(out)
+    writer_df = df
+    if partition_cols:
+        from pyspark.sql import functions as _F
+
+        for c in partition_cols:
+            writer_df = writer_df.withColumn(f"_p_{c}", _F.col(c))
+    writer = writer_df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*[f"_p_{c}" for c in partition_cols])
+    writer.parquet(out)
     written = df.sparkSession.read.parquet(out)
     payload = {
         "chunk": chunk,
@@ -95,6 +113,7 @@ def run_resumable(
     chunks: Iterable[str],
     process: Callable[[str], DataFrame],
     cell_col: str = "cell",
+    partition_cols: tuple[str, ...] = (),
 ) -> dict:
     """Process chunks, skipping committed ones. Returns a run summary
     {chunk: manifest}, with skipped chunks loaded from their manifests."""
@@ -106,15 +125,25 @@ def run_resumable(
                 summary[chunk] = json.load(f)
             summary[chunk]["skipped"] = True
             continue
-        summary[chunk] = write_chunk(process(chunk), base, chunk, cell_col)
+        summary[chunk] = write_chunk(
+            process(chunk), base, chunk, cell_col, partition_cols
+        )
     return summary
+
+
+def _read_chunk(spark, path: str) -> DataFrame:
+    df = spark.read.option("basePath", path).parquet(path)
+    return df.drop(*[c for c in df.columns if c.startswith("_p_")])
 
 
 def read_tiles(spark, base: str) -> DataFrame:
     """Read back all committed chunks (uncommitted ones are excluded —
     their data may be partial)."""
     done = sorted(committed_chunks(base))
-    paths = [os.path.join(base, f"chunk={c}") for c in done]
-    if not paths:
+    if not done:
         raise FileNotFoundError(f"no committed chunks under {base}")
-    return spark.read.parquet(*paths)
+    out = None
+    for c in done:
+        df = _read_chunk(spark, os.path.join(base, f"chunk={c}"))
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -185,3 +185,19 @@ def test_write_images_table_enables_pruning(spark, tmp_path):
     assert n_srt < n_all  # sorted layout: region hits a strict subset
     # row content identical
     assert iceberg.read(spark, sorted_p).count() == 4000
+
+
+def test_partitioned_tile_output(spark, images_table, tmp_path):
+    out = str(tmp_path / "tiles_part")
+    pipeline.run_tile_pipeline(
+        spark, images_table, fixtures.polygon_layer(), out,
+        scheme="grid", res=10, n_chunks=2, partition_cols=("admin_code",),
+    )
+    import glob
+    import os
+
+    dirs = glob.glob(os.path.join(out, "chunk=00000", "_p_admin_code=*"))
+    assert len(dirs) > 1  # hive-style per-admin directories
+    tiles = write.read_tiles(spark, out)
+    assert "admin_code" in tiles.columns
+    assert tiles.select("image_id").distinct().count() == 3000
