@@ -992,6 +992,49 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio+video multimodal lanes over deterministic synthetic media
+    (real WAV + PNGV-container decode in mapInPandas; rows-only —
+    codecs are engine-defined)."""
+    import pandas as pd
+
+    from ksj2gp_spark.operators import media
+
+    audio_rows = []
+    for i in range(50):
+        rate = 8000
+        t = np.arange(rate // 2) / rate
+        amp = 0.1 + (i % 9) / 10.0
+        s = amp * np.sin(2 * np.pi * (110 + 13 * i) * t)
+        audio_rows.append((f"au{i:03d}", media.encode_wav(s, rate), "wav", 500))
+    adf = spark.createDataFrame(
+        pd.DataFrame(
+            audio_rows, columns=["media_id", "bytes", "fmt", "duration_ms"]
+        )
+    )
+    vids = []
+    for v in range(10):
+        frames = [
+            np.full((16, 16), (7 * v + f) % 251, dtype=np.uint8)
+            for f in range(12)
+        ]
+        vids.append((f"vi{v:03d}", media.encode_pngv(frames), "pngv"))
+    vdf = spark.createDataFrame(
+        pd.DataFrame(vids, columns=["media_id", "bytes", "fmt"])
+    )
+    audio = media.audio_features(adf).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("duration_ok").cast("long")).alias("n_dur_ok"),
+    ).withColumn("lane", F.lit("audio"))
+    video = media.sample_frames(vdf, every_k=4).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("decode_error").isNull(), 1).otherwise(0)).alias(
+            "n_dur_ok"
+        ),
+    ).withColumn("lane", F.lit("video"))
+    return audio.unionByName(video).select("lane", "n", "n_dur_ok")
+
+
 def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image lane: decode + metadata verification counts over a
     deterministic synthetic batch (rows-only: PNG decode is a UDF)."""
@@ -1054,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "image_decode_verify": q_image_decode_verify,
         "phash_near_dups": q_phash_near_dups,
+        "media_features": q_media_features,
         "rasterize_admin": q_rasterize_admin,
         "vectorize_admin": q_vectorize_admin,
         "concave_tiles": q_concave_tiles,
