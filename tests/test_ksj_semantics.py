@@ -283,3 +283,24 @@ class TestCodelists:
         assert format_numeric_code(2.5) == "2"
         assert format_numeric_code(3.0) == "3"
         assert format_numeric_code(-1.5) == "-2"
+
+
+def test_admin_code_codelist_dispatch():
+    """P27_007 (管理者コード) dispatches to the curated ADMIN_CODE map;
+    numeric codes format via {v:.0} first."""
+    from ksj2gp_spark.ksj import get_codelist_map, translate_value
+
+    m = get_codelist_map("P27_007", 2020, "P27-13_5339.shp")
+    assert m is not None
+    assert translate_value("2", m) == "都道府県"
+    assert translate_value(3.0, m) == "市区町村"  # numeric → "{v:.0}"
+    assert translate_value("9", m) == "9"  # pass-through on miss
+    assert translate_value(None, m) is None
+
+
+def test_pref_cd_dictionary_available():
+    from ksj2gp_spark.ksj._codelist_data import CODELISTS
+
+    pref = CODELISTS["PREF_CD"]
+    assert len(pref) == 47
+    assert pref["13"] == "東京都" and pref["1"] == "北海道"
