@@ -76,6 +76,34 @@ def codelist_join(
     )
 
 
+def translate_l03bc(
+    df: DataFrame,
+    code_col: str = "L03b_c_002",
+    range_col: str = "L03b_c_004",
+    urban_values: tuple[str, ...] = ("1",),
+) -> DataFrame:
+    """L03-b-c 土地利用種 translation with **cross-column dispatch** —
+    the case the reference explicitly punts on (codelists.rs:50-56
+    TODO: "depends on L03b_c_004, but the current approach cannot
+    access other columns' values"): its one-column-at-a-time builder
+    returns the codes untranslated. A row-oriented DataFrame sees the
+    whole row, so the dispatch is a plain conditional: rows inside the
+    urban range (``L03b_c_004 ∈ urban_values``) translate through the
+    urban-detail table (LandUseCd09-u), all others through the base
+    2009 table — per-row, JVM-side, no Python."""
+    from ..ksj._codelist_data import CODELISTS
+
+    dtype = df.schema[code_col].dataType
+    urban = codelist_expr(
+        F.col(code_col), dtype, CODELISTS["LAND_USE_CD_09_U"]
+    )
+    base = codelist_expr(F.col(code_col), dtype, CODELISTS["LAND_USE_CD_09"])
+    translated = F.when(
+        F.col(range_col).cast("string").isin(list(urban_values)), urban
+    ).otherwise(base)
+    return df.withColumn(code_col, translated)
+
+
 def translate_dataframe(
     df: DataFrame,
     opts: TranslateOptions,

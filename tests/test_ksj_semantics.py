@@ -304,3 +304,11 @@ def test_pref_cd_dictionary_available():
     pref = CODELISTS["PREF_CD"]
     assert len(pref) == 47
     assert pref["13"] == "東京都" and pref["1"] == "北海道"
+
+
+def test_land_use_urban_variant_curated():
+    from ksj2gp_spark.ksj._codelist_data import CODELISTS
+
+    m = CODELISTS["LAND_USE_CD_09_U"]
+    assert m["0701"] == "高層建物" and m["1003"] == "公園・緑地"
+    assert m["0100"] == "田" and len(m) == 25

@@ -226,3 +226,36 @@ def test_codelist_join_matches_expr(spark):
     assert via_join[0] == "label_0" and via_join[1] == "3"
     assert via_join[2] == "label_1998" and via_join[3] == "2001"
     assert via_join[4] is None and via_join[5] == "label_2"
+
+
+def test_l03bc_cross_column_dispatch(spark):
+    """The cross-column land-use dispatch the reference TODOs away
+    (codelists.rs:50-56): urban rows use the detail table, others the
+    base table, per row."""
+    import pandas as pd
+
+    from ksj2gp_spark.operators.translate import translate_l03bc
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "L03b_c_002": ["0701", "0701", "0700", "0700", None],
+                "L03b_c_004": ["1", "0", "1", "0", "1"],
+            }
+        )
+    )
+    out = (
+        translate_l03bc(df)
+        .toPandas()
+        .itertuples(index=False, name=None)
+    )
+    got = list(out)
+    # urban 0701 → 高層建物 (only in the -u table); non-urban 0701 has
+    # no base-table entry → pass-through. 0700: urban "-" vs base 建物用地.
+    assert got == [
+        ("高層建物", "1"),
+        ("0701", "0"),
+        ("-", "1"),
+        ("建物用地", "0"),
+        (None, "1"),
+    ]
