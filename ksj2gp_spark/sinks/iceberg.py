@@ -226,13 +226,22 @@ def _live_files(path: str, snapshot_id: int | None = None) -> list[dict]:
 
 
 def read(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """Read the current (or a time-travel) snapshot."""
+    """Read the current (or a time-travel) snapshot. ``merge_schema``
+    reconciles files written under evolved schemas (columns added by a
+    later append read as null in older files — Iceberg's add-column
+    semantics)."""
     files = _live_files(path, snapshot_id)
     if not files:
         raise FileNotFoundError(f"snapshot has no data files: {path}")
-    return spark.read.parquet(*(os.path.join(path, f["path"]) for f in files))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*(os.path.join(path, f["path"]) for f in files))
 
 
 def scan(

@@ -34,15 +34,22 @@ def read_event_stream(
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event type. Late rows past
-    the watermark are dropped; state is bounded."""
+    """Watermarked tumbling (or, with ``slide``, sliding) window counts
+    per event type. Late rows past the watermark are dropped; state is
+    bounded."""
     # Watermarks require TIMESTAMP (with tz); parquet NTZ is cast up.
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias(

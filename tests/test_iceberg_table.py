@@ -132,3 +132,22 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     out = iceberg.expire_snapshots(path, keep_last=1)
     assert out["deleted_files"] == files_before
     assert iceberg.read(spark, path).count() == 500
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appending with an added column: old files read as null for the
+    new column under merge_schema (Iceberg add-column semantics)."""
+    path = str(tmp_path / "evolve")
+    iceberg.append(spark.range(0, 50).select(F.col("id")), path)
+    iceberg.append(
+        spark.range(50, 80).select(F.col("id"), (F.col("id") * 2).alias("extra")),
+        path,
+    )
+    df = iceberg.read(spark, path, merge_schema=True)
+    assert set(df.columns) == {"id", "extra"}
+    assert df.count() == 80
+    assert df.filter(F.col("extra").isNull()).count() == 50
+    # current metadata records the evolved schema
+    meta = iceberg._load_metadata(path)
+    names = {f["name"] for f in meta["schema"]["fields"]}
+    assert names == {"id", "extra"}

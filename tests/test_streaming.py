@@ -254,3 +254,28 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
         got.groupBy("event_id", "ts").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_sliding_window_counts_stream(spark, tmp_path):
+    """Sliding-window streaming agg (15m window / 5m slide): totals
+    equal the batch events_sliding query on the same input."""
+    import __spark_entry__ as entry_mod
+    from ksj2gp_spark.streaming import events as ev
+
+    src = str(tmp_path / "slide_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    out = str(tmp_path / "slide_out")
+    ckpt = str(tmp_path / "slide_ckpt")
+    stream = ev.read_event_stream(spark, src, max_files=10)
+    agg = ev.windowed_event_counts(
+        stream, window="15 minutes", watermark="1 day", slide="5 minutes"
+    )
+    q = ev.run_stream_to_parquet(agg, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    total_stream = got.agg(F.sum("n_events")).collect()[0][0]
+    batch = entry_mod.q_events_sliding(spark, "/root/testdata/sf0.001")
+    total_batch = batch.agg(F.sum("n_events")).collect()[0][0]
+    assert total_stream == total_batch
