@@ -244,6 +244,119 @@ FROM nation
 """
 
 
+# (family, col_id, year, target_shp) — 22 cases across 19 distinct KSJ
+# dataset families, each resolved through the engine's real dispatch
+# (registry + A03 region-file / A42 shapefile / L01 year-band special
+# cases, ksj/codelists.py::get_codelist_map). Every code of the
+# resolved map is translated, plus one guaranteed-miss code per case
+# (pass-through semantics). W05_001 (5,475-entry 水系コード) runs
+# through the broadcast-join path (codelist_join) instead of the
+# create_map literal; its fixture draws a deterministic 1-in-18 subset
+# so the oracle VALUES table stays small while Spark still broadcasts
+# the full dictionary.
+_CODELIST_FAMILY_CASES = [
+    ("A03", "A03_007", 0, ""),
+    ("A03", "A03_006", 0, "A03-03_SYUTO-g_PlannedArea.shp"),
+    ("A10", "LAYER_NO", 0, ""),
+    ("A15", "A15_003", 0, ""),
+    ("A17", "A17_009", 0, ""),
+    ("A22", "A22_100005", 0, ""),
+    ("A26", "A26_005", 0, ""),
+    ("A31", "A31_301", 0, ""),
+    ("A33", "A33_001", 0, ""),
+    ("A42", "A42_005", 0, "A42-20_Spacial_Preservation_Area_of_Historic_Landscape.shp"),
+    ("A45", "A45_026", 0, ""),
+    ("C02", "C02_001", 0, ""),
+    ("G04a", "G04a_005", 0, ""),
+    ("L01", "L01_001", 2020, ""),
+    ("L01", "L01_007", 2018, ""),
+    ("L03b", "土地利用種", 2009, ""),
+    ("N02", "N02_001", 0, ""),
+    ("N08", "N08_002", 0, ""),
+    ("P13", "P13_004", 0, ""),
+    ("P14", "P14_005", 0, ""),
+    ("S12", "S12_004", 0, ""),
+    ("W05", "W05_001", 0, ""),
+]
+
+
+def _codelist_family_fixture() -> list[tuple[int, str, str, str, dict[str, str]]]:
+    """(case_id, family, col_id, codes..., full mapping) per case."""
+    from ksj2gp_spark.ksj.codelists import get_codelist_map
+
+    out = []
+    for i, (fam, col_id, year, shp) in enumerate(_CODELIST_FAMILY_CASES):
+        mapping = get_codelist_map(col_id, year, shp)
+        assert mapping, f"no codelist resolved for {col_id}"
+        codes = list(mapping)
+        if col_id == "W05_001":
+            codes = codes[::18]
+        codes.append(f"miss_{i}")
+        out.append((i, fam, col_id, codes, mapping))
+    return out
+
+
+def q_codelist_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 over the full reference data tables: per-column dictionary
+    application across 19 dataset families. Small dictionaries go
+    through the JVM create_map literal (codelist_expr); the 5,475-entry
+    W05 water-system map goes through the broadcast-join variant
+    (codelist_join) — both with pass-through-on-miss semantics."""
+    from ksj2gp_spark.operators.translate import codelist_expr, codelist_join
+    from pyspark.sql import types as T
+
+    rows = []
+    for case_id, fam, col_id, codes, _ in _codelist_family_fixture():
+        rows.extend((case_id, fam, col_id, c) for c in codes)
+    base = spark.createDataFrame(
+        rows, "case_id int, family string, col_id string, code string"
+    )
+    parts = []
+    for case_id, _, col_id, _, mapping in _codelist_family_fixture():
+        sub = base.filter(F.col("case_id") == case_id)
+        if len(mapping) > 1000:
+            parts.append(codelist_join(sub, "code", mapping, out_col="label"))
+        else:
+            parts.append(
+                sub.select(
+                    "case_id",
+                    "family",
+                    "col_id",
+                    "code",
+                    codelist_expr(F.col("code"), T.StringType(), mapping).alias(
+                        "label"
+                    ),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _codelist_families_sql() -> str:
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    fixture_rows, lookup_rows = [], []
+    for case_id, fam, col_id, codes, mapping in _codelist_family_fixture():
+        for c in codes:
+            fixture_rows.append(
+                f"({case_id},'{esc(fam)}','{esc(col_id)}','{esc(c)}')"
+            )
+            if c in mapping:
+                lookup_rows.append(
+                    f"({case_id},'{esc(c)}','{esc(mapping[c])}')"
+                )
+    fv = ",\n".join(fixture_rows)
+    lv = ",\n".join(lookup_rows)
+    return f"""
+WITH fixture(case_id, family, col_id, code) AS (VALUES {fv}),
+lkp(case_id, code, label) AS (VALUES {lv})
+SELECT CAST(f.case_id AS INT) AS case_id, f.family, f.col_id, f.code,
+       COALESCE(l.label, f.code) AS label
+FROM fixture f LEFT JOIN lkp l ON f.case_id = l.case_id AND f.code = l.code
+"""
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation (partial-agg / codegen showcase)."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -1080,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_tile_counts": q_hex_tiles_counts,
         "s2_tile_counts": q_s2_tiles_counts,
         "codelist_translate": q_codelist_translate,
+        "codelist_families": q_codelist_families,
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
         "events_tumbling": q_events_tumbling,
@@ -1140,6 +1254,7 @@ GROUP BY p.admin_code
         "hex_tile_counts": hex_counts_sql,
         "s2_tile_counts": hex_counts_sql,
         "codelist_translate": _CODELIST_SQL,
+        "codelist_families": _codelist_families_sql(),
         "lineitem_pricing": _PRICING_SQL,
         "top_orders": _TOP_ORDERS_SQL,
         "events_tumbling": _EVENTS_SQL,

@@ -69,11 +69,14 @@ def codelist_join(
     joined = df.withColumn("__code", key).join(
         F.broadcast(dim), "__code", "left"
     )
-    others = [c for c in df.columns if c != col_name]
-    return joined.select(
-        *others,
-        F.coalesce(F.col("__label"), F.col("__code")).alias(out_col),
-    )
+    translated = F.coalesce(F.col("__label"), F.col("__code")).alias(out_col)
+    if out_col == col_name:
+        # Replace in place, preserving the source column order.
+        cols = [translated if c == col_name else F.col(c) for c in df.columns]
+    else:
+        # New output column: keep the source column, append the label.
+        cols = [F.col(c) for c in df.columns] + [translated]
+    return joined.select(*cols)
 
 
 def translate_l03bc(
