@@ -1036,23 +1036,126 @@ FROM s GROUP BY 1, 2
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: hash family not SQL)."""
+    """MinHash+LSH near-dup pairs. The shingle hash is a 31-bit
+    polynomial rolling hash and the permutation family is
+    (a·x+b) mod M31 (operators/dedup.py), both exact BIGINT
+    arithmetic — so the full pipeline (shingle → signature → banding →
+    bucket join → est-Jaccard verify) has a DuckDB oracle."""
     from ksj2gp_spark.operators.dedup import minhash_lsh_pairs
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.2)
 
 
+# Shared SQL fragment: 31-bit polynomial rolling hash of a shingle,
+# mirroring operators/dedup.py::_poly_hashes term-for-term.
+def _poly_hash_sql(col: str, base: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(unicode({col}[i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % 2147483647)"
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    from ksj2gp_spark.operators.dedup import minhash_params
+
+    params = ",\n".join(
+        f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_params(64))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+),
+hs AS (
+  SELECT doc_id, {_poly_hash_sql("shingle", 131)} AS h1 FROM sh
+),
+params(h, a, b) AS (VALUES {params}),
+sig AS (
+  SELECT doc_id, p.h, min((p.a * hs.h1 + p.b) % 2147483647) AS minh
+  FROM hs CROSS JOIN params p GROUP BY doc_id, p.h
+),
+bands AS (
+  SELECT doc_id, CAST(floor(h / 4) AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY h) AS band_val
+  FROM sig GROUP BY doc_id, 2
+),
+pairs0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM pairs0 p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b AND sb.h = sa.h
+  GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs. 62-bit simhash from the dual polynomial
+    shingle hash — exact BIGINT arithmetic end-to-end, DuckDB-oracled
+    (bit voting, band equality, bit_count Hamming verify)."""
     from ksj2gp_spark.operators.dedup import simhash_near_dups
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return simhash_near_dups(d, max_hamming=10)
+    return simhash_near_dups(d, max_hamming=10).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+hs AS (
+  SELECT doc_id,
+         {_poly_hash_sql("shingle", 131)} * 2147483648
+         + {_poly_hash_sql("shingle", 137)} AS h64
+  FROM sh
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h64 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hs CROSS JOIN UNNEST(generate_series(0, 61)) AS t(b)
+  GROUP BY doc_id, b
+),
+simhash AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, band, (sh >> (band * 16)) & 65535 AS band_val, sh
+  FROM simhash CROSS JOIN UNNEST(generate_series(0, 3)) AS t(band)
+),
+pairs0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs0 WHERE bit_count(xor(sh_a, sh_b)) <= 10
+"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID histogram (rows-only: n-gram scoring UDF)."""
+    """Language-ID histogram. The heuristic is vectorized pandas .str
+    marker counting whose every term is SQL-expressible, so the lane is
+    DuckDB-oracled (CJK regex, replace-based substring counts,
+    largest-code tie-break)."""
     from ksj2gp_spark.operators.text import with_lang_id
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -1061,6 +1164,34 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def _lang_id_sql() -> str:
+    from ksj2gp_spark.operators.text import _LANG_MARKERS
+
+    def score(lang: str) -> str:
+        terms = [
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in _LANG_MARKERS[lang]
+        ]
+        return " + ".join(terms)
+
+    return f"""
+WITH padded AS (
+  SELECT ' ' || lower(text) || ' ' AS t FROM documents
+),
+scored AS (
+  SELECT CASE
+    WHEN regexp_matches(t, '[぀-ヿ一-鿿]') THEN 'ja'
+    WHEN greatest({score("de")}, {score("en")}, {score("fr")}) = 0 THEN 'unknown'
+    WHEN ({score("fr")}) >= ({score("en")})
+     AND ({score("fr")}) >= ({score("de")}) THEN 'fr'
+    WHEN ({score("en")}) >= ({score("de")}) THEN 'en'
+    ELSE 'de' END AS lang_guess
+  FROM padded
+)
+SELECT lang_guess, count(*) AS n_docs FROM scored GROUP BY lang_guess
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,8 +1219,9 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup candidates by banded perceptual hash (LSH over
-    Hamming space) verified by exact bit_count distance — all JVM-side
-    (rows-only: the deterministic fixture phashes are engine-defined)."""
+    Hamming space) verified by exact bit_count distance — all JVM-side.
+    The fixture phash is (id·2654435761) mod 2⁶³ (fixtures.py:176), so
+    banding + Hamming verify has a full DuckDB oracle."""
     from ksj2gp_spark import fixtures
     from ksj2gp_spark.operators.images import phash_near_dups
 
@@ -1101,8 +1233,37 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(3)))
     )
     return phash_near_dups(imgs.unionByName(variants)).select(
-        "image_a", "image_b", "hamming"
+        "image_a", "image_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+_PHASH_SQL = """
+WITH base AS (
+  -- fixtures.images_pdf with_bytes=False: phash = id * 2654435761
+  -- (the mod-2^63 in the fixture never binds for id < 3000).
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+         i * 2654435761 AS phash
+  FROM range(0, 3000) t(i)
+),
+variants AS (
+  SELECT image_id || 'v' AS image_id, xor(phash, 3) AS phash
+  FROM base WHERE image_id < 'img00000200'
+),
+allimg AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+bands AS (
+  SELECT image_id, phash, band, (phash >> (band * 16)) & 65535 AS band_val
+  FROM allimg CROSS JOIN UNNEST(generate_series(0, 3)) AS t(band)
+),
+pairs0 AS (
+  SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+         a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.image_id < b.image_id
+)
+SELECT image_a, image_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM pairs0 WHERE bit_count(xor(pa, pb)) <= 4
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,6 +1427,10 @@ GROUP BY p.admin_code
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
         "minhash_relational": _MINHASH_REL_SQL,
+        "minhash_pairs": _minhash_pairs_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "phash_near_dups": _PHASH_SQL,
+        "lang_id": _lang_id_sql(),
         "rasterize_admin": _rasterize_sql(),
         "vectorize_admin": _vectorize_sql(),
         "concave_tiles": _concave_sql(),

@@ -19,47 +19,132 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
-_M61 = (1 << 61) - 1  # Mersenne prime modulus for the hash family
+_M31 = (1 << 31) - 1  # Mersenne prime modulus for the hash family
+_B1, _B2 = 131, 137  # polynomial bases for the dual shingle hash
 
 
-def _token_hashes(text: str, n_shingle: int) -> np.ndarray:
+def minhash_params(num_hashes: int = 64) -> list[tuple[int, int]]:
+    """Fixed-seed (a, b) pairs for the (a·x + b) mod M31 permutation
+    family — exposed so SQL oracles can embed the identical literals."""
+    rng = np.random.default_rng(12345)
+    a = rng.integers(1, _M31, size=num_hashes)
+    b = rng.integers(0, _M31, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def _shingles(text: str, n_shingle: int) -> list[str]:
     toks = text.split()
     if len(toks) < n_shingle:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [
-            " ".join(toks[i : i + n_shingle])
-            for i in range(len(toks) - n_shingle + 1)
-        ]
-    # stable 64-bit FNV-1a per shingle (no Python hash() — seed varies)
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+        return [" ".join(toks)]
+    return [
+        " ".join(toks[i : i + n_shingle])
+        for i in range(len(toks) - n_shingle + 1)
+    ]
+
+
+def _poly_hashes(shingles: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized dual polynomial rolling hash per shingle.
+
+    h = fold(acc·B + codepoint) mod M31 for B ∈ {131, 137}. Returns
+    (h1, h2) uint64 arrays. The whole batch is hashed with O(max_len)
+    numpy column operations — no per-shingle or per-byte Python loop
+    (the round-1 anti-pattern). Exactly reproducible in SQL as
+    list_reduce over unicode codepoints, which is what gives the
+    minhash/simhash contract queries their DuckDB oracles.
+    """
+    if not shingles:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    big = "\x00".join(shingles)
+    arr = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    seps = np.where(arr == 0)[0]
+    starts = np.concatenate(([0], seps + 1))
+    ends = np.concatenate((seps, [len(arr)]))
+    lens = ends - starts
+    maxlen = int(lens.max()) if len(lens) else 0
+    h1 = np.zeros(len(lens), np.uint64)
+    h2 = np.zeros(len(lens), np.uint64)
+    if maxlen == 0:
+        return h1, h2
+    col = np.arange(maxlen)
+    pad = maxlen - lens  # right-align: leading zeros don't change the hash
+    idx = starts[:, None] + col[None, :] - pad[:, None]
+    valid = col[None, :] >= pad[:, None]
+    codes = np.where(valid, arr[np.clip(idx, 0, len(arr) - 1)], 0)
+    b1, b2, m = np.uint64(_B1), np.uint64(_B2), np.uint64(_M31)
+    for j in range(maxlen):
+        c = codes[:, j]
+        h1 = (h1 * b1 + c) % m
+        h2 = (h2 * b2 + c) % m
+    return h1, h2
+
+
+def _batch_shingle_hashes(
+    texts: pd.Series, n_shingle: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h1, h2, doc_offsets) for one Arrow batch: all shingles of all
+    docs hashed in one vectorized pass; offsets delimit each doc's
+    segment for np.minimum/add.reduceat."""
+    per_doc = [_shingles(t or "", n_shingle) for t in texts]
+    offsets = np.cumsum([0] + [len(s) for s in per_doc])[:-1]
+    flat = [s for doc in per_doc for s in doc]
+    h1, h2 = _poly_hashes(flat)
+    return h1, h2, offsets
+
+
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` members.
+
+    A bucket of size s contributes s·(s−1)/2 candidate pairs, so one
+    degenerate bucket (empty texts, boilerplate) turns the self-join
+    quadratic. The cap keeps candidate generation O(n·max_bucket).
+    No silent truncation: dropped buckets are counted in-plan and
+    exposed via :func:`dropped_bucket_stats` for the caller to log.
+    """
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
+def dropped_bucket_stats(
+    banded: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """(n_buckets_dropped, n_rows_dropped) for a banded/bucketed frame —
+    the audit query for the no-silent-caps rule. Lazy: callers decide
+    when (and whether) to pay for the count."""
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.filter(F.col("sz") > max_bucket).agg(
+        F.count(F.lit(1)).alias("n_buckets_dropped"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_rows_dropped"),
+    )
 
 
 def minhash_signature_udf(num_hashes: int = 64, n_shingle: int = 3):
     """pandas UDF: text → array<long> minhash signature. The hash family
-    is (a*x + b) mod M61 with fixed seeds — deterministic everywhere."""
-    rng = np.random.default_rng(12345)
-    a = rng.integers(1, _M61, size=num_hashes, dtype=np.int64).astype(object)
-    b = rng.integers(0, _M61, size=num_hashes, dtype=np.int64).astype(object)
+    is (a·x + b) mod M31 over 31-bit polynomial shingle hashes — all
+    products fit uint64, so numpy and any BIGINT SQL engine agree."""
+    params = minhash_params(num_hashes)
+    a = np.array([p[0] for p in params], np.uint64)
+    b = np.array([p[1] for p in params], np.uint64)
+    m = np.uint64(_M31)
 
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            x = _token_hashes(t or "", n_shingle).astype(object)
-            # (num_hashes, n_shingles) permutation values, min over shingles
-            vals = (a[:, None] * x[None, :] + b[:, None]) % _M61
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        h1, _, offsets = _batch_shingle_hashes(texts, n_shingle)
+        # (num_hashes, total_shingles) permutation values; segment-min
+        # per doc — one reduceat for the whole batch, no per-doc loop.
+        vals = (a[:, None] * h1[None, :] + b[:, None]) % m
+        mins = np.minimum.reduceat(vals, offsets, axis=1)
+        return pd.Series(list(mins.astype(np.int64).T))
 
     return sig
 
@@ -72,22 +157,31 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n_shingle: int = 3,
     threshold: float = 0.7,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash+LSH with signature verification.
 
     Emits (id_a, id_b, est_jaccard) for pairs whose estimated Jaccard
     (matching minhash fraction) ≥ threshold. Candidate generation is a
-    bucket self-join: rows sharing any band signature."""
+    bucket self-join: rows sharing any band signature. Buckets larger
+    than ``max_bucket`` (boilerplate/empty-text clusters whose in-bucket
+    join would go quadratic at corpus scale) are dropped from candidate
+    generation — see :func:`_cap_buckets` for the audit trail."""
     rows_per_band = num_hashes // bands
     sigged = df.select(
         F.col(id_col), minhash_signature_udf(num_hashes, n_shingle)(F.col(text_col)).alias("sig")
     ).cache()
 
+    # Bucket key is the exact concatenated band values (not a hash of
+    # them): equal-bucket ⇔ equal band signature, so the candidate set
+    # is well-defined and the DuckDB oracle reproduces it bit-for-bit.
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.xxhash64(
-                *[F.col("sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
+            F.concat_ws(
+                "-",
+                *[F.col("sig")[j].cast("string")
+                  for j in range(i * rows_per_band, (i + 1) * rows_per_band)],
             ).alias("bucket"),
         )
         for i in range(bands)
@@ -95,6 +189,7 @@ def minhash_lsh_pairs(
     banded = sigged.select(
         id_col, "sig", F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket)
 
     pairs = (
         banded.alias("a")
@@ -127,23 +222,25 @@ def minhash_lsh_pairs(
 
 
 def simhash_udf(n_shingle: int = 2):
-    """pandas UDF: text → 64-bit SimHash (weighted bit voting)."""
+    """pandas UDF: text → 62-bit SimHash (weighted bit voting).
+
+    The per-shingle hash is the dual polynomial hash packed as
+    h64 = h1·2³¹ | h2 (62 effective bits, always non-negative), so the
+    whole simhash pipeline is reproducible in BIGINT SQL. Bit votes are
+    computed batch-wide with one add.reduceat — no per-doc Python loop.
+    """
+    shifts = np.arange(62, dtype=np.uint64)
 
     @pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for i, t in enumerate(texts):
-            hs = _token_hashes(t or "", n_shingle)
-            if len(hs) == 0:
-                out[i] = 0
-                continue
-            bits = (hs[:, None] & bitcols[None, :]) != 0
-            votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 voting
-            out[i] = np.int64(
-                np.uint64(np.packbits(votes > 0, bitorder="little").view(np.uint64)[0])
-            )
-        return pd.Series(out)
+        h1, h2, offsets = _batch_shingle_hashes(texts, n_shingle)
+        h64 = (h1 << np.uint64(31)) | h2
+        bits = ((h64[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        sums = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 62)
+        counts = np.diff(np.concatenate((offsets, [len(h64)])))
+        votes = sums * 2 - counts[:, None]
+        packed = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
 
     return sh
 
@@ -154,9 +251,11 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 16,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dups by SimHash: banded equality candidates + exact Hamming
-    distance filter (≤ max_hamming)."""
+    distance filter (≤ max_hamming). Oversized bands (e.g. the all-zero
+    simhash of empty texts) are capped — see :func:`_cap_buckets`."""
     hashed = df.select(
         F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash")
     )
@@ -179,6 +278,7 @@ def simhash_near_dups(
             )
         ).alias("bv"),
     ).select(id_col, "simhash", "bv.band", "bv.band_val")
+    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket)
     pairs = (
         banded.alias("a")
         .join(
@@ -209,12 +309,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard similarity — the verification-grade
     dedup lane, built from relational ops only:
 
     explode shingles → inverted index → pair co-count = |A∩B| →
-    Jaccard = co / (|A| + |B| - co). Shares no UDF at all."""
+    Jaccard = co / (|A| + |B| - co). Shares no UDF at all.
+
+    ``max_df`` caps shingle document frequency: a shingle appearing in
+    k docs contributes k² candidate rows to the inverted-index
+    self-join, so one boilerplate trigram in 10⁶ docs would emit 10¹²
+    rows. Shingles with df > max_df are removed from the shingle space
+    entirely (both co-counts and sizes), which keeps the result an
+    exact Jaccard over the filtered space; an oracle replicates the
+    same filter, and :func:`dropped_bucket_stats` on the shingled frame
+    reports what was dropped."""
     toks = F.split(F.col(text_col), " ")
     shingled = df.select(
         F.col(id_col),
@@ -225,6 +335,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     ).dropDuplicates([id_col, "shingle"])
+    if max_df is not None:
+        shingled = _cap_buckets(shingled, ["shingle"], max_df)
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     co = (
         shingled.alias("a")
@@ -256,27 +368,43 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_tables: int = 4,
+    bits_per_table: int = 16,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold. Brute-force within
-    LSH buckets: random-hyperplane signs bucket the vectors first, so
-    the pair join is per-bucket, not all-pairs."""
+    """Embedding-cosine near-dup pairs ≥ threshold via multi-table
+    random-hyperplane LSH.
+
+    ``n_tables`` independent tables of ``bits_per_table`` hyperplanes
+    each: a pair is a candidate if it collides in ANY table (union →
+    distinct), then verified with the exact cosine. 16-bit tables give
+    65,536 buckets per table — expected bucket population n/65,536 stays
+    join-friendly at 10⁹ rows, vs. the single 8-plane table (256
+    buckets, O(n²/256) in-bucket pairs) this replaces. More tables raise
+    recall (collision prob. 1−(1−cosᵇ)ᵗ for angle-cos c); oversized
+    buckets are capped with an auditable drop count (_cap_buckets).
+    """
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     rng = np.random.default_rng(777)
-    planes = rng.standard_normal((8, dim))
+    planes = rng.standard_normal((n_tables, bits_per_table, dim))
+    weights = (1 << np.arange(bits_per_table)).astype(np.int64)
 
-    @pandas_udf("int")
-    def bucket(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("array<int>")
+    def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy())
-        signs = (mat @ planes.T) > 0
-        vals = (signs * (1 << np.arange(8))).sum(axis=1)
-        return pd.Series(vals.astype(np.int32))
+        out = np.empty((len(mat), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            signs = (mat @ planes[t].T) > 0
+            out[:, t] = signs @ weights
+        return pd.Series(list(out))
 
     withb = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
+    withb = _cap_buckets(withb, ["table", "bucket"], max_bucket)
 
     def dot(x, y):
         return F.aggregate(
@@ -285,23 +413,31 @@ def embedding_near_dups(
             lambda acc, v: acc + v,
         )
 
-    pairs = (
+    cands = (
         withb.alias("a")
         .join(
             withb.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (
-                dot(F.col("a.vec"), F.col("b.vec"))
-                / (
-                    F.sqrt(dot(F.col("a.vec"), F.col("a.vec")))
-                    * F.sqrt(dot(F.col("b.vec"), F.col("b.vec")))
-                )
-            ).alias("cosine"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cands.select(
+        "id_a",
+        "id_b",
+        (
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (
+                F.sqrt(dot(F.col("vec_a"), F.col("vec_a")))
+                * F.sqrt(dot(F.col("vec_b"), F.col("vec_b")))
+            )
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -23,23 +23,31 @@ _LANG_MARKERS = {
 
 
 def lang_id_udf():
+    """Vectorized language guess: pandas ``.str`` kernels batch-wide —
+    no per-row/per-char Python loop. Marker counts are non-overlapping
+    substring counts (``Series.str.count`` on escaped patterns), which
+    an SQL oracle reproduces as (len(t)−len(replace(t,m,'')))/len(m).
+    Ties break to the lexicographically largest language code, matching
+    ``max(scores, key=lambda k: (scores[k], k))``."""
+    import re
+
     @pandas_udf("string")
     def lang(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            t = f" {(t or '').lower()} "
-            # CJK presence dominates
-            if any("぀" <= ch <= "ヿ" or "一" <= ch <= "鿿" for ch in t):
-                out.append("ja")
-                continue
-            scores = {
-                lang_: sum(t.count(m) for m in marks)
+        t = " " + texts.fillna("").str.lower() + " "
+        cjk = t.str.contains(r"[぀-ヿ一-鿿]", regex=True)
+        scores = pd.DataFrame(
+            {
+                lang_: sum(t.str.count(re.escape(m)) for m in marks)
                 for lang_, marks in _LANG_MARKERS.items()
                 if lang_ != "ja"
             }
-            best = max(scores, key=lambda k: (scores[k], k))
-            out.append(best if scores[best] > 0 else "unknown")
-        return pd.Series(out)
+        )
+        # idxmax returns the FIRST max; order columns descending so the
+        # winner of a tie is the lexicographically largest code.
+        ordered = scores[sorted(scores.columns, reverse=True)]
+        best = ordered.idxmax(axis=1)
+        out = best.where(scores.max(axis=1) > 0, "unknown").where(~cjk, "ja")
+        return out
 
     return lang
 

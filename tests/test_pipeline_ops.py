@@ -69,6 +69,50 @@ class TestDedup:
         expected = len(a & b) / len(a | b)
         assert found[(0, 101)] == pytest.approx(expected)
 
+    def test_ngram_df_cap_pathological(self, spark):
+        """One shingle shared by EVERY doc: with a df cap the candidate
+        join stays O(n) (the hot shingle is dropped from the shingle
+        space) and the drop is auditable — the no-silent-caps rule."""
+        n = 50
+        rows = [(i, f"common boiler plate unique{i} word{i} tail{i}") for i in range(n)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        # Cap df at 10: "common boiler plate" (df=n) is dropped; the
+        # unique shingles (df=1) survive → no pairs at all.
+        pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=10).toPandas()
+        assert len(pairs) == 0
+        # Audit: exactly one shingle dropped, n rows.
+        toks = None
+        from pyspark.sql import functions as F
+
+        t = F.split(F.col("text"), " ")
+        shingled = df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+                )
+            ).alias("shingle"),
+        ).dropDuplicates(["doc_id", "shingle"])
+        stats = dedup.dropped_bucket_stats(shingled, ["shingle"], 10).collect()[0]
+        assert stats["n_buckets_dropped"] == 1
+        assert stats["n_rows_dropped"] == n
+        # Without the cap the hot shingle pairs everything with everything.
+        uncapped = dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.01, max_df=None
+        ).toPandas()
+        assert len(uncapped) == n * (n - 1) / 2
+
+    def test_minhash_bucket_cap(self, spark):
+        """Identical docs all share every band bucket; a small cap
+        removes the degenerate bucket (and with it all pairs)."""
+        rows = [(i, "same text everywhere in this corpus") for i in range(20)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        capped = dedup.minhash_lsh_pairs(df, threshold=0.1, max_bucket=5).toPandas()
+        assert len(capped) == 0
+        uncapped = dedup.minhash_lsh_pairs(df, threshold=0.1, max_bucket=None).toPandas()
+        assert len(uncapped) == 20 * 19 / 2
+
     def test_embedding_near_dups(self, spark):
         rng = np.random.default_rng(5)
         base = rng.standard_normal((20, 16)).astype(np.float32)
