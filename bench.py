@@ -287,6 +287,71 @@ def main() -> None:
         .collect(),
     )
 
+    # Dedup lane: MinHash signatures + LSH pair generation over a
+    # 100k-doc synthetic corpus — exercises the vectorized polynomial
+    # hash kernel (the round-1 per-byte Python loop was ~40× slower on
+    # this lane; see bench/minhash_kernel.py for the kernel-level A/B).
+    from ksj2gp_spark.operators import dedup as dedup_ops
+
+    docs100k = (
+        spark.range(100_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.substring(
+                        F.md5((F.col("id") * 40 + i).cast("string")), 1, 6
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .repartition(cpus * 2)
+        .cache()
+    )
+    docs100k.count()
+    timed(
+        "minhash_lsh_100k",
+        lambda: dedup_ops.minhash_lsh_pairs(docs100k, threshold=0.5).count(),
+    )
+
+    # Fused assignment at 20k-polygon cardinality: the ocean lane runs
+    # the ring-pruned kNN kernel (no dense points×polygons matrix).
+    def fused_large_layer():
+        import numpy as np
+
+        from ksj2gp_spark.geo import wkb as _wkb
+
+        rs = np.random.default_rng(7)
+        NPOLY = 20_000
+        x = rs.uniform(129.5, 144.5, NPOLY)
+        y = rs.uniform(31.0, 44.5, NPOLY)
+        w = rs.uniform(0.002, 0.02, NPOLY)
+        h = rs.uniform(0.002, 0.02, NPOLY)
+        import pandas as pd
+
+        polys20k = pd.DataFrame(
+            {
+                "polygon_id": [f"pg{i:06d}" for i in range(NPOLY)],
+                "行政区域コード": [f"{10000 + i}" for i in range(NPOLY)],
+                "geometry": [
+                    _wkb.polygon(
+                        [(a, b), (a + c, b), (a + c, b + d), (a, b + d), (a, b)]
+                    )
+                    for a, b, c, d in zip(x, y, w, h)
+                ],
+            }
+        )
+        probe = fixtures.images_df(
+            spark, 300_000, with_bytes=False, partitions=cpus * 2
+        )
+        return spatial.fused_assign_or_knn(
+            probe, polys20k, scheme="grid", res=10, k=3
+        ).count()
+
+    timed("fused_20k_polygons_300k_pts", fused_large_layer)
+
     # Relational operators at SF scale.
     import __spark_entry__ as entry_mod
 

@@ -90,9 +90,9 @@ def phash64(arr: np.ndarray) -> int:
         arr = arr.mean(axis=2)
     small = resize_block_mean(arr, 8, 8)
     bits = (small > small.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
+    # MSB-first packing, vectorized (each term is a distinct bit).
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    val = (bits << shifts).sum(dtype=np.uint64)
     return int(val.astype(np.int64))
 
 

@@ -36,10 +36,10 @@ def latlng_to_cell(
     j = np.floor((np.asarray(lats, dtype=np.float64) + 90.0) / size).astype(
         np.int64
     )
-    n = np.int64(1) << res
+    n = 1 << res
     i = np.clip(i, 0, n - 1)
     j = np.clip(j, 0, n - 1)
-    return (np.int64(res) << 58) | (i << 29) | j
+    return (int(res) << 58) | (i << 29) | j
 
 
 def cell_to_parent(cells: np.ndarray, parent_res: int) -> np.ndarray:
@@ -48,13 +48,13 @@ def cell_to_parent(cells: np.ndarray, parent_res: int) -> np.ndarray:
     i = (cells >> 29) & ((1 << 29) - 1)
     j = cells & ((1 << 29) - 1)
     shift = res - parent_res
-    return (np.int64(parent_res) << 58) | ((i >> shift) << 29) | (j >> shift)
+    return (int(parent_res) << 58) | ((i >> shift) << 29) | (j >> shift)
 
 
 def cell_center(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cells = np.asarray(cells, dtype=np.int64)
     res = (cells >> 58).astype(np.int64)
-    size = 360.0 / (np.int64(1) << res)
+    size = 360.0 / (1 << res)
     i = (cells >> 29) & ((1 << 29) - 1)
     j = cells & ((1 << 29) - 1)
     return (i + 0.5) * size - 180.0, (j + 0.5) * size - 90.0
@@ -74,7 +74,7 @@ def cover_bbox(
         np.arange(j0, j1 + 1, dtype=np.int64),
         indexing="ij",
     )
-    return (np.int64(res) << 58) | (ii.ravel() << 29) | jj.ravel()
+    return (int(res) << 58) | (ii.ravel() << 29) | jj.ravel()
 
 
 def cover_geometry(geom, res: int) -> np.ndarray:

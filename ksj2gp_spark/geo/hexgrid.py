@@ -64,8 +64,8 @@ def latlng_to_cell(
     rf = (2.0 / 3.0 * y) / size
     q, r = _axial_round(qf, rf)
     return (
-        (np.int64(1) << 62)
-        | (np.int64(res) << 54)
+        (1 << 62)
+        | (int(res) << 54)
         | ((q + _OFF) << 27)
         | (r + _OFF)
     )
@@ -114,8 +114,8 @@ def grid_disk(cell: int, k: int = 1) -> np.ndarray:
             out.append((q0 + dq, r0 + dr))
     arr = np.array(out, dtype=np.int64)
     return (
-        (np.int64(1) << 62)
-        | (np.int64(res) << 54)
+        (1 << 62)
+        | (int(res) << 54)
         | ((arr[:, 0] + _OFF) << 27)
         | (arr[:, 1] + _OFF)
     )

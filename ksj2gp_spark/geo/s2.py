@@ -105,7 +105,7 @@ def latlng_to_cell(lons, lats, level: int) -> np.ndarray:
     """Vectorized point → S2 cell id at ``level``."""
     x, y, z = latlng_to_xyz(lons, lats)
     face, u, v = xyz_to_face_uv(x, y, z)
-    smax = np.int64(1) << MAX_LEVEL
+    smax = 1 << MAX_LEVEL
     i = np.clip(
         np.floor(_uv_to_st(u) * smax).astype(np.int64), 0, smax - 1
     )
@@ -161,7 +161,7 @@ def level_of(cells: np.ndarray) -> np.ndarray:
 
 def parent(cells: np.ndarray, level: int) -> np.ndarray:
     cells = np.asarray(cells, dtype=np.int64)
-    new_lsb = np.int64(1) << (2 * (MAX_LEVEL - level))
+    new_lsb = 1 << (2 * (MAX_LEVEL - level))
     return (cells & -new_lsb) | new_lsb
 
 
@@ -176,7 +176,7 @@ def cell_to_latlng(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cells = np.asarray(cells, dtype=np.int64)
     face = (cells >> 61) & 7
     # Recover leaf (i, j) by walking the Hilbert curve back down.
-    pos = (cells >> 1) & ((np.int64(1) << 60) - 1)
+    pos = (cells >> 1) & ((1 << 60) - 1)
     orient = face & _SWAP
     i = np.zeros_like(cells)
     j = np.zeros_like(cells)
@@ -192,7 +192,7 @@ def cell_to_latlng(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cell_size = np.maximum(cell_size, 1)
     i = (i & ~(cell_size - 1)) + cell_size // 2
     j = (j & ~(cell_size - 1)) + cell_size // 2
-    smax = float(np.int64(1) << MAX_LEVEL)
+    smax = float(1 << MAX_LEVEL)
     u = _st_to_uv((i.astype(np.float64) + 0.5) / smax)
     v = _st_to_uv((j.astype(np.float64) + 0.5) / smax)
     return _face_uv_to_latlng(face, u, v)

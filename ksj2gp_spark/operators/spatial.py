@@ -269,7 +269,8 @@ def knn_join(
 ) -> DataFrame:
     """k nearest polygons per image point (planar degrees), fully
     vectorized: a points×polygons distance matrix per Arrow batch with
-    deterministic (distance, admin_code) tie-breaking.
+    deterministic (distance, admin_code, polygon_id) tie-breaking —
+    the same total order as knn_join_pruned and fused_assign_or_knn.
 
     The polygon side is broadcast; at larger polygon cardinality the
     candidate set would first be pruned by expanding cell rings
@@ -293,7 +294,14 @@ def knn_join(
                 geos = [
                     (pid, code, wkb.loads(buf)) for pid, code, buf in b.value
                 ]
-                order = np.argsort([c for _, c, _ in geos], kind="stable")
+                # (admin_code, polygon_id) tie order — identical across
+                # knn_join / knn_join_pruned / fused_assign_or_knn.
+                order = np.lexsort(
+                    (
+                        np.array([p for p, _, _ in geos], dtype=object),
+                        np.array([c for _, c, _ in geos], dtype=object),
+                    )
+                )
                 geos = [geos[i] for i in order]
             lons = pdf[lon_col].to_numpy(dtype=np.float64)
             lats = pdf[lat_col].to_numpy(dtype=np.float64)
@@ -326,6 +334,124 @@ def knn_join(
     )
 
 
+def _knn_payload_and_cellmap(
+    polys: pd.DataFrame, admin_col: str, res: int
+) -> tuple[list[tuple], dict[int, list[int]]]:
+    """Driver-side broadcast prep for the ring-kNN kernel: the polygon
+    payload [(polygon_id, admin_code, wkb)] and the grid-cell →
+    payload-index inverted cover."""
+    cover_pdf = polygon_cover_pdf(polys, "grid", res, extra_cols=())
+    pid_order = {
+        pid: n for n, pid in enumerate(polys["polygon_id"].tolist())
+    }
+    cell_map: dict[int, list[int]] = {}
+    for cell, pid in zip(cover_pdf["cell"], cover_pdf["polygon_id"]):
+        cell_map.setdefault(int(cell), []).append(pid_order[pid])
+    payload = [
+        (row["polygon_id"], row[admin_col], bytes(row["geometry"]))
+        for _, row in polys.iterrows()
+    ]
+    return payload, cell_map
+
+
+def _ring_knn_batch(
+    lons: np.ndarray,
+    lats: np.ndarray,
+    payload: list[tuple],
+    cmap: dict[int, list[int]],
+    res: int,
+    k: int,
+    parsed: dict[int, "wkb.Geometry"],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ring-pruned exact-kNN kernel for one Arrow batch.
+
+    ``payload`` is [(polygon_id, admin_code, wkb_bytes)], ``cmap`` maps
+    grid cell id → payload indices of polygons covering it. Per
+    occupied point cell, Chebyshev rings of cells are expanded to
+    accumulate candidates; the search stops once ≥k candidates exist
+    AND the next ring's lower bound ((R−1)·cell_size: a polygon absent
+    from every cell within ring R is at least that far) exceeds the
+    worst kth distance. Exact distances are evaluated only against the
+    candidate set — never all polygons. Ties order by
+    (distance, admin_code, polygon_id); ``parsed`` caches decoded WKB
+    across batches. Returns (pid, admin, dist) matrices of shape (n,k).
+    """
+    from ..geo import grid as grid_mod
+
+    size = grid_mod.cell_size(res)
+    res_hi = int(res) << 58
+
+    def geo(c: int) -> wkb.Geometry:
+        g = parsed.get(c)
+        if g is None:
+            g = parsed[c] = wkb.loads(payload[c][2])
+        return g
+
+    n_rows = len(lons)
+    cells_v = grid_mod.latlng_to_cell(lons, lats, res)
+    out_pid = np.empty((n_rows, k), dtype=object)
+    out_adm = np.empty((n_rows, k), dtype=object)
+    out_d = np.empty((n_rows, k), dtype=np.float64)
+    cell_groups = pd.Series(cells_v).groupby(cells_v).indices
+    for cell, idx in cell_groups.items():
+        ci = int((cell >> 29) & ((1 << 29) - 1))
+        cj = int(cell & ((1 << 29) - 1))
+        cand: set[int] = set()
+        R = 0
+        done_bound = False
+        while True:
+            # add ring R cells
+            if R == 0:
+                ring = [(ci, cj)]
+            else:
+                rng_ = range(-R, R + 1)
+                ring = [(ci + d, cj - R) for d in rng_]
+                ring += [(ci + d, cj + R) for d in rng_]
+                ring += [(ci - R, cj + d) for d in rng_[1:-1]]
+                ring += [(ci + R, cj + d) for d in rng_[1:-1]]
+            for (ri, rj) in ring:
+                key = int(res_hi | (np.int64(ri) << 29) | np.int64(rj))
+                hit = cmap.get(key)
+                if hit:
+                    cand.update(hit)
+            if len(cand) >= k:
+                cl = sorted(cand)
+                sub_lon, sub_lat = lons[idx], lats[idx]
+                dmat = np.stack(
+                    [
+                        geom.distance_to_geometry(sub_lon, sub_lat, geo(c))
+                        for c in cl
+                    ],
+                    axis=1,
+                )
+                kth_worst = np.sort(dmat, axis=1)[:, k - 1].max()
+                # polygons not seen within ring R are ≥ R·size away
+                if kth_worst <= R * size or done_bound:
+                    order_keys = np.array(
+                        [(payload[c][1], payload[c][0]) for c in cl],
+                        dtype=object,
+                    )
+                    ord_idx = np.lexsort(
+                        (order_keys[:, 1], order_keys[:, 0])
+                    )
+                    dmat = dmat[:, ord_idx]
+                    cl = [cl[o] for o in ord_idx]
+                    top = np.argsort(dmat, axis=1, kind="stable")[:, :k]
+                    out_pid[idx] = np.array(
+                        [payload[c][0] for c in cl], dtype=object
+                    )[top]
+                    out_adm[idx] = np.array(
+                        [payload[c][1] for c in cl], dtype=object
+                    )[top]
+                    out_d[idx] = np.take_along_axis(dmat, top, axis=1)
+                    break
+            R += 1
+            if R > (1 << res):  # layer exhausted — use all cands
+                done_bound = True
+                cand.update(range(len(payload)))
+    return out_pid, out_adm, out_d
+
+
 def knn_join_pruned(
     images: DataFrame,
     polygons_pdf: pd.DataFrame,
@@ -347,41 +473,20 @@ def knn_join_pruned(
     against the candidate set.
 
     Output contract is identical to ``knn_join`` (same deterministic
-    (distance, admin_code) ordering); equality is tested against the
-    brute-force kernel on a 2000-polygon layer.
+    (distance, admin_code, polygon_id) ordering); equality is tested
+    against the brute-force kernel on an 800-polygon layer.
     """
-    from ..geo import grid as grid_mod
-
     spark = images.sparkSession
     polys = normalize_polygons(polygons_pdf)
     k = min(k, len(polys))
-    cover_pdf = polygon_cover_pdf(polys, "grid", res, extra_cols=())
-    pid_order = {
-        pid: n for n, pid in enumerate(polys["polygon_id"].tolist())
-    }
-    cell_map: dict[int, list[int]] = {}
-    for cell, pid in zip(cover_pdf["cell"], cover_pdf["polygon_id"]):
-        cell_map.setdefault(int(cell), []).append(pid_order[pid])
-    payload = [
-        (row["polygon_id"], row[admin_col], bytes(row["geometry"]))
-        for _, row in polys.iterrows()
-    ]
+    payload, cell_map = _knn_payload_and_cellmap(polys, admin_col, res)
     b = spark.sparkContext.broadcast((payload, cell_map))
-    size = grid_mod.cell_size(res)
-    res_hi = np.int64(res) << 58
     images = images.select("image_id", lon_col, lat_col)
 
     def topk(batches):
         payload_v = None
         cmap = None
         parsed: dict[int, wkb.Geometry] = {}
-
-        def geo(c: int) -> wkb.Geometry:
-            g = parsed.get(c)
-            if g is None:
-                g = parsed[c] = wkb.loads(payload_v[c][2])
-            return g
-
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -389,72 +494,9 @@ def knn_join_pruned(
                 payload_v, cmap = b.value
             lons = pdf[lon_col].to_numpy(dtype=np.float64)
             lats = pdf[lat_col].to_numpy(dtype=np.float64)
-            cells_v = grid_mod.latlng_to_cell(lons, lats, res)
-            out_pid = np.empty((len(pdf), k), dtype=object)
-            out_adm = np.empty((len(pdf), k), dtype=object)
-            out_d = np.empty((len(pdf), k), dtype=np.float64)
-            cell_groups = pd.Series(cells_v).groupby(cells_v).indices
-            for cell, idx in cell_groups.items():
-                ci = int((cell >> 29) & ((1 << 29) - 1))
-                cj = int(cell & ((1 << 29) - 1))
-                cand: set[int] = set()
-                R = 0
-                done_bound = False
-                while True:
-                    # add ring R cells
-                    if R == 0:
-                        ring = [(ci, cj)]
-                    else:
-                        rng_ = range(-R, R + 1)
-                        ring = [(ci + d, cj - R) for d in rng_]
-                        ring += [(ci + d, cj + R) for d in rng_]
-                        ring += [(ci - R, cj + d) for d in rng_[1:-1]]
-                        ring += [(ci + R, cj + d) for d in rng_[1:-1]]
-                    for (ri, rj) in ring:
-                        key = int(res_hi | (np.int64(ri) << 29) | np.int64(rj))
-                        hit = cmap.get(key)
-                        if hit:
-                            cand.update(hit)
-                    if len(cand) >= k:
-                        cl = sorted(cand)
-                        sub_lon, sub_lat = lons[idx], lats[idx]
-                        dmat = np.stack(
-                            [
-                                geom.distance_to_geometry(
-                                    sub_lon, sub_lat, geo(c)
-                                )
-                                for c in cl
-                            ],
-                            axis=1,
-                        )
-                        kth_worst = np.sort(dmat, axis=1)[:, k - 1].max()
-                        # polygons not seen within ring R are ≥ R·size away
-                        if kth_worst <= R * size or done_bound:
-                            order_keys = np.array(
-                                [
-                                    (payload_v[c][1], payload_v[c][0])
-                                    for c in cl
-                                ],
-                                dtype=object,
-                            )
-                            ord_idx = np.lexsort(
-                                (order_keys[:, 1], order_keys[:, 0])
-                            )
-                            dmat = dmat[:, ord_idx]
-                            cl = [cl[o] for o in ord_idx]
-                            top = np.argsort(dmat, axis=1, kind="stable")[:, :k]
-                            out_pid[idx] = np.array(
-                                [payload_v[c][0] for c in cl], dtype=object
-                            )[top]
-                            out_adm[idx] = np.array(
-                                [payload_v[c][1] for c in cl], dtype=object
-                            )[top]
-                            out_d[idx] = np.take_along_axis(dmat, top, axis=1)
-                            break
-                    R += 1
-                    if R > (1 << res):  # layer exhausted — use all cands
-                        done_bound = True
-                        cand.update(range(len(payload_v)))
+            out_pid, out_adm, out_d = _ring_knn_batch(
+                lons, lats, payload_v, cmap, res, k, parsed
+            )
             n = len(pdf)
             yield pd.DataFrame(
                 {
@@ -483,6 +525,8 @@ def fused_assign_or_knn(
     k: int = 3,
     admin_col: str = "行政区域コード",
     crs: str | None = None,
+    knn_dense_max: int = 64,
+    knn_res: int = 8,
 ) -> DataFrame:
     """Single-pass tile assignment WITH the ocean/kNN fallback lane.
 
@@ -496,9 +540,16 @@ def fused_assign_or_knn(
     rows emit ``rank = 0``, ocean rows emit ranks ``1..k`` with their
     distance.
 
+    The ocean lane picks its kernel by layer size: up to
+    ``knn_dense_max`` polygons a dense points×polygons distance matrix
+    is cheapest; above it the ring-pruned kernel (``_ring_knn_batch``,
+    the ``knn_join_pruned`` path) evaluates only cell-ring candidates —
+    the 10⁴⁺-polygon layers never see a dense matrix.
+
     Row-set contract: equal to
     ``spatial_join_tiles(...)  UNION  knn_join(unmatched, ...)``
-    (asserted in tests/test_spatial_spark.py).
+    (asserted in tests/test_spatial_spark.py, incl. a large-layer run
+    against knn_join_pruned).
     """
     from .cells import _cell_fn
 
@@ -511,7 +562,13 @@ def fused_assign_or_knn(
         (row["polygon_id"], row[admin_col], bytes(row["geometry"]))
         for _, row in polys.iterrows()
     ]
-    geos_b = spark.sparkContext.broadcast(payload)
+    use_ring_knn = len(payload) > knn_dense_max
+    knn_k = min(k, len(payload))
+    if use_ring_knn:
+        _, knn_cell_map = _knn_payload_and_cellmap(polys, admin_col, knn_res)
+    else:
+        knn_cell_map = None
+    geos_b = spark.sparkContext.broadcast((payload, knn_cell_map))
     cell_fn = _cell_fn(scheme, res)
 
     crs_name = crs
@@ -520,8 +577,10 @@ def fused_assign_or_knn(
         from ..geo import transform as _tf
 
         cover = cover_b.value
-        geo_map = {pid: buf for pid, _, buf in geos_b.value}
+        payload_v, knn_cmap = geos_b.value
+        geo_map = {pid: buf for pid, _, buf in payload_v}
         parsed: dict[str, wkb.Geometry] = {}
+        ring_cache: dict[int, wkb.Geometry] = {}
         knn_geos = None
         for pdf in batches:
             if pdf.empty:
@@ -562,44 +621,60 @@ def fused_assign_or_knn(
             matched[sel] = True
             ocean = np.flatnonzero(~matched)
             if len(ocean):
-                if knn_geos is None:
-                    knn_geos = [
-                        (pid, code, wkb.loads(buf))
-                        for pid, code, buf in geos_b.value
-                    ]
-                    order = np.argsort(
-                        [c for _, c, _ in knn_geos], kind="stable"
-                    )
-                    knn_geos = [knn_geos[i] for i in order]
                 olon, olat = lons[ocean], lats[ocean]
-                dmat = np.stack(
-                    [
-                        geom.distance_to_geometry(olon, olat, g)
-                        for _, _, g in knn_geos
-                    ],
-                    axis=1,
-                )
-                top = np.argsort(dmat, axis=1, kind="stable")[:, :k]
                 n = len(ocean)
+                if knn_cmap is not None:
+                    # large layer: ring-pruned kernel, no dense matrix
+                    o_pid, o_adm, o_d = _ring_knn_batch(
+                        olon, olat, payload_v, knn_cmap,
+                        knn_res, knn_k, ring_cache,
+                    )
+                    pid_flat = o_pid.ravel()
+                    adm_flat = o_adm.ravel()
+                    d_flat = o_d.ravel()
+                else:
+                    if knn_geos is None:
+                        knn_geos = [
+                            (pid, code, wkb.loads(buf))
+                            for pid, code, buf in payload_v
+                        ]
+                        order = np.lexsort(
+                            (
+                                np.array(
+                                    [p for p, _, _ in knn_geos], dtype=object
+                                ),
+                                np.array(
+                                    [c for _, c, _ in knn_geos], dtype=object
+                                ),
+                            )
+                        )
+                        knn_geos = [knn_geos[i] for i in order]
+                    dmat = np.stack(
+                        [
+                            geom.distance_to_geometry(olon, olat, g)
+                            for _, _, g in knn_geos
+                        ],
+                        axis=1,
+                    )
+                    top = np.argsort(dmat, axis=1, kind="stable")[:, :knn_k]
+                    pid_flat = np.array(
+                        [knn_geos[j][0] for j in top.ravel()], dtype=object
+                    )
+                    adm_flat = np.array(
+                        [knn_geos[j][1] for j in top.ravel()], dtype=object
+                    )
+                    d_flat = np.take_along_axis(dmat, top, axis=1).ravel()
                 out_parts.append(
                     pd.DataFrame(
                         {
-                            "image_id": np.repeat(ids[ocean], k),
-                            "cell": np.repeat(cells_v[ocean], k),
-                            "polygon_id": np.array(
-                                [knn_geos[j][0] for j in top.ravel()],
-                                dtype=object,
-                            ),
-                            "admin_code": np.array(
-                                [knn_geos[j][1] for j in top.ravel()],
-                                dtype=object,
-                            ),
+                            "image_id": np.repeat(ids[ocean], knn_k),
+                            "cell": np.repeat(cells_v[ocean], knn_k),
+                            "polygon_id": pid_flat,
+                            "admin_code": adm_flat,
                             "rank": np.tile(
-                                np.arange(1, k + 1, dtype=np.int32), n
+                                np.arange(1, knn_k + 1, dtype=np.int32), n
                             ),
-                            "distance": np.take_along_axis(
-                                dmat, top, axis=1
-                            ).ravel(),
+                            "distance": d_flat,
                         }
                     )
                 )

@@ -153,12 +153,24 @@ def run_tile_pipeline(
     rank, distance)`` tiles under ``out_path``, one committed chunk +
     lineage manifest per file group. Fused single-pass join (assignment
     + ocean kNN lane); re-invocation after a crash skips committed
-    chunks. Returns the run summary {chunk: manifest}."""
+    chunks. Returns the run summary {chunk: manifest}.
+
+    ``bbox`` is interpreted in WGS84 (the post-reprojection frame the
+    join runs in). File manifest stats, however, are recorded in the
+    table's *source* datum; when ``crs`` is set the pruning bbox is
+    padded by the maximum datum-shift magnitude so a file within the
+    shift of the bbox edge is never wrongly pruned."""
     polys_pdf = (
         polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
     )
     res = res if res is not None else spatial.DEFAULT_RES[scheme]
-    chunks = _image_file_chunks(spark, images_path, n_chunks, bbox=bbox)
+    prune_bbox = bbox
+    if bbox is not None and crs:
+        # Tokyo→WGS84 moves points ≤ ~0.0047° anywhere over Japan;
+        # 0.01° is a safe bound (still prunes all but edge files).
+        pad = 0.01
+        prune_bbox = (bbox[0] - pad, bbox[1] - pad, bbox[2] + pad, bbox[3] + pad)
+    chunks = _image_file_chunks(spark, images_path, n_chunks, bbox=prune_bbox)
     if not chunks:
         return {}
     chunk_ids = [f"{i:05d}" for i in range(len(chunks))]

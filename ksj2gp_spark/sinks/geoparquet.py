@@ -57,11 +57,18 @@ def with_bbox_covering(
 
 
 def geo_file_metadata(
-    geometry_col: str = "geometry", crs_name: str = "JGD2011"
+    geometry_col: str = "geometry",
+    crs_name: str = "JGD2011",
+    geometry_types: list[str] | None = None,
 ) -> str:
-    """GeoParquet-style ``geo`` metadata JSON (stored alongside output;
-    parquet key-value metadata isn't directly settable from the Spark
-    writer, so the sink writes a sidecar `_geo_metadata.json`)."""
+    """GeoParquet ``geo`` metadata JSON for the parquet footer
+    key-value blob (geoparquet_writer.rs:95-97 appends the same via
+    ``append_key_value_metadata``). CRS is embedded as PROJJSON
+    (builder.rs:322; geo/projjson.py carries the public EPSG
+    definitions); unknown names → null, which GeoParquet reads as
+    OGC:CRS84 (WGS84 lon-lat)."""
+    from ..geo.projjson import PROJJSON
+
     return json.dumps(
         {
             "version": GEO_METADATA_VERSION,
@@ -69,7 +76,8 @@ def geo_file_metadata(
             "columns": {
                 geometry_col: {
                     "encoding": "WKB",
-                    "crs": crs_name,
+                    "geometry_types": geometry_types or [],
+                    "crs": PROJJSON.get(crs_name),
                     "covering": {
                         "bbox": {
                             "xmin": ["bbox_xmin"],
@@ -91,15 +99,24 @@ def write_geoparquet(
     geometry_col: str = "geometry",
     crs_name: str = "JGD2011",
     sort_spatially: bool = True,
-) -> None:
-    """Write WKB rows as parquet with bbox covering columns.
+) -> list[dict]:
+    """Write WKB rows as GeoParquet: bbox covering columns + the
+    ``geo`` key-value blob in every file's parquet FOOTER, so
+    third-party readers (GDAL, geopandas) recognize the output without
+    any sidecar. Spark's JVM writer can't set footer metadata, so each
+    partition writes its own file through pyarrow inside one
+    ``mapInPandas`` pass — still fully distributed (one file per
+    partition, shared filesystem assumed, same as any Spark sink).
 
     ``sort_spatially`` range-partitions by (bbox_xmin, bbox_ymin) so
     row groups are spatially coherent — that's what turns the bbox
     column min/max statistics into an effective spatial index at read
     time (tight per-row-group bounds instead of full-extent bounds).
+
+    Returns the per-file manifest [{file, rows}, ...].
     """
     import os
+    import shutil
 
     out = with_bbox_covering(df, geometry_col)
     if sort_spatially:
@@ -108,9 +125,45 @@ def write_geoparquet(
             "bbox_xmin",
             "bbox_ymin",
         ).sortWithinPartitions("bbox_xmin", "bbox_ymin")
-    out.write.mode("overwrite").parquet(path)
+    meta_bytes = geo_file_metadata(geometry_col, crs_name).encode()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    spark_schema = out.schema
+
+    def write_part(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(spark_schema)
+        tables = [
+            pa.Table.from_pandas(pdf, schema=target, preserve_index=False)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if tables:
+            pid = TaskContext.get().partitionId()
+            tbl = pa.concat_tables(tables)
+            tbl = tbl.replace_schema_metadata(
+                {**(tbl.schema.metadata or {}), b"geo": meta_bytes}
+            )
+            fname = os.path.join(path, f"part-{pid:05d}.parquet")
+            pq.write_table(tbl, fname)
+            yield pd.DataFrame({"file": [fname], "rows": [tbl.num_rows]})
+
+    manifest = [
+        r.asDict()
+        for r in out.mapInPandas(
+            write_part, schema="file string, rows long"
+        ).collect()
+    ]
+    # Sidecar kept as a convenience copy (the authoritative metadata is
+    # in each file's footer).
     with open(os.path.join(path, "_geo_metadata.json"), "w") as f:
-        f.write(geo_file_metadata(geometry_col, crs_name))
+        f.write(meta_bytes.decode())
+    return manifest
 
 
 def read_geoparquet_bbox(

@@ -182,10 +182,37 @@ def _commit(
         "current_snapshot_id": snapshot_id,
         "snapshots": snapshots,
     }
+    # Optimistic concurrency: claim a metadata version with
+    # O_CREAT|O_EXCL — never overwrite an existing file (it may belong
+    # to an in-flight concurrent writer; overwriting would silently
+    # discard their snapshot). An existing-but-uncommitted file (crash
+    # orphan or in-flight peer) is skipped by taking the next free
+    # version number — versions don't need to be dense, the hint names
+    # the current one. If the hint moved past our read version at any
+    # point, a peer COMMITTED first → fail with CommitError (real
+    # Iceberg losing-commit semantics); the final re-check below
+    # narrows the unavoidable check-then-rename window of a
+    # filesystem hint catalog (a real catalog closes it with CAS).
     new_version = version + 1
-    meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
-    with open(meta_path, "w") as f:
+    while True:
+        meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+        try:
+            fd = os.open(meta_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            break
+        except FileExistsError:
+            if current_version(path) != version:
+                raise CommitError(
+                    f"concurrent commit at {path}: table moved past "
+                    f"v{version} while committing; re-read and retry"
+                ) from None
+            new_version += 1
+    with os.fdopen(fd, "w") as f:
         json.dump(new_meta, f, indent=1)
+    if current_version(path) != version:
+        raise CommitError(
+            f"concurrent commit detected at {path} before publish; "
+            "aborting (claimed v{new_version} left orphaned, hint untouched)"
+        )
 
     # 4. atomic hint swap — THE commit point
     tmp = _hint_path(path) + ".tmp"

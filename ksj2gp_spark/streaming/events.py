@@ -97,10 +97,16 @@ def dedup_stream(
     key_cols: tuple[str, ...] = ("event_id",),
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Streaming exact dedup: watermarked ``dropDuplicates`` on the key
-    — duplicates arriving within the watermark horizon (at-least-once
-    sources, replayed batches) are dropped; state is bounded because
-    keys older than the watermark are evicted."""
+    """Streaming exact dedup on the composite key ``(key_cols, ts)`` —
+    NOT on ``key_cols`` alone: the event time must be part of the
+    dedup key for the watermark to evict state, so a replayed event
+    with the same id but a perturbed timestamp is treated as a new
+    event. Duplicates arriving within the watermark horizon
+    (at-least-once sources, replayed batches) are dropped; state stays
+    bounded because keys older than the watermark are evicted. For
+    id-only dedup regardless of timestamp, use
+    ``dropDuplicatesWithinWatermark`` (Spark ≥3.5) at the cost of a
+    wider state horizon."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", watermark).dropDuplicates(
         [*key_cols, "ts"]

@@ -38,6 +38,36 @@ def test_bbox_covering_and_metadata(spark, tmp_path, polygons_df):
     assert "bbox" in meta["columns"]["geometry"]["covering"]
 
 
+def test_geo_footer_metadata_real_geoparquet(spark, tmp_path, polygons_df):
+    """Every written file carries the `geo` blob in its parquet FOOTER
+    (key-value metadata, not just a sidecar) with the GeoParquet schema
+    fields and PROJJSON CRS — what GDAL/geopandas actually read."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "gp_footer.parquet")
+    manifest = geoparquet.write_geoparquet(polygons_df, out)
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert files and len(files) == len(manifest)
+    total = 0
+    for f in files:
+        md = pq.read_schema(f).metadata
+        assert b"geo" in md
+        geo = json.loads(md[b"geo"])
+        assert geo["version"] == geoparquet.GEO_METADATA_VERSION
+        assert geo["primary_column"] == "geometry"
+        col = geo["columns"]["geometry"]
+        assert col["encoding"] == "WKB"
+        assert isinstance(col["geometry_types"], list)
+        crs = col["crs"]  # PROJJSON object, not a name string
+        assert crs["type"] == "GeographicCRS"
+        assert crs["name"] == "JGD2011"
+        assert crs["id"]["authority"] == "EPSG"
+        total += pq.read_metadata(f).num_rows
+    assert total == polygons_df.count()
+    # and the files are still plain parquet to any reader
+    assert spark.read.parquet(out).count() == total
+
+
 def test_bbox_scan_pushdown(spark, tmp_path, polygons_df):
     out = str(tmp_path / "gp2.parquet")
     geoparquet.write_geoparquet(polygons_df, out)

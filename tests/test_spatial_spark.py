@@ -287,6 +287,52 @@ def test_knn_pruned_equals_brute_force(spark):
     assert (m["polygon_id_b"] == m["polygon_id_p"]).all()
 
 
+def test_fused_large_layer_ocean_lane_equals_pruned_knn(spark):
+    """On a 2,000-polygon layer the fused operator's ocean lane runs
+    the ring-pruned kernel (no dense matrix); its kNN rows must equal
+    knn_join_pruned on the unmatched points, and its rank-0 rows must
+    equal the relational tile assignment."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as W
+
+    rs = np.random.default_rng(11)
+    NP_, NPT = 2000, 1500
+    x = rs.uniform(130, 142, NP_); y = rs.uniform(31, 43, NP_)
+    w = rs.uniform(0.005, 0.05, NP_); h = rs.uniform(0.005, 0.05, NP_)
+    polys = pd.DataFrame({
+        "polygon_id": [f"pg{i:05d}" for i in range(NP_)],
+        "行政区域コード": [f"{10000 + i}" for i in range(NP_)],
+        "geometry": [
+            W.polygon([(a, b), (a + c, b), (a + c, b + d), (a, b + d), (a, b)])
+            for a, b, c, d in zip(x, y, w, h)
+        ],
+    })
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": [f"p{i:05d}" for i in range(NPT)],
+        "lon": rs.uniform(129.5, 142.5, NPT),
+        "lat": rs.uniform(30.5, 43.5, NPT),
+    }))
+    fused = spatial.fused_assign_or_knn(
+        pts, polys, scheme="grid", k=3
+    ).toPandas()
+    assert spatial.fused_assign_or_knn.__defaults__  # knn_dense_max < 2000
+    knn_rows = fused[fused["rank"] > 0]
+    matched_ids = set(fused.loc[fused["rank"] == 0, "image_id"])
+    ocean_pts = pts.toPandas()
+    ocean_pts = spark.createDataFrame(
+        ocean_pts[~ocean_pts["image_id"].isin(matched_ids)]
+    )
+    pruned = spatial.knn_join_pruned(ocean_pts, polys, k=3, res=8).toPandas()
+    m = pruned.merge(
+        knn_rows, on=["image_id", "rank"], suffixes=("_p", "_f")
+    )
+    assert len(m) == len(pruned) == len(knn_rows)
+    assert np.allclose(m["distance_p"], m["distance_f"])
+    assert (m["polygon_id_p"] == m["polygon_id_f"]).all()
+    assert (m["admin_code_p"] == m["admin_code_f"]).all()
+
+
 def test_fused_assign_or_knn_tokyo_datum_images(spark, images, expected):
     """Image coordinates arriving in the Tokyo datum: the fused operator
     reprojects inside the same Arrow pass (crs param) and assignments
