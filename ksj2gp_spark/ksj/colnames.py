@@ -32,6 +32,7 @@ from ._colname_data import (
     L01_COLNAMES_2018,
     L01_COLNAMES_2022,
     L01_COLNAMES_2024,
+    L02_COLNAMES,
 )
 
 
@@ -60,6 +61,8 @@ def translate_colnames(col_id: str, opts: TranslateOptions) -> str:
         return translate_colnames_a42(col_id, opts.target_shp)
     if opts.ksj_id == "L01":
         return translate_colnames_l01(col_id, opts.year)
+    if opts.ksj_id == "L02":
+        return translate_colnames_l02(col_id)
     if opts.ksj_id == "S12":
         return translate_colnames_s12(col_id)
 
@@ -106,6 +109,18 @@ def translate_colnames_l01(code: str, year: int) -> str:
                 return f"調査価格_{y}年"
             return f"属性移動_{y - (year - 1983)}年"
     raise TranslationError(f"Unhandled L01 year: {year}")  # pragma: no cover
+
+
+def translate_colnames_l02(code: str) -> str:
+    """L02 (基準地価格) — the reference's own ``unimplemented!()``
+    (colnames.rs:34 panics on L02). Its data table ships the 53-entry
+    L02_COLNAMES list; this engine extension maps ``L02_0NN`` by index
+    the same way the L01 fixed bands do. Attributed as an extension,
+    not reference parity."""
+    idx = _parse_idx(code)
+    if not 1 <= idx <= len(L02_COLNAMES):
+        raise TranslationError(f"L02 column index out of range: {code}")
+    return L02_COLNAMES[idx - 1]
 
 
 _S12_FIXED = {

@@ -354,6 +354,18 @@ def _knn_payload_and_cellmap(
     return payload, cell_map
 
 
+def _cand_meta(c: int, geo, meta: dict[int, tuple]) -> tuple:
+    """(xmin, ymin, xmax, ymax, vx, vy) per candidate: bbox for the
+    distance lower bound, one boundary vertex for the upper bound."""
+    m = meta.get(c)
+    if m is None:
+        g = geo(c)
+        xmin, ymin, xmax, ymax = g.bounds()
+        r = next(iter(g.rings()))
+        m = meta[c] = (xmin, ymin, xmax, ymax, float(r[0][0]), float(r[0][1]))
+    return m
+
+
 def _ring_knn_batch(
     lons: np.ndarray,
     lats: np.ndarray,
@@ -387,6 +399,7 @@ def _ring_knn_batch(
             g = parsed[c] = wkb.loads(payload[c][2])
         return g
 
+    meta: dict[int, tuple] = {}
     n_rows = len(lons)
     cells_v = grid_mod.latlng_to_cell(lons, lats, res)
     out_pid = np.empty((n_rows, k), dtype=object)
@@ -417,6 +430,37 @@ def _ring_knn_batch(
             if len(cand) >= k:
                 cl = sorted(cand)
                 sub_lon, sub_lat = lons[idx], lats[idx]
+                if len(cl) > 4 * k:
+                    # Vectorized candidate prune before any per-geometry
+                    # Python call: bbox distance is a LOWER bound, the
+                    # distance to one stored vertex an UPPER bound; a
+                    # candidate whose lower bound exceeds every point's
+                    # kth upper bound cannot reach any top-k (ties
+                    # inclusive), so exact evaluation touches only the
+                    # handful of near candidates.
+                    bnds = np.array([_cand_meta(c, geo, meta) for c in cl])
+                    dx = np.maximum(
+                        np.maximum(
+                            bnds[None, :, 0] - sub_lon[:, None],
+                            sub_lon[:, None] - bnds[None, :, 2],
+                        ),
+                        0.0,
+                    )
+                    dy = np.maximum(
+                        np.maximum(
+                            bnds[None, :, 1] - sub_lat[:, None],
+                            sub_lat[:, None] - bnds[None, :, 3],
+                        ),
+                        0.0,
+                    )
+                    d_lb = np.hypot(dx, dy)
+                    d_ub = np.hypot(
+                        sub_lon[:, None] - bnds[None, :, 4],
+                        sub_lat[:, None] - bnds[None, :, 5],
+                    )
+                    kth_ub = np.partition(d_ub, k - 1, axis=1)[:, k - 1]
+                    keep_c = (d_lb <= kth_ub[:, None]).any(axis=0)
+                    cl = [c for c, kp in zip(cl, keep_c) if kp]
                 dmat = np.stack(
                     [
                         geom.distance_to_geometry(sub_lon, sub_lat, geo(c))
@@ -526,7 +570,7 @@ def fused_assign_or_knn(
     admin_col: str = "行政区域コード",
     crs: str | None = None,
     knn_dense_max: int = 64,
-    knn_res: int = 8,
+    knn_res: int = 10,
 ) -> DataFrame:
     """Single-pass tile assignment WITH the ocean/kNN fallback lane.
 

@@ -72,6 +72,18 @@ def test_colname_table_matches_reference():
     assert len(L02_COLNAMES) == 53
 
 
+def test_l02_extension_translates_by_index():
+    """L02 is unimplemented!() in the reference (colnames.rs:34); the
+    engine extension maps by index over the shipped table."""
+    opts = TranslateOptions(ksj_id="L02")
+    assert translate_colnames("L02_001", opts) == L02_COLNAMES[0]
+    assert translate_colnames("L02_053", opts) == L02_COLNAMES[52]
+    from ksj2gp_spark.ksj.colnames import TranslationError
+
+    with pytest.raises(TranslationError):
+        translate_colnames("L02_054", opts)
+
+
 def test_all_colnames_translate_without_error():
     """With the full table, strict mode raises for no known column id."""
     opts = TranslateOptions(ignore_translation_errors=False, ksj_id="A03")
