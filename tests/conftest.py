@@ -19,6 +19,13 @@ def spark():
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # keep catalog artifacts (saveAsTable warehouse + derby
+        # metastore) out of the repo working tree
+        .config("spark.sql.warehouse.dir", "/tmp/ksj2gp-test-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/ksj2gp-test-derby",
+        )
         .getOrCreate()
     )
     yield spark
