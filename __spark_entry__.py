@@ -1195,14 +1195,56 @@ SELECT lang_guess, count(*) AS n_docs FROM scored GROUP BY lang_guess
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dups via hyperplane-LSH buckets
-    (rows-only: bucket subset is engine-defined)."""
+    """Embedding cosine near-dups via multi-table hyperplane LSH
+    (rows-only: bucket assignment is engine-defined). LSH is a
+    HIGH-similarity tool — random-pair cosines (~0.5 in this synthetic
+    table) are below any useful LSH operating point — so the query
+    plants deterministic near-duplicates (per-element perturbation,
+    cosine ≈ 0.9996) and recovers them at threshold 0.99: the planted
+    recall is the correctness signal."""
     from ksj2gp_spark.operators.dedup import embedding_near_dups
 
-    # The synthetic embeddings top out around cosine 0.51; 0.3 is the
-    # "near" band there (≈ the 99th percentile of the pair distribution).
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dups(e, threshold=0.3)
+    planted = (
+        e.filter(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + 0.002 * ((i * 7) % 5 - 2),
+            ).alias("embedding"),
+        )
+    )
+    both = e.select("vec_id", "embedding").unionByName(planted)
+    pairs = embedding_near_dups(both, threshold=0.99)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine4")
+    )
+
+
+# Oracle: the planted pairs are the complete expected answer (the 50
+# true near-dups are the only cosines ≥ 0.99 in the table), so the
+# oracle computes them directly; the Spark side must RECOVER them
+# through the LSH — a recall miss or a spurious pair breaks equality.
+_EMBEDDING_DUPS_SQL = """
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+pert AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           (x, i) -> CAST(x AS DOUBLE) + 0.002 * (((i - 1) * 7) % 5 - 2)
+         ) AS emb2
+  FROM base
+)
+SELECT b.vec_id AS id_a, b.vec_id + 1000000 AS id_b,
+       round(
+         list_cosine_similarity(
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE)), p.emb2
+         ),
+         4
+       ) AS cosine4
+FROM base b JOIN pert p USING (vec_id)
+"""
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,6 +1473,7 @@ GROUP BY p.admin_code
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dups": _PHASH_SQL,
         "lang_id": _lang_id_sql(),
+        "embedding_near_dups": _EMBEDDING_DUPS_SQL,
         "rasterize_admin": _rasterize_sql(),
         "vectorize_admin": _vectorize_sql(),
         "concave_tiles": _concave_sql(),
