@@ -3,7 +3,8 @@
 Behavioral spec: the reference consumes dBASE via the ``dbase`` crate
 and maps field types to Arrow at /root/reference/rust/src/builder.rs:
 290-318 (Numeric/Double→f64, Character/Memo→utf8, Float→f32,
-Integer→i32, Logical→bool, Date→date32; DateTime unsupported). The
+Integer→i32, Logical→bool, Date→date32; DateTime decoded as an
+engine extension — the reference panics on it, builder.rs:310). The
 writer exists for building deterministic test fixtures only.
 
 Field values decode to Python objects; empty numerics decode to None
@@ -109,6 +110,18 @@ def _decode_value(raw: bytes, f: DbfField, encoding: str) -> object:
             return None
     if f.ftype == "I":
         return struct.unpack("<i", raw)[0] if len(raw) == 4 else None
+    if f.ftype == "T":
+        # dBASE DateTime: two LE int32 — Julian Day Number and
+        # milliseconds since midnight (second precision in practice).
+        # The reference panics on this type (builder.rs:310
+        # unimplemented!()); decoding it is an engine extension.
+        if len(raw) != 8:
+            return None
+        jdn, ms = struct.unpack("<ii", raw)
+        if jdn == 0 and ms == 0:
+            return None
+        base = _dt.datetime(1970, 1, 1)  # JDN 2440588
+        return base + _dt.timedelta(days=jdn - 2440588, milliseconds=ms)
     raise DbfError(f"unsupported dBASE field type: {f.ftype}")
 
 
@@ -162,4 +175,11 @@ def _encode_value(v: object, f: DbfField, encoding: str) -> bytes:
         if v is None:
             return b" " * 8
         return f"{v.year:04d}{v.month:02d}{v.day:02d}".encode("ascii")
+    if f.ftype == "T":
+        if v is None:
+            return bytes(8)
+        days = (v - _dt.datetime(1970, 1, 1)).days
+        midnight = v.replace(hour=0, minute=0, second=0, microsecond=0)
+        ms = int((v - midnight).total_seconds() * 1000)
+        return struct.pack("<ii", days + 2440588, ms)
     raise DbfError(f"unsupported dBASE field type: {f.ftype}")

@@ -79,10 +79,13 @@ def _poly_hashes(shingles: list[str]) -> tuple[np.ndarray, np.ndarray]:
     # Column-at-a-time gather (no (n_shingles × maxlen) code matrix in
     # memory): per column j the code is arr[start + j - pad] where
     # j ≥ pad, else 0.
+    last = len(arr) - 1
     for j in range(maxlen):
         rel = j - pad
         ok = rel >= 0
-        c = arr[starts + np.where(ok, rel, 0)] * ok
+        # minimum-clip: an empty trailing shingle has start == len(arr);
+        # its gather is masked out by `ok` but must stay in bounds.
+        c = arr[np.minimum(starts + np.where(ok, rel, 0), last)] * ok
         h1 = (h1 * _B1 + c) % _M31
         h2 = (h2 * _B2 + c) % _M31
     return h1, h2

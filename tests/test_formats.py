@@ -300,3 +300,24 @@ def test_parse_zip_target_shp_selection():
     assert bad["error"].notna().all()
     assert "zzz.shp" in bad["error"].iloc[0]
     del np
+
+
+def test_dbf_datetime_roundtrip():
+    """dBASE 'T' (DateTime): JDN + ms-since-midnight pairs round-trip.
+    The reference panics on this type (builder.rs:310 unimplemented!());
+    decoding it is an engine extension."""
+    import datetime as dt
+
+    from ksj2gp_spark.formats import dbf as dbf_mod
+
+    fields = [dbf_mod.DbfField("STAMP", "T", 8)]
+    vals = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 2, 29, 23, 59, 59),
+        dt.datetime(1999, 12, 31, 12, 30, 15),
+        None,
+    ]
+    buf = dbf_mod.write_dbf(fields, [[v] for v in vals])
+    got_fields, rows = dbf_mod.read_dbf(buf)
+    assert got_fields[0].ftype == "T"
+    assert [r[0] for r in rows] == vals

@@ -141,3 +141,43 @@ def test_polygonize_signed_areas_equal_cell_count(cells_set):
     for r in rings:
         body = [tuple(v) for v in r[:-1]]
         assert len(set(body)) == len(body)
+
+
+# --- cross-engine hash parity (the dedup oracle's foundation) ---
+
+# Surrogates (category Cs) are excluded: Spark strings arrive via
+# Arrow from valid UTF-8, where lone surrogates cannot occur. NUL is
+# excluded because it is the internal batch separator.
+_SHINGLE_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\x00",
+        blacklist_categories=("Cs",),
+        max_codepoint=0x2FFFF,
+    ),
+    max_size=30,
+)
+
+
+@given(st.lists(_SHINGLE_TEXT, min_size=1, max_size=15))
+@settings(max_examples=60, deadline=None)
+def test_poly_hash_matches_duckdb(shingles):
+    """The vectorized numpy polynomial hash (operators/dedup.py) must
+    equal DuckDB's list_reduce-over-codepoints expression for ANY
+    unicode input — this identity is what makes the minhash/simhash
+    contract queries oracle-checkable."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    from ksj2gp_spark.operators.dedup import _poly_hashes
+
+    h1, h2 = _poly_hashes(shingles)
+    con = duckdb.connect()
+    e1 = entry._poly_hash_sql("s", 131)
+    e2 = entry._poly_hash_sql("s", 137)
+    for s, a, b in zip(shingles, h1, h2):
+        got1, got2 = con.execute(
+            f"SELECT {e1}, {e2} FROM (SELECT ? AS s)", [s]
+        ).fetchone()
+        assert got1 == int(a), (s, got1, int(a))
+        assert got2 == int(b), (s, got2, int(b))
