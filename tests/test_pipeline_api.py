@@ -1,6 +1,7 @@
 """Public pipeline API (pipeline.py): end-to-end job, crash resume."""
 
 import io
+import os
 import zipfile
 
 import pytest
@@ -201,3 +202,29 @@ def test_partitioned_tile_output(spark, images_table, tmp_path):
     tiles = write.read_tiles(spark, out)
     assert "admin_code" in tiles.columns
     assert tiles.select("image_id").distinct().count() == 3000
+
+
+def test_py_files_artifact_importable(tmp_path):
+    """The spark-submit --py-files artifact must be importable on its
+    own (no repo checkout on the path) — the ship-and-run contract."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "bench/package.py"], check=True, cwd=repo,
+        capture_output=True,
+    )
+    zip_path = os.path.join(repo, "dist", "ksj2gp_spark.zip")
+    code = (
+        f"import sys; sys.path.insert(0, {zip_path!r}); "
+        "from ksj2gp_spark.ksj import extract_ksj_id; "
+        "from ksj2gp_spark.ksj.codelists import get_codelist_map; "
+        "print(extract_ksj_id('N03-20240101_13_GML.zip'), "
+        "len(get_codelist_map('W05_001', 2006, '')))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=str(tmp_path), check=True,
+    )
+    assert out.stdout.strip() == "('N03', 2024) 5475"
