@@ -63,6 +63,33 @@ def write_tiles(tiles: DataFrame, path: str, chunk: str = "all") -> dict:
     return write.write_chunk(tiles, path, chunk)
 
 
+def _prune_bbox(
+    metas: list[dict], bbox: tuple[float, float, float, float] | None
+) -> list[dict]:
+    """Drop file manifests whose (lon, lat) stats provably miss bbox."""
+    if bbox is None:
+        return metas
+    minx, miny, maxx, maxy = bbox
+    kept = []
+    for f in metas:
+        flo, fhi = f["min"], f["max"]
+        if (
+            flo.get("lon") is not None
+            and fhi.get("lon") is not None
+            and flo.get("lat") is not None
+            and fhi.get("lat") is not None
+            and (
+                fhi["lon"] < minx
+                or flo["lon"] > maxx
+                or fhi["lat"] < miny
+                or flo["lat"] > maxy
+            )
+        ):
+            continue  # provably outside the region
+        kept.append(f)
+    return kept
+
+
 def _image_file_chunks(
     spark: SparkSession,
     images_path: str,
@@ -76,26 +103,7 @@ def _image_file_chunks(
     the region's files."""
     if iceberg.current_version(images_path):
         metas = iceberg._live_files(images_path)
-        if bbox is not None:
-            minx, miny, maxx, maxy = bbox
-            kept = []
-            for f in metas:
-                flo, fhi = f["min"], f["max"]
-                if (
-                    flo.get("lon") is not None
-                    and fhi.get("lon") is not None
-                    and flo.get("lat") is not None
-                    and fhi.get("lat") is not None
-                    and (
-                        fhi["lon"] < minx
-                        or flo["lon"] > maxx
-                        or fhi["lat"] < miny
-                        or flo["lat"] > maxy
-                    )
-                ):
-                    continue  # provably outside the region
-                kept.append(f)
-            metas = kept
+        metas = _prune_bbox(metas, bbox)
         files = [os.path.join(images_path, f["path"]) for f in metas]
         if not files:
             return []
@@ -185,3 +193,65 @@ def run_tile_pipeline(
     return write.run_resumable(
         out_path, chunk_ids, process, partition_cols=partition_cols
     )
+
+
+def run_tile_pipeline_incremental(
+    spark: SparkSession,
+    images_path: str,
+    polygons: DataFrame | pd.DataFrame,
+    out_path: str,
+    since_snapshot: int | None = None,
+    scheme: str = "hex",
+    res: int | None = None,
+    k_ocean: int = 3,
+    n_chunks: int = 16,
+    bbox: tuple[float, float, float, float] | None = None,
+    crs: str | None = None,
+    partition_cols: tuple[str, ...] = (),
+) -> tuple[dict, int]:
+    """Incremental tile maintenance over an Iceberg-style image table.
+
+    Joins ONLY the data files added after ``since_snapshot``
+    (``iceberg.added_files``) — at 100 TB an append of a day's images
+    re-joins the day, not the table. Chunk ids are namespaced by the
+    processed snapshot (``s{snapshot}-{i}``), so successive incremental
+    runs commit alongside earlier runs in the same ``out_path`` and the
+    union of all committed chunks equals a full recompute (tested in
+    tests/test_pipeline_api.py). Crash/resume semantics are inherited
+    from :func:`run_resumable` — a re-run of the same increment skips
+    its committed chunks.
+
+    Returns ``(summary, snapshot)`` where ``snapshot`` is the snapshot
+    id this run processed up to — persist it as the cursor for the next
+    increment.
+    """
+    polys_pdf = (
+        polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
+    )
+    res = res if res is not None else spatial.DEFAULT_RES[scheme]
+    meta = iceberg._load_metadata(images_path)
+    to_snapshot = meta["current_snapshot_id"]
+    metas = iceberg.added_files(images_path, since_snapshot, to_snapshot)
+    prune_bbox = bbox
+    if bbox is not None and crs:
+        pad = 0.01  # datum-shift bound, see run_tile_pipeline
+        prune_bbox = (bbox[0] - pad, bbox[1] - pad, bbox[2] + pad, bbox[3] + pad)
+    metas = _prune_bbox(metas, prune_bbox)
+    files = [os.path.join(images_path, f["path"]) for f in metas]
+    if not files:
+        return {}, to_snapshot
+    n_chunks = max(1, min(n_chunks, len(files)))
+    chunks = [files[i::n_chunks] for i in range(n_chunks)]
+    chunk_ids = [f"s{to_snapshot}-{i:05d}" for i in range(len(chunks))]
+    file_map = dict(zip(chunk_ids, chunks))
+
+    def process(chunk_id: str) -> DataFrame:
+        imgs = spark.read.parquet(*file_map[chunk_id])
+        return spatial.fused_assign_or_knn(
+            imgs, polys_pdf, scheme=scheme, res=res, k=k_ocean, crs=crs
+        )
+
+    summary = write.run_resumable(
+        out_path, chunk_ids, process, partition_cols=partition_cols
+    )
+    return summary, to_snapshot

@@ -252,6 +252,25 @@ def _live_files(path: str, snapshot_id: int | None = None) -> list[dict]:
     return _load_manifest(path, sid)["files"]
 
 
+def added_files(
+    path: str, since_snapshot: int | None, to_snapshot: int | None = None
+) -> list[dict]:
+    """Incremental-scan primitive: data files present in ``to_snapshot``
+    (default: current) but NOT in ``since_snapshot`` — i.e. the files an
+    append-only workload added between the two snapshots. With
+    ``since_snapshot=None`` every live file is "added" (full scan).
+
+    This is what keeps a 100 TB maintenance job incremental: the tile
+    pipeline re-joins only the NEW files after each append instead of
+    rescanning the table (real Iceberg's incremental append scan).
+    """
+    new = {f["path"]: f for f in _live_files(path, to_snapshot)}
+    if since_snapshot is not None:
+        for f in _live_files(path, since_snapshot):
+            new.pop(f["path"], None)
+    return list(new.values())
+
+
 def read(
     spark: SparkSession,
     path: str,

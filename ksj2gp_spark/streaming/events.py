@@ -96,6 +96,7 @@ def dedup_stream(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),
     watermark: str = "10 minutes",
+    key_only: bool = False,
 ) -> DataFrame:
     """Streaming exact dedup on the composite key ``(key_cols, ts)`` —
     NOT on ``key_cols`` alone: the event time must be part of the
@@ -103,14 +104,18 @@ def dedup_stream(
     with the same id but a perturbed timestamp is treated as a new
     event. Duplicates arriving within the watermark horizon
     (at-least-once sources, replayed batches) are dropped; state stays
-    bounded because keys older than the watermark are evicted. For
-    id-only dedup regardless of timestamp, use
-    ``dropDuplicatesWithinWatermark`` (Spark ≥3.5) at the cost of a
-    wider state horizon."""
+    bounded because keys older than the watermark are evicted.
+
+    ``key_only=True`` switches to ``dropDuplicatesWithinWatermark``
+    (Spark ≥3.5): a replayed event with the same id but a *perturbed*
+    timestamp is also dropped, at the cost of a wider state horizon
+    (state lives until the watermark passes the FIRST sighting + delay,
+    rather than keying exactly on the event time)."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    return events.withWatermark("ts", watermark).dropDuplicates(
-        [*key_cols, "ts"]
-    )
+    wm = events.withWatermark("ts", watermark)
+    if key_only:
+        return wm.dropDuplicatesWithinWatermark(list(key_cols))
+    return wm.dropDuplicates([*key_cols, "ts"])
 
 
 SESSION_SCHEMA = (

@@ -279,3 +279,38 @@ def test_sliding_window_counts_stream(spark, tmp_path):
     batch = entry_mod.q_events_sliding(spark, "/root/testdata/sf0.001")
     total_batch = batch.agg(F.sum("n_events")).collect()[0][0]
     assert total_stream == total_batch
+
+
+def test_dedup_stream_key_only_drops_perturbed_replays(spark, tmp_path):
+    """key_only=True: a replayed event with the same id but a shifted
+    timestamp is ALSO dropped (dropDuplicatesWithinWatermark)."""
+    from pyspark.sql import functions as F
+
+    from ksj2gp_spark.streaming import events as ev
+
+    src = str(tmp_path / "pert_src")
+    out = str(tmp_path / "pert_out")
+    ckpt = str(tmp_path / "pert_ckpt")
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(1000)
+        .cache()
+    )
+    n_ids = base.select("event_id").distinct().count()
+    base.write.mode("append").parquet(src)
+    # replay with the timestamp nudged by 1 second — same event_id
+    base.withColumn(
+        "ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 SECOND")
+    ).write.mode("append").parquet(src)
+
+    stream = ev.read_event_stream(spark, src, max_files=2)
+    deduped = ev.dedup_stream(stream, key_only=True)
+    q = ev.run_stream_to_parquet(deduped, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.select("event_id").distinct().count() == n_ids
+    assert (
+        got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    )
