@@ -357,6 +357,127 @@ FROM fixture f LEFT JOIN lkp l ON f.case_id = l.case_id AND f.code = l.code
 """
 
 
+_EPOCH_SEC = 500 * 3600  # admin-boundary revision instant
+
+
+def _temporal_layer():
+    """Two epochs of the fixture layer: identical boxes, but epoch-2
+    versions carry a 'B'-suffixed admin code — the shape of real KSJ
+    admin layers, which are re-published per year."""
+    import pandas as pd
+
+    base = fixtures.polygon_layer()
+    e1 = base.copy()
+    e1["version_of"] = e1["polygon_id"]
+    e1["polygon_id"] = e1["polygon_id"] + "-e1"
+    e1["valid_from"] = 0
+    e1["valid_to"] = _EPOCH_SEC
+    e2 = base.copy()
+    e2["version_of"] = e2["polygon_id"]
+    e2["polygon_id"] = e2["polygon_id"] + "-e2"
+    e2["行政区域コード"] = e2["行政区域コード"] + "B"
+    e2["valid_from"] = _EPOCH_SEC
+    e2["valid_to"] = 10**12
+    return pd.concat([e1, e2], ignore_index=True)
+
+
+def _images_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic event time: custkey % 1000 hours since epoch
+    return _images_from_customer(spark, sf_dir).withColumn(
+        "ts",
+        (F.substring("image_id", 4, 10).cast("long") % 1000) * 3600,
+    )
+
+
+def q_temporal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-temporal spatial join: each image matches the polygon
+    VERSION valid at its timestamp (valid_from ≤ ts < valid_to) — the
+    time predicate rides the broadcast candidate join as a residual,
+    no extra shuffle."""
+    imgs = _images_with_ts(spark, sf_dir)
+    out = spatial.temporal_join_tiles(
+        imgs, _temporal_layer(), scheme="grid", res=GRID_RES, mode="interval"
+    )
+    return out.select("image_id", "polygon_id", "admin_code", "ts")
+
+
+def q_temporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of spatial join: revisions without closed windows; each image
+    takes the LATEST version with valid_from ≤ ts per polygon lineage."""
+    imgs = _images_with_ts(spark, sf_dir)
+    out = spatial.temporal_join_tiles(
+        imgs,
+        _temporal_layer(),
+        scheme="grid",
+        res=GRID_RES,
+        mode="asof",
+        version_col="version_of",
+    )
+    return out.select("image_id", "polygon_id", "admin_code", "ts")
+
+
+def _temporal_vers_sql() -> str:
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    rows = []
+    for _, r in fixtures.polygon_layer().iterrows():
+        minx, miny, maxx, maxy = _wkb.loads(r["geometry"]).bounds()
+        pid, adm = r["polygon_id"], r["行政区域コード"]
+        rows.append(
+            f"('{pid}-e1', '{adm}', '{pid}', {minx!r}, {miny!r}, "
+            f"{maxx!r}, {maxy!r}, 0, {_EPOCH_SEC})"
+        )
+        rows.append(
+            f"('{pid}-e2', '{adm}B', '{pid}', {minx!r}, {miny!r}, "
+            f"{maxx!r}, {maxy!r}, {_EPOCH_SEC}, {10**12})"
+        )
+    return (
+        "vers(polygon_id, admin_code, version_of, xmin, ymin, xmax, ymax, "
+        "vf, vt) AS (VALUES " + ", ".join(rows) + ")"
+    )
+
+
+def _temporal_tiles_sql() -> str:
+    return f"""
+WITH {_IMAGES_CTE.strip()},
+{_temporal_vers_sql()},
+ts_img AS (
+  SELECT image_id, lon, lat,
+         (CAST(substr(image_id, 4) AS BIGINT) % 1000) * 3600 AS ts
+  FROM images
+)
+SELECT i.image_id, v.polygon_id, v.admin_code, i.ts
+FROM ts_img i JOIN vers v
+  ON i.lon >= v.xmin AND i.lon <= v.xmax
+ AND i.lat >= v.ymin AND i.lat <= v.ymax
+ AND i.ts >= v.vf AND i.ts < v.vt
+"""
+
+
+def _temporal_asof_sql() -> str:
+    return f"""
+WITH {_IMAGES_CTE.strip()},
+{_temporal_vers_sql()},
+ts_img AS (
+  SELECT image_id, lon, lat,
+         (CAST(substr(image_id, 4) AS BIGINT) % 1000) * 3600 AS ts
+  FROM images
+),
+cand AS (
+  SELECT i.image_id, v.polygon_id, v.admin_code, v.version_of, v.vf, i.ts,
+         row_number() OVER (
+           PARTITION BY i.image_id, v.version_of
+           ORDER BY v.vf DESC, v.polygon_id
+         ) AS rn
+  FROM ts_img i JOIN vers v
+    ON i.lon >= v.xmin AND i.lon <= v.xmax
+   AND i.lat >= v.ymin AND i.lat <= v.ymax
+   AND i.ts >= v.vf
+)
+SELECT image_id, polygon_id, admin_code, ts FROM cand WHERE rn = 1
+"""
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation (partial-agg / codegen showcase)."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -1397,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_counts": q_s2_tiles_counts,
         "codelist_translate": q_codelist_translate,
         "codelist_families": q_codelist_families,
+        "temporal_tiles": q_temporal_tiles,
+        "temporal_asof": q_temporal_asof,
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
         "events_tumbling": q_events_tumbling,
@@ -1458,6 +1581,8 @@ GROUP BY p.admin_code
         "s2_tile_counts": hex_counts_sql,
         "codelist_translate": _CODELIST_SQL,
         "codelist_families": _codelist_families_sql(),
+        "temporal_tiles": _temporal_tiles_sql(),
+        "temporal_asof": _temporal_asof_sql(),
         "lineitem_pricing": _PRICING_SQL,
         "top_orders": _TOP_ORDERS_SQL,
         "events_tumbling": _EVENTS_SQL,

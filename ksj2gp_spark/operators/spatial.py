@@ -741,3 +741,82 @@ def unmatched_images(
     return images_with_cell.join(
         tiles.select("image_id"), "image_id", "left_anti"
     )
+
+
+def temporal_join_tiles(
+    images: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    scheme: str = "grid",
+    res: int | None = None,
+    ts_col: str = "ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    version_col: str | None = None,
+    mode: str = "interval",
+    admin_col: str = "行政区域コード",
+    crs: str | None = None,
+) -> DataFrame:
+    """Spatial join against a TIME-VERSIONED polygon layer (admin
+    boundaries change over the years; each row of ``polygons_pdf`` is
+    one version with a validity window).
+
+    Two temporal semantics:
+
+    * ``mode="interval"`` — keep the version(s) whose
+      ``valid_from <= ts < valid_to`` at the image's timestamp: the
+      standard interval/range join, evaluated as a residual predicate
+      on the cell-keyed candidate join (the broadcast cover carries the
+      validity columns, so the time filter costs nothing extra — no
+      second join, no shuffle).
+    * ``mode="asof"`` — among versions with ``valid_from <= ts``, keep
+      the LATEST per (image, ``version_col``): the as-of join, for
+      layers that record revisions without closing old windows.
+      Implemented as a window rank over the PIP-refined candidates —
+      partition keys are (image, version lineage), so the window state
+      per key is the handful of versions of one polygon, never the
+      layer.
+
+    Spark shape: with_cell → broadcast candidate join → exact PIP →
+    temporal residual — identical physics to ``spatial_join_tiles``
+    (zero probe-side shuffle in interval mode; as-of adds one
+    hash-partitioned window over candidate-sized data only).
+    """
+    if mode not in ("interval", "asof"):
+        raise ValueError(f"unknown temporal mode: {mode}")
+    if mode == "asof" and version_col is None:
+        raise ValueError("asof mode needs version_col (version lineage key)")
+    res = res if res is not None else DEFAULT_RES[scheme]
+    spark = images.sparkSession
+    polys = normalize_polygons(polygons_pdf)
+    extra = [admin_col, valid_from_col]
+    if mode == "interval":
+        extra.append(valid_to_col)
+    if version_col:
+        extra.append(version_col)
+    cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=tuple(extra))
+    cover = spark.createDataFrame(cover_pdf)
+
+    probe = images.select("image_id", "lon", "lat", ts_col)
+    pts = with_cell(probe, scheme, res, crs=crs)
+    cand = candidate_join(pts, cover, "broadcast")
+    out_cols = ["image_id", "cell", "polygon_id", *extra, ts_col]
+    refined = refine_pip(cand, polys, out_cols)
+
+    ts = F.col(ts_col)
+    if mode == "interval":
+        out = refined.filter(
+            (ts >= F.col(valid_from_col)) & (ts < F.col(valid_to_col))
+        )
+    else:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("image_id", version_col).orderBy(
+            F.desc(valid_from_col), F.col("polygon_id")
+        )
+        out = (
+            refined.filter(ts >= F.col(valid_from_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out.withColumnRenamed(admin_col, "admin_code")

@@ -361,3 +361,45 @@ def test_fused_assign_or_knn_tokyo_datum_images(spark, images, expected):
     assert set(map(tuple, got[key].itertuples(index=False))) == set(
         map(tuple, want[key].itertuples(index=False))
     )
+
+
+def test_temporal_join_interval_vs_asof_gap(spark):
+    """A validity GAP distinguishes the two temporal semantics: in the
+    gap, interval mode matches nothing; as-of mode still returns the
+    latest earlier version."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as W
+
+    box = W.polygon([(139.0, 35.0), (139.5, 35.0), (139.5, 35.5),
+                     (139.0, 35.5), (139.0, 35.0)])
+    polys = pd.DataFrame({
+        "polygon_id": ["p-v1", "p-v2"],
+        "行政区域コード": ["13101", "13101B"],
+        "version_of": ["p", "p"],
+        "geometry": [box, box],
+        "valid_from": [0, 2000],
+        "valid_to": [1000, 10**9],  # GAP: ts in [1000, 2000)
+    })
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["a", "b", "c"],
+        "lon": [139.2] * 3,
+        "lat": [35.2] * 3,
+        "ts": [500, 1500, 2500],
+    }))
+    interval = spatial.temporal_join_tiles(
+        pts, polys, scheme="grid", res=10, mode="interval"
+    ).toPandas().set_index("image_id")
+    asof = spatial.temporal_join_tiles(
+        pts, polys, scheme="grid", res=10, mode="asof",
+        version_col="version_of",
+    ).toPandas().set_index("image_id")
+
+    # interval: a→v1, b→nothing (gap), c→v2
+    assert interval.loc["a", "admin_code"] == "13101"
+    assert "b" not in interval.index
+    assert interval.loc["c", "admin_code"] == "13101B"
+    # asof: a→v1, b→v1 (latest valid_from ≤ 1500), c→v2
+    assert asof.loc["a", "admin_code"] == "13101"
+    assert asof.loc["b", "admin_code"] == "13101"
+    assert asof.loc["c", "admin_code"] == "13101B"
