@@ -1115,6 +1115,62 @@ FROM f
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline: exact dedup → MinHash
+    near-dup dedup → language filter → quality filter, end-to-end in
+    one call (operators/curate.py) — and end-to-end ORACLED, because
+    every stage is exact relational/BIGINT arithmetic."""
+    from ksj2gp_spark.operators.curate import curate_corpus
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept, _ = curate_corpus(
+        d, langs=("en",), min_quality=0.5, minhash_threshold=0.7
+    )
+    return kept.select("doc_id", "lang_guess", "quality_score")
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH s1 AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN (SELECT text, min(doc_id) AS keep FROM documents GROUP BY text) k
+    ON d.doc_id = k.keep
+),
+{_minhash_pairs_ctes("s1")},
+near_drops AS (
+  SELECT DISTINCT id_b FROM est WHERE est_jaccard >= 0.7
+),
+s2 AS (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM near_drops)
+),
+s3 AS (
+  SELECT doc_id, text, {_lang_case_sql()} AS lang_guess
+  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM s2)
+),
+s3k AS (SELECT * FROM s3 WHERE lang_guess = 'en'),
+f AS (
+  SELECT doc_id, lang_guess,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+  FROM s3k
+),
+s4 AS (
+  SELECT doc_id, lang_guess,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+               ELSE 1.0
+                    - least(1.0, (n_punct / n_chars) * 4) * 0.25
+                    - least(1.0, (n_digits / n_chars) * 4) * 0.25
+                    - least(1.0, abs((n_chars - (n_tokens - 1)) / n_tokens - 5.0) / 5.0) * 0.25
+               END, 6) AS quality_score
+  FROM f
+)
+SELECT doc_id, lang_guess, quality_score FROM s4 WHERE quality_score >= 0.5
+"""
+
+
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization, batch form (lag + cumulative sum)."""
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -1179,14 +1235,19 @@ def _poly_hash_sql(col: str, base: int) -> str:
     )
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(source: str = "documents", threshold: float = 0.2) -> str:
+    """Full MinHash+LSH pipeline as a standalone SQL query over any
+    (doc_id, text) source; also composed CTE-style by _curation_sql."""
+    return f"WITH {_minhash_pairs_ctes(source)}\n" + _minhash_pairs_select(threshold)
+
+
+def _minhash_pairs_ctes(source: str) -> str:
     from ksj2gp_spark.operators.dedup import minhash_params
 
     params = ",\n".join(
         f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_params(64))
     )
-    return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {source}),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
@@ -1216,9 +1277,14 @@ est AS (
   JOIN sig sa ON sa.doc_id = p.id_a
   JOIN sig sb ON sb.doc_id = p.id_b AND sb.h = sa.h
   GROUP BY p.id_a, p.id_b
-)
-SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2
-"""
+)"""
+
+
+def _minhash_pairs_select(threshold: float) -> str:
+    return (
+        "SELECT id_a, id_b, est_jaccard FROM est "
+        f"WHERE est_jaccard >= {threshold}"
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,7 +1353,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id_sql() -> str:
+def _lang_case_sql() -> str:
+    """lang-guess CASE expression over a column named ``t`` (the
+    space-padded lowercased text); shared by the lang_id oracle and the
+    corpus-curation oracle."""
     from ksj2gp_spark.operators.text import _LANG_MARKERS
 
     def score(lang: str) -> str:
@@ -1297,18 +1366,22 @@ def _lang_id_sql() -> str:
         ]
         return " + ".join(terms)
 
-    return f"""
-WITH padded AS (
-  SELECT ' ' || lower(text) || ' ' AS t FROM documents
-),
-scored AS (
-  SELECT CASE
+    return f"""CASE
     WHEN regexp_matches(t, '[぀-ヿ一-鿿]') THEN 'ja'
     WHEN greatest({score("de")}, {score("en")}, {score("fr")}) = 0 THEN 'unknown'
     WHEN ({score("fr")}) >= ({score("en")})
      AND ({score("fr")}) >= ({score("de")}) THEN 'fr'
     WHEN ({score("en")}) >= ({score("de")}) THEN 'en'
-    ELSE 'de' END AS lang_guess
+    ELSE 'de' END"""
+
+
+def _lang_id_sql() -> str:
+    return f"""
+WITH padded AS (
+  SELECT ' ' || lower(text) || ' ' AS t FROM documents
+),
+scored AS (
+  SELECT {_lang_case_sql()} AS lang_guess
   FROM padded
 )
 SELECT lang_guess, count(*) AS n_docs FROM scored GROUP BY lang_guess
@@ -1530,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
         "sessionize_batch": q_sessionize_batch,
+        "corpus_curation": q_corpus_curation,
         "minhash_relational": q_minhash_relational,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1593,6 +1667,7 @@ GROUP BY p.admin_code
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
+        "corpus_curation": _curation_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),

@@ -1,0 +1,104 @@
+"""End-to-end corpus curation — the composed training-data pipeline.
+
+One call chains the four standard curation stages over a (doc_id, text)
+table, each stage an operator this engine already ships:
+
+1. **exact dedup** — canonical (min doc_id) per exact text; JVM window.
+2. **near-dup dedup** — MinHash+LSH pairs (operators/dedup.py); the
+   larger id of each pair is dropped, so transitive near-dup chains
+   keep their smallest member.
+3. **language filter** — vectorized lang-ID (operators/text.py).
+4. **quality filter** — JVM quality score ≥ threshold.
+
+Every stage's drop count is exposed in a LEDGER DataFrame — the
+no-silent-drops rule applied to the whole pipeline: a 100 TB curation
+job must be able to answer "where did my rows go" per stage without
+re-running anything.
+
+Because stages 1/3/4 are pure relational expressions and stage 2's
+hash family is exact BIGINT arithmetic, the ENTIRE pipeline has a
+DuckDB oracle (contract query ``corpus_curation``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import minhash_lsh_pairs
+from .text import quality_score, with_lang_id
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    minhash_threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_shingle: int = 3,
+    with_ledger: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Returns ``(kept, ledger)``.
+
+    ``kept``: the surviving rows with ``lang_guess`` and the quality
+    feature columns attached — a lazy plan, nothing runs until acted
+    on. ``ledger`` (only when ``with_ledger=True``): one row per stage
+    with (stage, n_in, n_out), materialized by running each stage's
+    count — the per-stage audit a production curation job logs once
+    per run.
+    """
+    spark = df.sparkSession
+    s0 = df.select(id_col, text_col)
+
+    # 1. exact dedup: canonical = min id per text (deterministic)
+    w = Window.partitionBy(text_col)
+    s1 = (
+        s0.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
+
+    # 2. near-dup dedup over the exact-deduped survivors
+    pairs = minhash_lsh_pairs(
+        s1,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        n_shingle=n_shingle,
+        threshold=minhash_threshold,
+    )
+    near_drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    s2 = s1.join(near_drops, id_col, "left_anti")
+
+    # 3. language filter
+    s3 = with_lang_id(s2, text_col=text_col).filter(
+        F.col("lang_guess").isin(*langs)
+    )
+
+    # 4. quality filter
+    s4 = quality_score(s3, text_col=text_col).filter(
+        F.col("quality_score") >= min_quality
+    )
+
+    if not with_ledger:
+        return s4, None
+    counts = [
+        ("0_input", s0),
+        ("1_exact_dedup", s1),
+        ("2_near_dedup", s2),
+        ("3_lang", s3),
+        ("4_quality", s4),
+    ]
+    ledger_rows = []
+    prev = None
+    for stage, frame in counts:
+        n = frame.count()
+        ledger_rows.append((stage, prev if prev is not None else n, n))
+        prev = n
+    ledger = spark.createDataFrame(
+        ledger_rows, "stage string, n_in long, n_out long"
+    )
+    return s4, ledger

@@ -303,3 +303,36 @@ def test_l03bc_cross_column_dispatch(spark):
         ("建物用地", "0"),
         (None, "1"),
     ]
+
+
+class TestCuration:
+    def test_curate_corpus_ledger_accounts_for_every_row(self, spark):
+        """The ledger's stage counts chain (n_out[i] == n_in[i+1]) and
+        every drop is attributed to exactly one stage."""
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog and runs far away"),
+            (1, "the quick brown fox jumps over the lazy dog and runs far away"),   # exact dup of 0
+            (2, "the quick brown fox jumps over the lazy dog and runs far home"),   # near dup of 0
+            (3, "der schnelle braune fuchs springt über den faulen hund und der baum ist das"),  # de
+            (4, "!!! ??? ,,, 111 222 333 444 555 the is of and !!!"),  # en junk
+            (5, "a perfectly reasonable english sentence with the usual words and the length"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        from ksj2gp_spark.operators.curate import curate_corpus
+
+        kept, ledger = curate_corpus(
+            df, langs=("en",), min_quality=0.5,
+            minhash_threshold=0.5, with_ledger=True,
+        )
+        led = ledger.toPandas().set_index("stage")
+        assert led.loc["0_input", "n_out"] == 6
+        assert led.loc["1_exact_dedup", "n_out"] == 5   # doc 1 dropped
+        assert led.loc["2_near_dedup", "n_out"] == 4    # doc 2 dropped
+        assert led.loc["3_lang", "n_out"] == 3          # doc 3 dropped
+        assert led.loc["4_quality", "n_out"] == 2       # doc 4 dropped
+        # chained accounting
+        stages = ["0_input", "1_exact_dedup", "2_near_dedup", "3_lang", "4_quality"]
+        for a, b in zip(stages, stages[1:]):
+            assert led.loc[a, "n_out"] == led.loc[b, "n_in"]
+        ids = sorted(kept.toPandas()["doc_id"])
+        assert ids == [0, 5]
