@@ -53,22 +53,64 @@ def _write_manifest(base: str, chunk: str, payload: dict) -> None:
 
 
 def tile_metrics(df: DataFrame, cell_col: str = "cell") -> dict:
-    """One aggregation pass: rows, approx distinct cells, admin histogram."""
-    agg = df.agg(
+    """One aggregation pass: rows, approx distinct cells, admin
+    histogram, plus a MERGEABLE DataSketches HLL sketch of image_id
+    (base64 in the manifest). Mergeability is the point: per-chunk
+    sketches union into exact-algebra global distinct estimates
+    without re-reading any data — see :func:`global_distinct_images`.
+    """
+    import base64
+
+    aggs = [
         F.count(F.lit(1)).alias("rows"),
         F.approx_count_distinct(cell_col).alias("approx_cells"),
-    ).collect()[0]
+    ]
+    has_img = "image_id" in df.columns
+    if has_img:
+        aggs.append(F.hll_sketch_agg("image_id").alias("img_sketch"))
+    agg = df.agg(*aggs).collect()[0]
     hist = {
         r["admin_code"]: r["n"]
         for r in df.groupBy("admin_code")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     } if "admin_code" in df.columns else {}
-    return {
+    out = {
         "rows": agg["rows"],
         "approx_cells": agg["approx_cells"],
         "admin_histogram": hist,
     }
+    if has_img and agg["img_sketch"] is not None:
+        out["image_hll_b64"] = base64.b64encode(
+            bytes(agg["img_sketch"])
+        ).decode("ascii")
+    return out
+
+
+def global_distinct_images(spark, base: str) -> int:
+    """Union the per-chunk HLL sketches recorded in the committed
+    manifests → global approx-distinct image count. Reads ONLY the
+    manifest JSONs (bytes, not data) — the incremental-metrics path for
+    a 100 TB output: each new chunk contributes its sketch once, and
+    the global estimate is a driver-side merge."""
+    import base64
+    import json as _json
+
+    sketches = []
+    for c in sorted(committed_chunks(base)):
+        with open(_manifest_path(base, c)) as f:
+            m = _json.load(f)
+        if "image_hll_b64" in m:
+            sketches.append(base64.b64decode(m["image_hll_b64"]))
+    if not sketches:
+        return 0
+    df = spark.createDataFrame(
+        [(bytearray(s),) for s in sketches], "sketch binary"
+    )
+    row = df.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n")
+    ).collect()[0]
+    return int(row["n"])
 
 
 def write_chunk(

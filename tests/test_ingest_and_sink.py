@@ -191,3 +191,25 @@ class TestResumableSink:
         s2 = sink.run_resumable(base, ["only"], process)
         assert s2["only"]["skipped"] is True
         assert s1["only"]["rows"] == s2["only"]["rows"]
+
+
+def test_mergeable_hll_sketches_across_chunks(spark, tmp_path):
+    """Per-chunk HLL sketches in the manifests merge to the global
+    distinct image count — metrics for a growing output read only
+    manifest bytes, never data files."""
+    base = str(tmp_path / "hll_out")
+    from pyspark.sql import functions as F
+
+    from ksj2gp_spark import fixtures
+
+    imgs = fixtures.images_df(spark, 3000, with_bytes=False)
+    third = 1000
+    for i in range(3):
+        lo, hi = f"img{i*third:08d}", f"img{(i+1)*third:08d}"
+        chunk_df = imgs.filter(
+            (imgs.image_id >= lo) & (imgs.image_id < hi)
+        ).withColumn("cell", F.lit(i))
+        m = sink.write_chunk(chunk_df, base, f"{i:05d}")
+        assert "image_hll_b64" in m
+    est = sink.global_distinct_images(spark, base)
+    assert abs(est - 3000) / 3000 < 0.05  # HLL accuracy band
