@@ -5,6 +5,7 @@ Tokyo-datum lane, kNN lane, and parallelism-independence."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from ksj2gp_spark import fixtures
 from ksj2gp_spark.operators import cells, spatial
@@ -403,3 +404,36 @@ def test_temporal_join_interval_vs_asof_gap(spark):
     assert asof.loc["a", "admin_code"] == "13101"
     assert asof.loc["b", "admin_code"] == "13101"
     assert asof.loc["c", "admin_code"] == "13101B"
+
+
+def test_broadcast_join_plan_shape(spark, images):
+    """The headline join's physical plan: the ONLY exchange is the
+    broadcast of the polygon cover — the probe side never shuffles
+    (the 10^12-row contract, enforced as a plan assertion)."""
+    tiles = spatial.spatial_join_tiles(
+        images, fixtures.polygon_layer(), scheme="grid", strategy="broadcast"
+    )
+    tiles.collect()
+    plan = tiles._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temporal_join_plan_no_extra_shuffle(spark, images):
+    """The interval-temporal join adds the validity window as a
+    residual on the SAME broadcast join — no additional exchange."""
+    import pandas as pd
+
+    layer = fixtures.polygon_layer().copy()
+    layer["valid_from"] = 0
+    layer["valid_to"] = 10**12
+    pts = images.withColumn("ts", F.lit(100).cast("long"))
+    out = spatial.temporal_join_tiles(
+        pts, layer, scheme="grid", res=10, mode="interval"
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("BroadcastExchange") == 1
+    assert "Exchange hashpartitioning" not in final
