@@ -316,6 +316,16 @@ def main() -> None:
         lambda: dedup_ops.minhash_lsh_pairs(docs100k, threshold=0.5).count(),
     )
 
+    # Composed curation pipeline (exact dedup → minhash near-dup →
+    # lang → quality) over the same 100k-doc corpus.
+    def curation_lane():
+        from ksj2gp_spark.operators.curate import curate_corpus
+
+        kept, _ = curate_corpus(docs100k, langs=("en", "unknown"))
+        return kept.count()
+
+    timed("corpus_curation_100k", curation_lane)
+
     # Fused assignment at 20k-polygon cardinality: the ocean lane runs
     # the ring-pruned kNN kernel (no dense points×polygons matrix).
     def fused_large_layer():
