@@ -240,6 +240,69 @@ def overwrite(df: DataFrame, path: str) -> int:
     return _commit(path, df, "overwrite", [])
 
 
+def _bounds_disjoint(f: dict, bounds: dict[str, tuple]) -> bool:
+    """True if the file's manifest stats PROVE it holds no row the
+    delete predicate can match (conjunctive per-column value bounds)."""
+    for col, (lo, hi) in bounds.items():
+        fmin, fmax = f["min"].get(col), f["max"].get(col)
+        if fmin is None or fmax is None:
+            continue
+        if fmax < lo or fmin > hi:
+            return True
+    return False
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    bounds: dict[str, tuple] | None = None,
+) -> dict:
+    """Copy-on-write row-level DELETE: a new snapshot in which files
+    that may contain matching rows are rewritten without them, and
+    every provably-unaffected file is carried over untouched.
+
+    ``bounds`` ({col: (lo, hi)}: the value range the predicate can
+    match, conjunctive) drives manifest-stats pruning — on a
+    spatially/temporally sorted 100 TB table a targeted delete rewrites
+    only the overlapping files and never reads the rest. Rows where
+    the predicate evaluates NULL are kept (SQL DELETE semantics).
+
+    Old snapshots still read the pre-delete data (time travel) until
+    expired. Returns {snapshot, files_rewritten, files_kept,
+    rows_deleted}.
+    """
+    from pyspark.sql import functions as F
+
+    files = _live_files(path)
+    cands, kept = [], []
+    for f in files:
+        if bounds and _bounds_disjoint(f, bounds):
+            kept.append(f)
+        else:
+            cands.append(f)
+    if not cands:
+        return {
+            "snapshot": _load_metadata(path)["current_snapshot_id"],
+            "files_rewritten": 0,
+            "files_kept": len(kept),
+            "rows_deleted": 0,
+        }
+    cand_paths = [os.path.join(path, f["path"]) for f in cands]
+    df = spark.read.parquet(*cand_paths)
+    # keep rows where the predicate is FALSE or NULL
+    survivors = df.filter(F.coalesce(~F.expr(condition), F.lit(True)))
+    n_before = sum(f["rows"] for f in cands)
+    sid = _commit(path, survivors, "delete", kept)
+    n_after = _load_manifest(path, sid)["summary"]["added_rows"]
+    return {
+        "snapshot": sid,
+        "files_rewritten": len(cands),
+        "files_kept": len(kept),
+        "rows_deleted": n_before - n_after,
+    }
+
+
 def history(path: str) -> list[dict]:
     return _load_metadata(path)["snapshots"]
 

@@ -151,3 +151,46 @@ def test_schema_evolution_add_column(spark, tmp_path):
     meta = iceberg._load_metadata(path)
     names = {f["name"] for f in meta["schema"]["fields"]}
     assert names == {"id", "extra"}
+
+
+def test_delete_where_cow_with_stats_pruning(spark, tmp_path):
+    """COW delete: only files overlapping the predicate's bounds are
+    rewritten; time travel still reads the pre-delete rows."""
+    path = str(tmp_path / "del_tbl")
+    # value-sorted across files → tight per-file id stats
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    ).repartitionByRange(5, "id").sortWithinPartitions("id")
+    s1 = iceberg.append(df, path)
+    n_files = len(iceberg._live_files(path))
+    assert n_files >= 4
+
+    out = iceberg.delete_where(
+        spark, path, "id >= 100 AND id < 200", bounds={"id": (100, 199)}
+    )
+    assert out["rows_deleted"] == 100
+    assert out["files_kept"] > 0  # stats pruning kept untouched files
+    assert out["files_rewritten"] < n_files
+    got = iceberg.read(spark, path)
+    assert got.count() == 900
+    assert got.filter("id >= 100 AND id < 200").count() == 0
+    # time travel: the pre-delete snapshot still sees everything
+    assert iceberg.read(spark, path, snapshot_id=s1).count() == 1000
+    # a fully-disjoint delete is a metadata no-op
+    out2 = iceberg.delete_where(
+        spark, path, "id > 5000", bounds={"id": (5001, 10**9)}
+    )
+    assert out2["rows_deleted"] == 0 and out2["files_rewritten"] == 0
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    """Rows where the predicate evaluates NULL survive the delete."""
+    path = str(tmp_path / "del_null")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id int, v double"
+    )
+    iceberg.append(df, path)
+    out = iceberg.delete_where(spark, path, "v > 20")
+    assert out["rows_deleted"] == 1
+    got = iceberg.read(spark, path).toPandas().sort_values("id")
+    assert list(got["id"]) == [1, 2]  # NULL-v row kept
