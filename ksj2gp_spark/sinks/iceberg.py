@@ -303,6 +303,66 @@ def delete_where(
     }
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """MERGE (upsert by key), copy-on-write: rows in ``updates`` replace
+    same-key rows; new keys append. Files that provably contain no
+    matching key — by comparing their manifest min/max against the
+    updates' own key range (computed in one tiny aggregation) — are
+    carried over untouched, so a keyed upsert against a key-sorted
+    100 TB table rewrites only the overlapping files.
+
+    Returns {snapshot, files_rewritten, files_kept, rows_updated,
+    rows_inserted}.
+    """
+    from pyspark.sql import functions as F
+
+    files = _live_files(path)
+    # auto-bounds from the updates' key range (single-row aggregate)
+    aggs = []
+    for c in key_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    r = updates.agg(*aggs).collect()[0]
+    bounds = {
+        c: (r[f"__lo_{c}"], r[f"__hi_{c}"])
+        for c in key_cols
+        if r[f"__lo_{c}"] is not None
+    }
+    cands, kept = [], []
+    for f in files:
+        if bounds and _bounds_disjoint(f, bounds):
+            kept.append(f)
+        else:
+            cands.append(f)
+    updates = updates.dropDuplicates(key_cols)
+    if cands:
+        cand_paths = [os.path.join(path, f["path"]) for f in cands]
+        existing = spark.read.parquet(*cand_paths)
+        survivors = existing.join(
+            updates.select(*key_cols), key_cols, "left_anti"
+        )
+        n_before = sum(f["rows"] for f in cands)
+        new_data = survivors.unionByName(updates)
+    else:
+        n_before = 0
+        new_data = updates
+    sid = _commit(path, new_data, "merge", kept)
+    n_written = _load_manifest(path, sid)["summary"]["added_rows"]
+    n_updates = updates.count()
+    n_survivors = n_written - n_updates
+    return {
+        "snapshot": sid,
+        "files_rewritten": len(cands),
+        "files_kept": len(kept),
+        "rows_updated": n_before - n_survivors,
+        "rows_inserted": n_updates - (n_before - n_survivors),
+    }
+
+
 def history(path: str) -> list[dict]:
     return _load_metadata(path)["snapshots"]
 

@@ -194,3 +194,30 @@ def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
     assert out["rows_deleted"] == 1
     got = iceberg.read(spark, path).toPandas().sort_values("id")
     assert list(got["id"]) == [1, 2]  # NULL-v row kept
+
+
+def test_merge_upsert_cow_with_auto_pruning(spark, tmp_path):
+    """Keyed MERGE: same-key rows replaced, new keys appended; files
+    outside the updates' key range are carried over untouched."""
+    path = str(tmp_path / "merge_tbl")
+    # even keys only → odd keys are insertable WITHIN the key range
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 2).alias("id"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(5, "id").sortWithinPartitions("id")
+    iceberg.append(df, path)
+    n_files = len(iceberg._live_files(path))
+
+    updates = spark.createDataFrame(
+        [(150, -1), (160, -2), (151, -3)], "id long, v long"
+    )
+    out = iceberg.merge_upsert(spark, path, updates, ["id"])
+    assert out["rows_updated"] == 2
+    assert out["rows_inserted"] == 1
+    # updates span keys 150..160 → only the file covering that slice
+    # is rewritten; the rest carry over by reference
+    assert 0 < out["files_rewritten"] < n_files
+    assert out["files_kept"] > 0
+    got = iceberg.read(spark, path)
+    assert got.count() == 1001
+    vals = {r["id"]: r["v"] for r in got.filter("id in (150,160,151,170)").collect()}
+    assert vals == {150: -1, 160: -2, 151: -3, 170: 850}
