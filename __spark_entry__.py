@@ -1261,14 +1261,19 @@ sig AS (
   FROM hs CROSS JOIN params p GROUP BY doc_id, p.h
 ),
 bands AS (
+  -- base-2^31 positional packing of the 4 band minhashes into 2 BIGINTs
   SELECT doc_id, CAST(floor(h / 4) AS INT) AS band,
-         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY h) AS band_val
+         max(CASE WHEN h % 4 = 0 THEN minh END) * 2147483648
+           + max(CASE WHEN h % 4 = 1 THEN minh END) AS bk0,
+         max(CASE WHEN h % 4 = 2 THEN minh END) * 2147483648
+           + max(CASE WHEN h % 4 = 3 THEN minh END) AS bk1
   FROM sig GROUP BY doc_id, 2
 ),
 pairs0 AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.bk0 = b.bk0 AND a.bk1 = b.bk1
+   AND a.doc_id < b.doc_id
 ),
 est AS (
   SELECT p.id_a, p.id_b,
