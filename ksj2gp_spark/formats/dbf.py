@@ -64,10 +64,18 @@ def read_dbf(
 ) -> tuple[list[DbfField], list[list[object]]]:
     """Parse a .dbf file into (fields, rows). Deleted rows skipped."""
     n_records, header_size, record_size, _ = read_header(buf)
+    if record_size < 1 or header_size < 32 or header_size > len(buf):
+        raise DbfError(
+            f"corrupt dbf header: header_size={header_size}, "
+            f"record_size={record_size}"
+        )
     fields = read_fields(buf)
+    # A corrupt header may claim billions of records; the buffer bounds
+    # the real count (fuzz-tested — an unbounded loop here is a DoS).
+    capacity = (len(buf) - header_size) // record_size
     rows: list[list[object]] = []
     pos = header_size
-    for _ in range(n_records):
+    for _ in range(min(n_records, capacity)):
         rec = buf[pos : pos + record_size]
         pos += record_size
         if len(rec) < record_size or rec[0:1] == b"*":

@@ -49,10 +49,19 @@ def read_shp(buf: bytes) -> list[wkb.Geometry | None]:
     pos = 100
     while pos + 8 <= end:
         _recno, content_words = struct.unpack_from(">ii", buf, pos)
+        if content_words <= 0:
+            raise ShpError(f"corrupt record length: {content_words}")
         pos += 8
         rec = buf[pos : pos + content_words * 2]
         pos += content_words * 2
-        geoms.append(_parse_record(rec))
+        try:
+            geoms.append(_parse_record(rec))
+        except ShpError:
+            raise
+        except (struct.error, ValueError, IndexError) as e:
+            # corrupt counts/offsets inside a record: typed rejection,
+            # never a raw struct/numpy error (fuzz-tested)
+            raise ShpError(f"corrupt shp record: {e}") from e
     return geoms
 
 

@@ -181,3 +181,86 @@ def test_poly_hash_matches_duckdb(shingles):
         ).fetchone()
         assert got1 == int(a), (s, got1, int(a))
         assert got2 == int(b), (s, got2, int(b))
+
+
+# --- parser robustness: corrupt bytes → typed errors, never crashes ---
+
+@given(st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_zip_parse_never_crashes(data):
+    """parse_zip_bytes must quarantine ANY input in the error lane."""
+    from ksj2gp_spark.operators.ingest import parse_zip_bytes
+
+    pdf = parse_zip_bytes("N03-20240101_13_GML.zip", data)
+    assert len(pdf) >= 1
+    assert pdf.iloc[0]["error"] is not None
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_dbf_reader_raises_typed_error_only(data):
+    from ksj2gp_spark.formats import dbf as dbf_mod
+
+    try:
+        dbf_mod.read_dbf(data)
+    except dbf_mod.DbfError:
+        pass  # typed rejection is the contract
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_shp_reader_raises_typed_error_only(data):
+    from ksj2gp_spark.formats import shp as shp_mod
+
+    try:
+        shp_mod.read_shp(data)
+    except shp_mod.ShpError:
+        pass
+
+
+def _valid_dbf() -> bytes:
+    from ksj2gp_spark.formats import dbf as dbf_mod
+
+    fields = [
+        dbf_mod.DbfField("NAME", "C", 8),
+        dbf_mod.DbfField("NUM", "N", 6, 2),
+        dbf_mod.DbfField("FLAG", "L", 1),
+    ]
+    rows = [["abc", 1.25, True], ["def", -3.5, False], [None, None, None]]
+    return dbf_mod.write_dbf(fields, rows)
+
+
+@given(st.integers(0, 10**9), st.integers(1, 16))
+@settings(max_examples=120, deadline=None)
+def test_dbf_mutated_bytes_no_foreign_exceptions(seed, n_flips):
+    """Bit-flipped valid files exercise the DEEP decode paths: outcome
+    must be a successful parse or a typed DbfError — never a raw
+    struct.error / IndexError / UnicodeDecodeError escape."""
+    from ksj2gp_spark.formats import dbf as dbf_mod
+
+    buf = bytearray(_valid_dbf())
+    rng = np.random.default_rng(seed)
+    for pos in rng.integers(0, len(buf), n_flips):
+        buf[pos] ^= int(rng.integers(1, 256))
+    try:
+        dbf_mod.read_dbf(bytes(buf))
+    except dbf_mod.DbfError:
+        pass
+
+
+@given(st.integers(0, 10**9), st.integers(1, 16))
+@settings(max_examples=120, deadline=None)
+def test_shp_mutated_bytes_no_foreign_exceptions(seed, n_flips):
+    from ksj2gp_spark.formats import shp as shp_mod
+    from ksj2gp_spark.geo import wkb as W
+
+    geoms = [W.loads(W.polygon([(0, 0), (1, 0), (1, 1), (0, 0)]))]
+    shp_buf, _ = shp_mod.write_shp(geoms)
+    buf = bytearray(shp_buf)
+    rng = np.random.default_rng(seed)
+    for pos in rng.integers(0, len(buf), n_flips):
+        buf[pos] ^= int(rng.integers(1, 256))
+    try:
+        shp_mod.read_shp(bytes(buf))
+    except shp_mod.ShpError:
+        pass
