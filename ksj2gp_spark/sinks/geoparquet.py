@@ -144,13 +144,18 @@ def write_geoparquet(
             if len(pdf)
         ]
         if tables:
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
             tbl = pa.concat_tables(tables)
             tbl = tbl.replace_schema_metadata(
                 {**(tbl.schema.metadata or {}), b"geo": meta_bytes}
             )
             fname = os.path.join(path, f"part-{pid:05d}.parquet")
-            pq.write_table(tbl, fname)
+            # task-attempt-unique temp + atomic rename: a retried or
+            # speculative attempt can never leave a torn final file
+            tmp = f"{fname}.inprogress-{ctx.taskAttemptId()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, fname)
             yield pd.DataFrame({"file": [fname], "rows": [tbl.num_rows]})
 
     manifest = [
