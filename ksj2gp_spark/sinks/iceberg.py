@@ -481,6 +481,69 @@ def compact(
     return _commit(path, df.repartition(n_files), "replace", [])
 
 
+def vacuum_orphans(path: str, min_age_sec: float = 3600.0) -> dict:
+    """Garbage-collect artifacts no snapshot references: data files in
+    ``data/snap-*`` directories (crashed writers, failed COW rewrites)
+    and metadata versions above the published one (losing commits).
+
+    ``min_age_sec`` protects in-flight writers — only artifacts older
+    than the horizon are removed (the same contract as Iceberg's
+    remove_orphan_files; pass 0 in tests). The published hint file and
+    everything any snapshot references are never touched.
+
+    Returns {"deleted_files": n, "deleted_meta": m}.
+    """
+    version = current_version(path)
+    meta = _load_metadata(path, version)
+    referenced: set[str] = set()
+    for s in meta["snapshots"]:
+        try:
+            man = _load_manifest(path, s["snapshot_id"])
+        except FileNotFoundError:
+            continue
+        referenced.update(f["path"] for f in man["files"])
+    now = time.time()
+    deleted_files = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for snap_dir in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, snap_dir)
+            for name in sorted(os.listdir(d)):
+                fp = os.path.join(d, name)
+                rel = os.path.relpath(fp, path)
+                if rel in referenced:
+                    continue
+                if not name.endswith(".parquet"):
+                    continue  # _SUCCESS etc. cleaned with the last file
+                if now - os.path.getmtime(fp) < min_age_sec:
+                    continue
+                os.remove(fp)
+                deleted_files += 1
+            if not any(n.endswith(".parquet") for n in os.listdir(d)):
+                import shutil
+
+                shutil.rmtree(d)
+    deleted_meta = 0
+    meta_dir = _meta_dir(path)
+    known_snaps = {s["snapshot_id"] for s in meta["snapshots"]}
+    for name in sorted(os.listdir(meta_dir)):
+        fp = os.path.join(meta_dir, name)
+        if name.startswith("v") and name.endswith(".metadata.json"):
+            v = int(name[1:].split(".")[0])
+            if v > version and now - os.path.getmtime(fp) >= min_age_sec:
+                os.remove(fp)
+                deleted_meta += 1
+        elif name.startswith("snap-") and name.endswith(".json"):
+            sid = int(name[5:].split(".")[0])
+            if (
+                sid not in known_snaps
+                and now - os.path.getmtime(fp) >= min_age_sec
+            ):
+                os.remove(fp)
+                deleted_meta += 1
+    return {"deleted_files": deleted_files, "deleted_meta": deleted_meta}
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` snapshots (the current one
     is always kept) and delete data files referenced by no retained

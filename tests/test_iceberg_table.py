@@ -221,3 +221,30 @@ def test_merge_upsert_cow_with_auto_pruning(spark, tmp_path):
     assert got.count() == 1001
     vals = {r["id"]: r["v"] for r in got.filter("id in (150,160,151,170)").collect()}
     assert vals == {150: -1, 160: -2, 151: -3, 170: 850}
+
+
+def test_vacuum_orphans_removes_unreferenced_only(spark, tmp_path):
+    """Crash leftovers (orphan data dir, claimed-but-unpublished
+    metadata) are GC'd; everything referenced survives; readers
+    unaffected."""
+    path = str(tmp_path / "vac_tbl")
+    iceberg.append(spark.range(0, 100).select(F.col("id")), path)
+    iceberg.append(spark.range(100, 150).select(F.col("id")), path)
+
+    # crash debris: orphan snapshot data + losing-commit metadata
+    spark.range(0, 5).write.parquet(os.path.join(path, "data", "snap-77"))
+    with open(os.path.join(path, "metadata", "v99.metadata.json"), "w") as f:
+        f.write("{}")
+    with open(os.path.join(path, "metadata", "snap-77.json"), "w") as f:
+        f.write("{}")
+
+    # min_age guard: fresh debris survives a vacuum with a horizon
+    out0 = iceberg.vacuum_orphans(path, min_age_sec=3600)
+    assert out0 == {"deleted_files": 0, "deleted_meta": 0}
+
+    out = iceberg.vacuum_orphans(path, min_age_sec=0)
+    assert out["deleted_files"] > 0
+    assert out["deleted_meta"] == 2
+    assert not os.path.exists(os.path.join(path, "data", "snap-77"))
+    assert iceberg.read(spark, path).count() == 150
+    assert iceberg.read(spark, path, snapshot_id=1).count() == 100
