@@ -508,6 +508,63 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: region → nation → customer →
+    orders → lineitem → supplier, revenue per nation where customer and
+    supplier share the nation. Dimension chains broadcast; the
+    orders×lineitem fact join shuffles on the key — the classic
+    star-join physical shape. Revenue in exact cents (cross-engine
+    hash-stable)."""
+    rd = os.path.join
+    region = spark.read.parquet(rd(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(rd(sf_dir, "nation.parquet"))
+    customer = spark.read.parquet(rd(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(rd(sf_dir, "lineitem.parquet"))
+    supplier = spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+    revenue_cents = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+    )
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+        .groupBy("n_name")
+        .agg(
+            revenue_cents.alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REGIONAL_REVENUE_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     w = Window.partitionBy("o_custkey").orderBy(
@@ -1600,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof": q_temporal_asof,
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
+        "regional_revenue": q_regional_revenue,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "dedup_exact": q_dedup_exact,
@@ -1664,6 +1722,7 @@ GROUP BY p.admin_code
         "temporal_asof": _temporal_asof_sql(),
         "lineitem_pricing": _PRICING_SQL,
         "top_orders": _TOP_ORDERS_SQL,
+        "regional_revenue": _REGIONAL_REVENUE_SQL,
         "events_tumbling": _EVENTS_SQL,
         "events_sliding": _EVENTS_SLIDING_SQL,
         "dedup_exact": _DEDUP_SQL,
