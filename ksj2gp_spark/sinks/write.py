@@ -180,12 +180,18 @@ def _read_chunk(spark, path: str) -> DataFrame:
 
 def read_tiles(spark, base: str) -> DataFrame:
     """Read back all committed chunks (uncommitted ones are excluded —
-    their data may be partial)."""
+    their data may be partial). One multi-path scan, not a union per
+    chunk: a union chain builds an O(n_chunks)-deep plan that stalls
+    Catalyst at the 10³⁺ chunks a season of incremental runs produces;
+    a single scan over the chunk directories stays O(1)."""
     done = sorted(committed_chunks(base))
     if not done:
         raise FileNotFoundError(f"no committed chunks under {base}")
-    out = None
-    for c in done:
-        df = _read_chunk(spark, os.path.join(base, f"chunk={c}"))
-        out = df if out is None else out.unionByName(df)
-    return out
+    paths = [os.path.join(base, f"chunk={c}") for c in done]
+    # basePath=base makes chunk= (and any _p_*) partition directories
+    # resolve against ONE table root, so only the committed chunk paths
+    # are scanned and the discovered partition columns drop cleanly.
+    df = spark.read.option("basePath", base).parquet(*paths)
+    return df.drop(
+        "chunk", *[c for c in df.columns if c.startswith("_p_")]
+    )
