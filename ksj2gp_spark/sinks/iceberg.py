@@ -122,12 +122,61 @@ def _commit(
     path: str,
     df: DataFrame,
     operation: str,
-    parent_files: list[dict],
+    parent_files: list[dict] | None,
+    expected_version: int | None = None,
 ) -> int:
+    """Create one snapshot under the table's exclusive commit lock.
+
+    The WHOLE commit (parent resolution → data write → metadata claim →
+    hint swap) runs inside the lock: concurrent commits to one table
+    serialize, exactly like commits through a real Iceberg catalog, so
+    a racing writer can never drop a peer's files from the next
+    manifest (the subtle lost-update the concurrency test exposed: the
+    parent FILE LIST, not just the version number, must be current at
+    commit time).
+
+    * ``operation="append"`` (parent_files=None): the current
+      snapshot's files are resolved here, under the lock — an append
+      composes with ANY concurrent history, so it never fails, it just
+      waits its turn.
+    * rewriting operations (delete/merge) pass the ``parent_files``
+      they computed from their own read along with the
+      ``expected_version`` they read it at; if the table moved, their
+      file arithmetic is stale → CommitError, caller re-reads and
+      retries (losing-commit semantics).
+    """
     meta_dir = _meta_dir(path)
     os.makedirs(meta_dir, exist_ok=True)
+    lock = _acquire_commit_lock(meta_dir)
+    try:
+        return _commit_locked(
+            path, meta_dir, df, operation, parent_files, expected_version
+        )
+    finally:
+        _release_commit_lock(lock)
+
+
+def _commit_locked(
+    path: str,
+    meta_dir: str,
+    df: DataFrame,
+    operation: str,
+    parent_files: list[dict] | None,
+    expected_version: int | None,
+) -> int:
     version = current_version(path)
+    if expected_version is not None and version != expected_version:
+        raise CommitError(
+            f"concurrent commit at {path}: table moved from "
+            f"v{expected_version} to v{version}; re-read and retry"
+        )
     parent_meta = _load_metadata(path, version) if version else None
+    if parent_files is None:  # append: resolve parents under the lock
+        parent_files = (
+            _load_manifest(path, parent_meta["current_snapshot_id"])["files"]
+            if parent_meta
+            else []
+        )
     snapshot_id = (
         max((s["snapshot_id"] for s in parent_meta["snapshots"]), default=0) + 1
         if parent_meta
@@ -182,17 +231,9 @@ def _commit(
         "current_snapshot_id": snapshot_id,
         "snapshots": snapshots,
     }
-    # Optimistic concurrency: claim a metadata version with
-    # O_CREAT|O_EXCL — never overwrite an existing file (it may belong
-    # to an in-flight concurrent writer; overwriting would silently
-    # discard their snapshot). An existing-but-uncommitted file (crash
-    # orphan or in-flight peer) is skipped by taking the next free
-    # version number — versions don't need to be dense, the hint names
-    # the current one. If the hint moved past our read version at any
-    # point, a peer COMMITTED first → fail with CommitError (real
-    # Iceberg losing-commit semantics); the final re-check below
-    # narrows the unavoidable check-then-rename window of a
-    # filesystem hint catalog (a real catalog closes it with CAS).
+    # Claim the next free metadata file with O_CREAT|O_EXCL — crash
+    # orphans are skipped, never overwritten (versions need not be
+    # dense; the hint names the current one).
     new_version = version + 1
     while True:
         meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
@@ -200,38 +241,57 @@ def _commit(
             fd = os.open(meta_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
             break
         except FileExistsError:
-            if current_version(path) != version:
-                raise CommitError(
-                    f"concurrent commit at {path}: table moved past "
-                    f"v{version} while committing; re-read and retry"
-                ) from None
             new_version += 1
     with os.fdopen(fd, "w") as f:
         json.dump(new_meta, f, indent=1)
-    if current_version(path) != version:
-        raise CommitError(
-            f"concurrent commit detected at {path} before publish; "
-            "aborting (claimed v{new_version} left orphaned, hint untouched)"
-        )
 
-    # 4. atomic hint swap — THE commit point
-    tmp = _hint_path(path) + ".tmp"
+    # 4. atomic hint swap — THE commit point (still under the lock)
+    tmp = _hint_path(path) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(new_version))
     os.replace(tmp, _hint_path(path))
     return snapshot_id
 
 
+def _acquire_commit_lock(
+    meta_dir: str, timeout: float = 30.0, stale_sec: float = 120.0
+) -> str:
+    """O_EXCL lock file with bounded wait; a lock older than
+    ``stale_sec`` (crashed writer) is taken over."""
+    lock = os.path.join(meta_dir, "commit.lock")
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_sec:
+                    os.remove(lock)
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.time() > deadline:
+                raise CommitError(
+                    f"commit lock timeout at {lock}"
+                ) from None
+            time.sleep(0.02)
+
+
+def _release_commit_lock(lock: str) -> None:
+    try:
+        os.remove(lock)
+    except FileNotFoundError:
+        pass
+
+
 def append(df: DataFrame, path: str) -> int:
-    """Append a snapshot; returns the new snapshot id."""
-    version = current_version(path)
-    parent_files: list[dict] = []
-    if version:
-        meta = _load_metadata(path, version)
-        parent_files = _load_manifest(path, meta["current_snapshot_id"])[
-            "files"
-        ]
-    return _commit(path, df, "append", parent_files)
+    """Append a snapshot; returns the new snapshot id. Parent files are
+    resolved inside the commit lock, so concurrent appends serialize
+    and compose — neither fails, neither loses the other's files."""
+    return _commit(path, df, "append", None)
 
 
 def overwrite(df: DataFrame, path: str) -> int:
@@ -274,6 +334,7 @@ def delete_where(
     """
     from pyspark.sql import functions as F
 
+    ver0 = current_version(path)
     files = _live_files(path)
     cands, kept = [], []
     for f in files:
@@ -293,7 +354,8 @@ def delete_where(
     # keep rows where the predicate is FALSE or NULL
     survivors = df.filter(F.coalesce(~F.expr(condition), F.lit(True)))
     n_before = sum(f["rows"] for f in cands)
-    sid = _commit(path, survivors, "delete", kept)
+    # kept-file arithmetic is valid only at ver0: CommitError if moved
+    sid = _commit(path, survivors, "delete", kept, expected_version=ver0)
     n_after = _load_manifest(path, sid)["summary"]["added_rows"]
     return {
         "snapshot": sid,
@@ -321,6 +383,7 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
+    ver0 = current_version(path)
     files = _live_files(path)
     # auto-bounds from the updates' key range (single-row aggregate)
     aggs = []
@@ -350,7 +413,7 @@ def merge_upsert(
     else:
         n_before = 0
         new_data = updates
-    sid = _commit(path, new_data, "merge", kept)
+    sid = _commit(path, new_data, "merge", kept, expected_version=ver0)
     n_written = _load_manifest(path, sid)["summary"]["added_rows"]
     n_updates = updates.count()
     n_survivors = n_written - n_updates

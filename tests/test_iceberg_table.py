@@ -248,3 +248,44 @@ def test_vacuum_orphans_removes_unreferenced_only(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "data", "snap-77"))
     assert iceberg.read(spark, path).count() == 150
     assert iceberg.read(spark, path, snapshot_id=1).count() == 100
+
+
+def test_concurrent_appends_lose_cleanly_never_silently(spark, tmp_path):
+    """Two threads race 4 appends each with retry-on-CommitError: every
+    batch must land exactly once (no lost updates, no duplicates)."""
+    import threading
+    import time as _t
+
+    path = str(tmp_path / "conc_tbl")
+    iceberg.append(spark.range(0, 10).select(F.col("id")), path)
+    errors = []
+
+    def writer(wid: int):
+        for i in range(4):
+            lo = 1000 * (wid + 1) + i * 100
+            df = spark.range(lo, lo + 50).select(F.col("id"))
+            for _attempt in range(30):
+                try:
+                    iceberg.append(df, path)
+                    break
+                except iceberg.CommitError:
+                    _t.sleep(0.03)
+            else:
+                errors.append((wid, i))
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == []
+    got = iceberg.read(spark, path)
+    assert got.count() == 10 + 2 * 4 * 50
+    assert got.select("id").distinct().count() == got.count()
+    # stale-lock takeover: a dead writer's lock doesn't wedge the table
+    lock = os.path.join(path, "metadata", "commit.lock")
+    with open(lock, "w") as f:
+        f.write("999999")
+    os.utime(lock, (1, 1))  # ancient
+    iceberg.append(spark.range(0, 5).select((F.col("id") + 10**6).alias("id")), path)
+    assert iceberg.read(spark, path).count() == 415
