@@ -1032,14 +1032,39 @@ WHERE co.co / (sa.sz + sb.sz - co.co) >= 0.2
 """
 
 
-# Relational MinHash+LSH: the hash family is (a_i·sid + b_i) mod p over
-# dense shingle ordinals, so the whole pipeline — shingling, signature
-# mins, banding, bucket self-join — is exact integer relational algebra
-# that DuckDB reproduces verbatim (unlike the vectorized xxhash-based
-# operators/dedup.py lane, which stays rows-only by design).
+# Relational MinHash+LSH: the hash family is (a_i·sid + b_i) mod p,
+# where sid is the 31-bit polynomial CONTENT hash of the shingle (the
+# operators/dedup.py family, base 131) computed as a per-row Catalyst
+# expression — so the whole pipeline — shingling, signature mins,
+# banding, bucket self-join — is exact integer relational algebra that
+# DuckDB reproduces verbatim. Deriving sid from content (not a dense
+# row_number ordinal) keeps the plan free of the single-partition
+# global sort a no-partition Window.orderBy would need: at 100 TB that
+# was one task sorting billions of distinct shingles
+# (tests/test_entry_contract.py asserts no SinglePartition Exchange).
 _MH_P = 2147483647
 _MH_PARAMS = [(2 * i + 1, 7919 * (i + 1) % _MH_P) for i in range(16)]
 _MH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def _poly_sid_expr(col):
+    """31-bit polynomial rolling hash of a string column, term-for-term
+    the SQL of ``_poly_hash_sql(col, 131)`` (and operators/dedup.py's
+    ``_poly_hashes``): fold(acc·131 + codepoint) mod M31. Pure JVM
+    expression — no UDF, no shuffle."""
+    return F.aggregate(
+        F.when(
+            F.length(col) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.ascii(F.substr(F.col(col), i, F.lit(1))).cast(
+                    "long"
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(131) + c) % F.lit(_MH_P),
+    )
 
 
 def q_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,20 +1083,12 @@ def q_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sids = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn(
-            "sid",
-            F.row_number().over(Window.orderBy("shingle")).cast("long"),
-        )
-    )
     hashes = spark.createDataFrame(
         [(h, a, b) for h, (a, b) in enumerate(_MH_PARAMS)],
         "h int, a long, b long",
     )
     sig = (
-        sh.join(sids, "shingle")
+        sh.withColumn("sid", _poly_sid_expr("shingle"))
         .crossJoin(F.broadcast(hashes))
         .groupBy("doc_id", "h")
         .agg(
@@ -1115,16 +1132,21 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
 ),
-sids AS (
-  SELECT shingle,
-         CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-  FROM (SELECT DISTINCT shingle FROM sh)
+hs0 AS (
+  -- sid = 31-bit polynomial content hash (base 131), same fragment as
+  -- _poly_hash_sql("shingle", 131) (defined later in this module)
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(shingle) + 1),
+             i -> CAST(unicode(shingle[i]) AS BIGINT))),
+           (acc, c) -> (acc * 131 + c) % 2147483647) AS sid
+  FROM sh
 ),
 hashes(h, a, b) AS (VALUES {", ".join(f"({h}, {a}, {b})" for h, (a, b) in enumerate(_MH_PARAMS))}),
 sig AS (
   SELECT s.doc_id, hs.h,
-         min((hs.a * d.sid + hs.b) % {_MH_P}) AS minh
-  FROM sh s JOIN sids d ON s.shingle = d.shingle
+         min((hs.a * s.sid + hs.b) % {_MH_P}) AS minh
+  FROM hs0 s
   CROSS JOIN hashes hs
   GROUP BY s.doc_id, hs.h
 ),

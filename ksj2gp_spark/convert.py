@@ -29,11 +29,22 @@ def convert(
     target_shp: str | None = None,
 ) -> int:
     from .operators import ingest
-    from .sinks import geoparquet
 
     ingested = ingest.ingest_zips(
         spark, zip_path, translate=True, target_shp=target_shp
     ).cache()
+    try:
+        return _convert_cached(ingested, out_path)
+    finally:
+        # the cache only spans this conversion — a long-lived session
+        # (driver service converting many ZIPs) must not accumulate
+        # cached ingest frames
+        ingested.unpersist()
+
+
+def _convert_cached(ingested, out_path: str) -> int:
+    from .sinks import geoparquet
+
     errors = ingested.filter(F.col("error").isNotNull())
     n_err = errors.count()
     if n_err:

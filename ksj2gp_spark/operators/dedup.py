@@ -43,6 +43,12 @@ def minhash_params(num_hashes: int = 64) -> list[tuple[int, int]]:
 
 
 def _shingles(text: str, n_shingle: int) -> list[str]:
+    # _poly_hashes joins shingles with NUL and detects boundaries via
+    # codepoint 0, so a NUL *inside* a token (which str.split preserves)
+    # would silently corrupt the whole batch's segmentation. NUL carries
+    # no signal for dedup — strip it up front.
+    if "\x00" in text:
+        text = text.replace("\x00", "")
     toks = text.split()
     if len(toks) < n_shingle:
         return [" ".join(toks)]
@@ -185,9 +191,17 @@ def minhash_lsh_pairs(
     join would go quadratic at corpus scale) are dropped from candidate
     generation — see :func:`_cap_buckets` for the audit trail."""
     rows_per_band = num_hashes // bands
+    # No .cache() here on purpose: the banded self-join's two sides are
+    # identical subplans, so Spark's ReuseExchange computes the
+    # signature UDF once and replays the shuffle for the other side
+    # (measured at 40k docs: cache-free within noise of cached). A
+    # cached frame here leaked for the session's lifetime — every
+    # composed-pipeline call accumulated storage pressure
+    # (tests/test_pipeline_ops.py pins the no-new-persistent-RDDs
+    # contract).
     sigged = df.select(
         F.col(id_col), minhash_signature_udf(num_hashes, n_shingle)(F.col(text_col)).alias("sig")
-    ).cache()
+    )
 
     # Bucket key is the band's minhash values packed EXACTLY into
     # int64s (base 2³¹ positional packing, ⌈rows_per_band/2⌉ longs):

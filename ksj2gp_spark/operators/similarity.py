@@ -31,13 +31,35 @@ def _dot(x, y):
     )
 
 
+class BruteForceScaleError(ValueError):
+    """The all-pairs lane was pointed at a table too large for O(n²)."""
+
+
 def brute_force_topk(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for every vector (all-pairs)."""
+    """Exact cosine top-k neighbors for every vector (all-pairs).
+
+    This is the correctness BASELINE: an explicit crossJoin whose cost
+    is O(n²·d). To keep the quadratic plan opt-in, the input cardinality
+    is checked against ``max_rows`` (default 100k ≈ 10¹⁰ pairs) and a
+    larger table raises :class:`BruteForceScaleError` pointing at
+    :func:`ivf_topk`, the scale path. Pass ``max_rows=None`` to
+    explicitly accept the O(n²) cost.
+    """
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise BruteForceScaleError(
+                f"brute_force_topk over {n} rows would build ~{n * n:.2e} "
+                f"candidate pairs (max_rows={max_rows}). Use ivf_topk() "
+                "for large tables, or pass max_rows=None to force the "
+                "exact all-pairs plan."
+            )
     a = df.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).cast("array<double>").alias("a_vec"),

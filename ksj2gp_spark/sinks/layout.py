@@ -55,19 +55,9 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
-def executed_plan(df: DataFrame) -> str:
-    """Final (post-AQE) physical plan text, for layout assertions."""
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def assert_no_exchange(df: DataFrame) -> str:
-    """Raise if the executed plan contains any Exchange (shuffle or
-    broadcast). Returns the plan text for further checks."""
-    plan = executed_plan(df)
-    if "Exchange" in plan:
-        raise AssertionError(f"plan contains an Exchange:\n{plan}")
-    return plan
+# Plan-shape assertions live in ksj2gp_spark.plans; re-exported here
+# because the layout contract tests were written against this module.
+from ..plans import assert_no_exchange, executed_plan  # noqa: E402,F401
 
 
 def bucketed_join(

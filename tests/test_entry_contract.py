@@ -63,6 +63,17 @@ def test_query_matches_oracle(spark, ddb, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
 
 
+def test_minhash_relational_no_single_partition_exchange(spark):
+    # the shingle-id used to come from row_number() over a global
+    # orderBy — ONE task sorting every distinct shingle. sid is now a
+    # per-row content hash; the executed plan must not funnel the data
+    # through a single partition anywhere.
+    from ksj2gp_spark.plans import assert_no_single_partition_exchange
+
+    df = entry_mod.queries()["minhash_relational"](spark, SF_DIR)
+    assert_no_single_partition_exchange(df)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     names = [f.name for f in df.schema.fields]

@@ -44,6 +44,22 @@ class TestDedup:
         # unrelated docs are not paired
         assert (0, 1) not in found and (3, 4) not in found
 
+    def test_nul_in_token_does_not_corrupt_signatures(self, spark):
+        # _poly_hashes separates shingles with NUL; a NUL embedded in a
+        # token (str.split preserves it) must not shift the batch's
+        # segmentation. The NUL is stripped, so the two texts hash
+        # identically → est_jaccard exactly 1.0.
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha be\x00ta gamma delta epsilon zeta"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = dedup.minhash_lsh_pairs(df, threshold=0.3).toPandas()
+        assert len(pairs) == 1
+        assert pairs.iloc[0]["est_jaccard"] == 1.0
+
     def test_simhash_near_dups(self, spark, docs):
         pairs = dedup.simhash_near_dups(docs, max_hamming=10).toPandas()
         found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
@@ -336,3 +352,19 @@ class TestCuration:
             assert led.loc[a, "n_out"] == led.loc[b, "n_in"]
         ids = sorted(kept.toPandas()["doc_id"])
         assert ids == [0, 5]
+
+    def test_curate_corpus_leaves_no_cached_frames(self, spark):
+        """Cache hygiene: running the composed pipeline must not leak
+        persisted DataFrames into the session (a long-running curation
+        service would accumulate storage pressure otherwise)."""
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        df = spark.createDataFrame(
+            [(i, f"doc number {i} with some shared words here") for i in range(50)],
+            "doc_id long, text string",
+        )
+        from ksj2gp_spark.operators.curate import curate_corpus
+
+        kept, _ = curate_corpus(df, langs=("en", "unknown"))
+        kept.count()
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert after - before == set(), "curate_corpus leaked cached RDDs"

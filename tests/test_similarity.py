@@ -35,6 +35,18 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert r8 == 1.0
 
 
+def test_bruteforce_guard_trips_above_max_rows(spark, emb):
+    # the O(n²) crossJoin lane must be opt-in: above max_rows it raises
+    # and points at the IVF scale path instead of silently planning an
+    # all-pairs join
+    with pytest.raises(similarity.BruteForceScaleError, match="ivf_topk"):
+        similarity.brute_force_topk(emb, k=5, max_rows=10)
+    # explicit opt-in still works
+    assert similarity.brute_force_topk(
+        emb.limit(20), k=2, max_rows=None
+    ).count() > 0
+
+
 def test_centroids_deterministic(spark, emb):
     c1 = similarity.fit_centroids(emb, nlist=8)
     c2 = similarity.fit_centroids(emb.repartition(7), nlist=8)

@@ -87,11 +87,18 @@ def block_between(src: str, start: int, open_ch: str = "[", close_ch: str = "]")
     i = src.index(open_ch, start)
     depth = 0
     in_str = False
+    skip_next = False
     for j in range(i, len(src)):
         c = src[j]
+        if skip_next:
+            skip_next = False
+            continue
         if in_str:
             if c == "\\":
-                continue  # next char is escaped; strings were comment-stripped already
+                # consume the escaped character too, so \" does not end
+                # the string and a bracket after it is not miscounted
+                skip_next = True
+                continue
             if c == '"':
                 in_str = False
         elif c == '"':
