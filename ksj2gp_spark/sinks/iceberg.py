@@ -118,6 +118,72 @@ def _file_stats(file_path: str) -> dict:
     }
 
 
+class _LockLease:
+    """A held commit lock: path + ownership token + heartbeat thread.
+
+    The token (pid:nanotime:seq, written into the lock file) makes
+    ownership verifiable: release only removes OUR lock, and
+    :meth:`verify` — called at the commit point, before the hint swap —
+    detects a takeover so a usurped writer aborts with CommitError
+    instead of silently clobbering the usurper's commit. The heartbeat
+    daemon touches the lock file every ``stale_sec/4`` so a commit
+    whose data write takes longer than ``stale_sec`` is never
+    mistaken for a crashed writer's leftovers.
+    """
+
+    def __init__(self, lock: str, token: str, stale_sec: float):
+        import threading
+
+        self.lock = lock
+        self.token = token
+        self._stop = threading.Event()
+
+        def beat() -> None:
+            while not self._stop.wait(max(stale_sec / 4.0, 0.5)):
+                try:
+                    os.utime(self.lock)
+                except OSError:
+                    return  # lock gone/stolen; verify() will catch it
+
+        self._thread = threading.Thread(target=beat, daemon=True)
+        self._thread.start()
+
+    def verify(self) -> None:
+        try:
+            with open(self.lock) as f:
+                held = f.read()
+        except OSError:
+            held = "<missing>"
+        if held != self.token:
+            raise CommitError(
+                f"commit lock ownership lost at {self.lock}: "
+                f"expected {self.token!r}, found {held!r} — a stale-lock "
+                "takeover fired mid-commit; aborting before the hint swap"
+            )
+
+    def release(self) -> None:
+        self._stop.set()
+        try:
+            with open(self.lock) as f:
+                if f.read() != self.token:
+                    return  # not ours anymore — never delete a peer's lock
+            os.remove(self.lock)
+        except OSError:
+            pass
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+    return True
+
+
 def _commit(
     path: str,
     df: DataFrame,
@@ -147,13 +213,14 @@ def _commit(
     """
     meta_dir = _meta_dir(path)
     os.makedirs(meta_dir, exist_ok=True)
-    lock = _acquire_commit_lock(meta_dir)
+    lease = _acquire_commit_lock(meta_dir)
     try:
         return _commit_locked(
-            path, meta_dir, df, operation, parent_files, expected_version
+            path, meta_dir, df, operation, parent_files, expected_version,
+            lease,
         )
     finally:
-        _release_commit_lock(lock)
+        lease.release()
 
 
 def _commit_locked(
@@ -163,6 +230,7 @@ def _commit_locked(
     operation: str,
     parent_files: list[dict] | None,
     expected_version: int | None,
+    lease: "_LockLease",
 ) -> int:
     version = current_version(path)
     if expected_version is not None and version != expected_version:
@@ -231,10 +299,23 @@ def _commit_locked(
         "current_snapshot_id": snapshot_id,
         "snapshots": snapshots,
     }
-    # Claim the next free metadata file with O_CREAT|O_EXCL — crash
-    # orphans are skipped, never overwritten (versions need not be
-    # dense; the hint names the current one).
-    new_version = version + 1
+    # 4. publish: metadata claim + atomic hint swap — THE commit point.
+    # The lease is re-verified first so a writer whose lock was stolen
+    # by a (mis-firing) stale takeover aborts instead of clobbering the
+    # usurper's already-published commit.
+    lease.verify()
+    _publish_metadata(path, meta_dir, new_meta, version)
+    return snapshot_id
+
+
+def _publish_metadata(
+    path: str, meta_dir: str, new_meta: dict, from_version: int
+) -> int:
+    """Claim the next free ``v{N}.metadata.json`` with O_CREAT|O_EXCL
+    (crash orphans are skipped, never overwritten; versions need not be
+    dense — the hint names the current one), then atomically swap the
+    version hint. Callers MUST hold the commit lock."""
+    new_version = from_version + 1
     while True:
         meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
         try:
@@ -244,47 +325,77 @@ def _commit_locked(
             new_version += 1
     with os.fdopen(fd, "w") as f:
         json.dump(new_meta, f, indent=1)
-
-    # 4. atomic hint swap — THE commit point (still under the lock)
     tmp = _hint_path(path) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(new_version))
     os.replace(tmp, _hint_path(path))
-    return snapshot_id
+    return new_version
+
+
+_LOCK_SEQ = iter(range(1 << 62))
 
 
 def _acquire_commit_lock(
     meta_dir: str, timeout: float = 30.0, stale_sec: float = 120.0
-) -> str:
-    """O_EXCL lock file with bounded wait; a lock older than
-    ``stale_sec`` (crashed writer) is taken over."""
+) -> _LockLease:
+    """O_EXCL lock file with bounded wait, ownership token and
+    heartbeat. A leftover lock is taken over only when BOTH hold: its
+    mtime is older than ``stale_sec`` (the holder's heartbeat has
+    stopped) AND its recorded pid is not alive — a live-but-slow
+    commit is waited out, never usurped.
+
+    Takeover is rename-then-delete: two waiters that both judge the
+    lock stale race on ``os.rename``; exactly one wins (the loser gets
+    ENOENT and retries), so the old double-``os.remove`` TOCTOU — where
+    the second remover could delete a FRESH lock created in between —
+    cannot fire. After the rename the inode is compared against the
+    sample that justified the takeover; on mismatch (a new holder
+    slipped in) the lock is restored via ``os.link`` (which never
+    clobbers) and in the worst race the displaced holder's own
+    ``verify()`` aborts its commit rather than corrupting anything.
+    """
     lock = os.path.join(meta_dir, "commit.lock")
+    token = f"{os.getpid()}:{time.time_ns()}:{next(_LOCK_SEQ)}"
     deadline = time.time() + timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token.encode())
             os.close(fd)
-            return lock
+            return _LockLease(lock, token, stale_sec)
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock) > stale_sec:
-                    os.remove(lock)
-                    continue
-            except FileNotFoundError:
+                st = os.stat(lock)
+                with open(lock) as f:
+                    holder = f.read()
+            except OSError:
+                continue  # released/stolen between EEXIST and stat
+            try:
+                holder_pid = int(holder.split(":", 1)[0])
+                holder_alive = _pid_alive(holder_pid)
+            except ValueError:
+                holder_alive = False  # unparseable: legacy/corrupt lock
+            if time.time() - st.st_mtime > stale_sec and not holder_alive:
+                claim = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                try:
+                    os.rename(lock, claim)
+                except OSError:
+                    continue  # another waiter won the takeover race
+                if os.stat(claim).st_ino != st.st_ino:
+                    # we renamed a FRESH lock, not the stale one we
+                    # sampled — give it back without clobbering
+                    try:
+                        os.link(claim, lock)
+                    except OSError:
+                        pass  # a new lock exists; displaced holder's
+                        # verify() aborts its commit — no corruption
+                os.remove(claim)
                 continue
             if time.time() > deadline:
                 raise CommitError(
-                    f"commit lock timeout at {lock}"
+                    f"commit lock timeout at {lock} (held by {holder!r})"
                 ) from None
             time.sleep(0.02)
-
-
-def _release_commit_lock(lock: str) -> None:
-    try:
-        os.remove(lock)
-    except FileNotFoundError:
-        pass
 
 
 def append(df: DataFrame, path: str) -> int:
@@ -513,22 +624,22 @@ def scan(
 
 def rollback(path: str, snapshot_id: int) -> int:
     """Commit a new metadata version whose current snapshot is an
-    older one (no data is touched; history is preserved)."""
-    version = current_version(path)
-    meta = _load_metadata(path, version)
-    if snapshot_id not in {s["snapshot_id"] for s in meta["snapshots"]}:
-        raise CommitError(f"unknown snapshot {snapshot_id}")
-    new_meta = dict(meta, current_snapshot_id=snapshot_id)
-    new_version = version + 1
-    with open(
-        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"), "w"
-    ) as f:
-        json.dump(new_meta, f, indent=1)
-    tmp = _hint_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(new_version))
-    os.replace(tmp, _hint_path(path))
-    return new_version
+    older one (no data is touched; history is preserved). Runs under
+    the table's commit lock with the same O_EXCL version claim as data
+    commits — racing a concurrent commit can no longer truncate the
+    metadata file it just claimed or lose it via a stale hint swap."""
+    meta_dir = _meta_dir(path)
+    lease = _acquire_commit_lock(meta_dir)
+    try:
+        version = current_version(path)  # re-read under the lock
+        meta = _load_metadata(path, version)
+        if snapshot_id not in {s["snapshot_id"] for s in meta["snapshots"]}:
+            raise CommitError(f"unknown snapshot {snapshot_id}")
+        new_meta = dict(meta, current_snapshot_id=snapshot_id)
+        lease.verify()
+        return _publish_metadata(path, meta_dir, new_meta, version)
+    finally:
+        lease.release()
 
 
 def compact(
@@ -556,6 +667,14 @@ def vacuum_orphans(path: str, min_age_sec: float = 3600.0) -> dict:
 
     Returns {"deleted_files": n, "deleted_meta": m}.
     """
+    lease = _acquire_commit_lock(_meta_dir(path))
+    try:
+        return _vacuum_locked(path, min_age_sec)
+    finally:
+        lease.release()
+
+
+def _vacuum_locked(path: str, min_age_sec: float) -> dict:
     version = current_version(path)
     meta = _load_metadata(path, version)
     referenced: set[str] = set()
@@ -610,7 +729,17 @@ def vacuum_orphans(path: str, min_age_sec: float = 3600.0) -> dict:
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` snapshots (the current one
     is always kept) and delete data files referenced by no retained
-    snapshot. Returns {"expired": [...], "deleted_files": n}."""
+    snapshot. Runs under the commit lock + O_EXCL version claim like
+    every other metadata writer. Returns {"expired": [...],
+    "deleted_files": n}."""
+    lease = _acquire_commit_lock(_meta_dir(path))
+    try:
+        return _expire_locked(path, keep_last, lease)
+    finally:
+        lease.release()
+
+
+def _expire_locked(path: str, keep_last: int, lease: _LockLease) -> dict:
     version = current_version(path)
     meta = _load_metadata(path, version)
     snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
@@ -641,15 +770,8 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         meta,
         snapshots=[s for s in snaps if s["snapshot_id"] in keep_ids],
     )
-    new_version = version + 1
-    with open(
-        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"), "w"
-    ) as f:
-        json.dump(new_meta, f, indent=1)
-    tmp = _hint_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(new_version))
-    os.replace(tmp, _hint_path(path))
+    lease.verify()
+    _publish_metadata(path, _meta_dir(path), new_meta, version)
     return {
         "expired": [s["snapshot_id"] for s in expired],
         "deleted_files": deleted,

@@ -143,6 +143,7 @@ def write_chunk(
         "chunk": chunk,
         "engine_version": __version__,
         "path": out,
+        "partition_cols": list(partition_cols),
         "elapsed_sec": round(time.time() - t0, 3),
         **tile_metrics(written, cell_col),
     }
@@ -178,20 +179,60 @@ def _read_chunk(spark, path: str) -> DataFrame:
     return df.drop(*[c for c in df.columns if c.startswith("_p_")])
 
 
+def _chunk_layout(base: str, chunk: str) -> tuple[str, ...]:
+    """Partition layout of a committed chunk. Preferred source is the
+    manifest's ``partition_cols`` record; manifests written before that
+    field existed fall back to detecting ``_p_<col>=`` directory levels
+    under the chunk (driver-side listdir — bytes, not data)."""
+    with open(_manifest_path(base, chunk)) as f:
+        m = json.load(f)
+    if "partition_cols" in m:
+        return tuple(m["partition_cols"])
+    cols: list[str] = []
+    d = os.path.join(base, f"chunk={chunk}")
+    while os.path.isdir(d):
+        subs = [
+            n
+            for n in os.listdir(d)
+            if n.startswith("_p_") and "=" in n
+            and os.path.isdir(os.path.join(d, n))
+        ]
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0][len("_p_"):])
+        d = os.path.join(d, subs[0])
+    return tuple(cols)
+
+
 def read_tiles(spark, base: str) -> DataFrame:
     """Read back all committed chunks (uncommitted ones are excluded —
-    their data may be partial). One multi-path scan, not a union per
-    chunk: a union chain builds an O(n_chunks)-deep plan that stalls
-    Catalyst at the 10³⁺ chunks a season of incremental runs produces;
-    a single scan over the chunk directories stays O(1)."""
+    their data may be partial). One multi-path scan PER PARTITION
+    LAYOUT, not a union per chunk: a union chain builds an
+    O(n_chunks)-deep plan that stalls Catalyst at the 10³⁺ chunks a
+    season of incremental runs produces. Chunks written with different
+    ``partition_cols`` (run_resumable accepts them per run) cannot
+    share one scan — Spark's partition discovery rejects a conflicting
+    layout — so chunks are grouped by the layout recorded in their
+    lineage manifests and the (few) per-layout scans are unioned; plan
+    depth is O(n_layouts), which is O(1) in practice."""
     done = sorted(committed_chunks(base))
     if not done:
         raise FileNotFoundError(f"no committed chunks under {base}")
-    paths = [os.path.join(base, f"chunk={c}") for c in done]
-    # basePath=base makes chunk= (and any _p_*) partition directories
-    # resolve against ONE table root, so only the committed chunk paths
-    # are scanned and the discovered partition columns drop cleanly.
-    df = spark.read.option("basePath", base).parquet(*paths)
-    return df.drop(
-        "chunk", *[c for c in df.columns if c.startswith("_p_")]
-    )
+    by_layout: dict[tuple[str, ...], list[str]] = {}
+    for c in done:
+        by_layout.setdefault(_chunk_layout(base, c), []).append(c)
+    frames = []
+    for chunks in by_layout.values():
+        paths = [os.path.join(base, f"chunk={c}") for c in chunks]
+        # basePath=base makes chunk= (and any _p_*) partition
+        # directories resolve against ONE table root, so only the
+        # committed chunk paths are scanned and the discovered
+        # partition columns drop cleanly.
+        df = spark.read.option("basePath", base).parquet(*paths)
+        frames.append(
+            df.drop("chunk", *[c for c in df.columns if c.startswith("_p_")])
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

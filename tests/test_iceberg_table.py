@@ -289,3 +289,85 @@ def test_concurrent_appends_lose_cleanly_never_silently(spark, tmp_path):
     os.utime(lock, (1, 1))  # ancient
     iceberg.append(spark.range(0, 5).select((F.col("id") + 10**6).alias("id")), path)
     assert iceberg.read(spark, path).count() == 415
+
+
+def test_live_holders_lock_is_never_stolen(spark, tmp_path):
+    """A lock whose recorded pid is ALIVE must not be taken over, even
+    with an ancient mtime — a >stale_sec data write is a slow commit,
+    not a crashed one (the old mtime-only rule stole it and the
+    usurper's overwrite corrupted the slow writer's snapshot dir)."""
+    path = str(tmp_path / "tbl_live")
+    iceberg.append(spark.range(0, 10).select(F.col("id")), path)
+    lock = os.path.join(path, "metadata", "commit.lock")
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()}:0:0")  # alive pid (our own), fake token
+    os.utime(lock, (1, 1))  # ancient mtime
+    with pytest.raises(iceberg.CommitError, match="timeout"):
+        iceberg._acquire_commit_lock(
+            os.path.join(path, "metadata"), timeout=0.5
+        )
+    os.remove(lock)
+
+
+def test_heartbeat_keeps_slow_commit_lock_fresh(tmp_path):
+    """The lease heartbeat refreshes the lock mtime, so a commit whose
+    data write outlives stale_sec no longer looks stale to waiters."""
+    import time as _t
+
+    meta_dir = str(tmp_path / "meta")
+    os.makedirs(meta_dir)
+    lease = iceberg._acquire_commit_lock(meta_dir, stale_sec=0.4)
+    try:
+        os.utime(lease.lock, (1, 1))  # simulate an old mtime
+        _t.sleep(0.5)  # > stale_sec: heartbeat must have touched it
+        assert _t.time() - os.path.getmtime(lease.lock) < 10
+        lease.verify()  # still ours
+    finally:
+        lease.release()
+    assert not os.path.exists(lease.lock)
+
+
+def test_usurped_writer_aborts_at_commit_point(tmp_path):
+    """If the lock is stolen mid-commit, verify() (called before the
+    hint swap) raises instead of clobbering the usurper's commit."""
+    meta_dir = str(tmp_path / "meta")
+    os.makedirs(meta_dir)
+    lease = iceberg._acquire_commit_lock(meta_dir)
+    with open(lease.lock, "w") as f:
+        f.write("some-other-writers-token")
+    with pytest.raises(iceberg.CommitError, match="ownership lost"):
+        lease.verify()
+    # release must NOT delete a lock that is no longer ours
+    lease.release()
+    assert os.path.exists(lease.lock)
+    os.remove(lease.lock)
+
+
+def test_admin_ops_serialize_with_commits(spark, tmp_path):
+    """rollback/expire_snapshots go through the same commit lock and
+    O_EXCL version claim as data commits: racing writers can no longer
+    overwrite each other's metadata version or lose a hint swap."""
+    import threading
+
+    path = str(tmp_path / "tbl_admin")
+    iceberg.append(spark.range(0, 10).select(F.col("id")), path)
+    iceberg.append(spark.range(10, 20).select(F.col("id")), path)
+
+    # hold the commit lock in this thread; rollback must block until
+    # released rather than publishing concurrently
+    lease = iceberg._acquire_commit_lock(os.path.join(path, "metadata"))
+    done = []
+
+    def do_rollback():
+        done.append(iceberg.rollback(path, 1))
+
+    t = threading.Thread(target=do_rollback)
+    t.start()
+    t.join(0.4)
+    assert not done, "rollback ran while the commit lock was held"
+    lease.release()
+    t.join(10)
+    assert done and iceberg.read(spark, path).count() == 10
+    # expire under the lock path produces a dense, claimed version
+    res = iceberg.expire_snapshots(path, keep_last=2)
+    assert isinstance(res, dict)

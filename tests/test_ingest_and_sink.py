@@ -192,6 +192,33 @@ class TestResumableSink:
         assert s2["only"]["skipped"] is True
         assert s1["only"]["rows"] == s2["only"]["rows"]
 
+    def test_read_tiles_mixed_partition_layouts(self, spark, tmp_path):
+        """Chunks committed with different (or no) partition_cols into
+        the same out_path must all read back: one scan per recorded
+        layout, unioned — Spark's conflicting-partition-schema error
+        must not surface."""
+        base = str(tmp_path / "tiles3")
+
+        def process(chunk):
+            imgs = fixtures.images_df(spark, 120, with_bytes=False)
+            return spatial.spatial_join_tiles(
+                imgs, fixtures.polygon_layer(), scheme="grid", res=10
+            )
+
+        sink.run_resumable(base, ["flat"], process)
+        sink.run_resumable(
+            base, ["byadmin"], process, partition_cols=("admin_code",)
+        )
+        got = sink.read_tiles(spark, base)
+        # both chunks present, partition helper columns dropped
+        assert got.count() == 2 * process("flat").count()
+        assert not [c for c in got.columns if c.startswith("_p_")]
+        # layouts recorded in the manifests
+        import json as _json
+
+        with open(sink._manifest_path(base, "byadmin")) as f:
+            assert _json.load(f)["partition_cols"] == ["admin_code"]
+
 
 def test_mergeable_hll_sketches_across_chunks(spark, tmp_path):
     """Per-chunk HLL sketches in the manifests merge to the global
