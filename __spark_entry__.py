@@ -1526,15 +1526,67 @@ FROM base b JOIN pert p USING (vec_id)
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (the similarity scale path;
-    rows-only: list assignment is engine-defined). Returns each
-    vector's approx top-5 with rank."""
+    """IVF approximate nearest neighbors (the similarity scale path),
+    value-oracled by PLANTED STRUCTURE: 200 vectors in 8 near-orthogonal
+    clusters (cluster c = vec_id % 8 owns axis c; per-element lattice
+    perturbation ±0.03). Intra-cluster cosine ≈ 0.99, inter ≈ 0.05, and
+    every cluster member lands in the same inverted list (the vectors
+    are nearly identical, so their nearest-centroid argmax agrees), so
+    each query's exact top-5 — all cluster-mates, 25 ≫ 5 per cluster —
+    live inside its own probed list. IVF top-5 therefore provably
+    equals the exact top-5 that the DuckDB oracle computes by brute
+    force, even if k-means merges or splits clusters (nprobe=4 covers a
+    split into ≤4 sub-lists)."""
     from ksj2gp_spark.operators.similarity import ivf_topk
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ivf_topk(e, k=5, nlist=8, nprobe=4).select(
+    planted = e.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.when(i == F.col("vec_id") % 8, F.lit(1.0)).otherwise(F.lit(0.0))
+                + ((F.col("vec_id") * 31 + i * 17) % 7 - 3).cast("double") * 0.01
+            ),
+        ).alias("embedding"),
+    )
+    return ivf_topk(planted, k=5, nlist=8, nprobe=4).select(
         "vec_id", "rank", "neighbor_id", F.round("sim", 3).alias("sim3")
     )
+
+
+# Oracle: exact brute-force top-5 over the same deterministically
+# planted vectors. The Spark side must RECOVER it through the IVF
+# index — a recall miss (wrong list routing, dropped candidate) breaks
+# rows/hash equality. All arithmetic is int-lattice → double, identical
+# in both engines; rank ties (exact-equal sims) break on neighbor_id in
+# both ORDER BYs.
+_SIMILARITY_IVF_SQL = """
+WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 200),
+v AS (
+  SELECT vec_id,
+         list_transform(
+           generate_series(0, 15),
+           i -> (CASE WHEN i = vec_id % 8 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+                + CAST((vec_id * 31 + i * 17) % 7 - 3 AS DOUBLE) * 0.01
+         ) AS vec
+  FROM ids
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+            * sqrt(list_dot_product(b.vec, b.vec))) AS sim
+  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id,
+       CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id,
+       round(sim, 3) AS sim3
+FROM pairs
+QUALIFY rank <= 5
+"""
 
 
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,7 +1817,8 @@ GROUP BY p.admin_code
         "concave_tiles": _concave_sql(),
         "admin_geometry_stats": _geometry_stats_sql(),
         "tile_rollup": _ROLLUP_SQL,
-        # minhash_pairs / simhash_pairs / lang_id / embedding_near_dups /
-        # image_decode_verify: engine-defined hash families and codecs —
-        # rows-only checks by design.
+        "similarity_ivf": _SIMILARITY_IVF_SQL,
+        # image_decode_verify / media_features: codec-defined byte lanes
+        # (PNG/WAV bits) — rows-only checks by design; every hash/LSH
+        # lane is value-oracled via planted structure.
     }

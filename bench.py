@@ -76,21 +76,42 @@ def main() -> None:
             spark, 4_000 * cpus, with_bytes=False, partitions=cpus * 2
         )
         spatial.spatial_join_tiles(warm, polys, scheme="hex", res=7).count()
+    # One full-size pass: the small warmups leave each python worker's
+    # allocator pools sized for 2k-row batches; the first full-size
+    # batch then pays first-touch page faults for ~MB-scale arrays
+    # (measured: 5s vs 0.2s for the same 2M-point kernel call). Run
+    # the real shape once so no timed repeat pays it.
+    spatial.spatial_join_tiles(
+        imgs, polys, scheme="hex", res=7, strategy="fused"
+    ).count()
 
     timings: dict[str, float] = {}
+    raw_times: dict[str, list[float]] = {}
+    loadavg_start = os.getloadavg()[0]
 
-    def timed(name: str, fn, repeats: int = 1):
-        """Record the best of ``repeats`` runs — single-JVM local mode
-        has ±2× GC/page-cache noise on short lanes; best-of-2 reports
-        the machine's actual capability."""
-        best = None
+    def timed(name: str, fn, repeats: int = 3):
+        """Record the MEDIAN of ``repeats`` runs and keep every raw
+        repeat in the JSON — single-JVM local mode has ±2-4× GC/page-
+        cache noise on short lanes; a median with visible raw spread
+        distinguishes a code regression from box weather (best-of-N
+        hid outliers; a single run WAS an outlier, round-2 lesson).
+        A JVM GC runs before each lane so collections triggered by the
+        previous lane's garbage don't land mid-measurement."""
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+        times = []
         out = None
         for _ in range(repeats):
             t0 = time.time()
             out = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            times.append(round(time.time() - t0, 3))
+        raw_times[name] = times
+        # LOW median: with an even repeat count the plain len//2
+        # index picks the WORSE of the middle pair — on a shared
+        # box the upper tail is load noise, so round down.
+        timings[name] = sorted(times)[(len(times) - 1) // 2]
         return out
 
     # Headline: hex-cell fused (single Arrow pass) spatial join.
@@ -101,26 +122,22 @@ def main() -> None:
         )
         .select("image_id", "cell", "admin_code")
         .count(),
-        repeats=2,
     )
     timed(
         "tiles_hex_broadcast_bhj",
         lambda: spatial.spatial_join_tiles(
             imgs, polys, scheme="hex", res=7, strategy="broadcast"
         ).count(),
-        repeats=2,
     )
     timed(
         "tiles_s2",
         lambda: spatial.spatial_join_tiles(
             imgs, polys, scheme="s2", res=12, strategy="fused"
         ).count(),
-        repeats=2,
     )
     timed(
         "tiles_grid",
         lambda: spatial.spatial_join_tiles(imgs, polys, scheme="grid", res=10).count(),
-        repeats=2,
     )
 
     # Salted shuffle variant (hot-cell handling at scale).
@@ -151,7 +168,6 @@ def main() -> None:
         lambda: spatial.fused_assign_or_knn(
             imgs, polys, scheme="grid", res=10, k=3
         ).count(),
-        repeats=2,
     )
 
     # Conversion lane — the reference's own role (ZIP shapefile →
@@ -362,6 +378,12 @@ def main() -> None:
 
     timed("fused_20k_polygons_300k_pts", fused_large_layer)
 
+    # Cache hygiene between lane groups: the image/doc fixtures are
+    # done — drop them before the relational lanes so no lane competes
+    # with stale cached blocks for executor memory.
+    docs100k.unpersist()
+    imgs.unpersist()
+
     # Relational operators at SF scale.
     import __spark_entry__ as entry_mod
 
@@ -378,6 +400,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # raw per-repeat wall times (median is what "queries"
+                # reports): outliers are visible, not hidden
+                "raw_sec": raw_times,
+                # load context: 1-min load average at start/end of the
+                # timed region, so a noisy-box run is identifiable
+                "loadavg_1m": [
+                    round(loadavg_start, 2),
+                    round(os.getloadavg()[0], 2),
+                ],
+                "timing": "median",
                 "sf": sf,
                 "cpus": cpus,
                 "images": n_images,

@@ -2,10 +2,17 @@
 
 Behavioral spec: the reference consumes dBASE via the ``dbase`` crate
 and maps field types to Arrow at /root/reference/rust/src/builder.rs:
-290-318 (Numeric/Double→f64, Character/Memo→utf8, Float→f32,
+290-318 (Numeric/Double/Currency→f64, Character/Memo→utf8, Float→f32,
 Integer→i32, Logical→bool, Date→date32; DateTime decoded as an
 engine extension — the reference panics on it, builder.rs:310). The
 writer exists for building deterministic test fixtures only.
+
+Memo ('M') fields resolve through the .dbt sidecar (dBASE III layout:
+512-byte blocks, 0x1A-terminated text) passed as ``memo=``; without a
+sidecar the cell is null. Currency ('Y') is the 8-byte LE integer
+scaled by 10^-4; Double ('B') is an 8-byte IEEE double — both map to
+float64 like the reference's FieldValue::Currency/Double
+(builder.rs:58-60,291-293).
 
 Field values decode to Python objects; empty numerics decode to None
 (nullable columns, builder.rs:50-97).
@@ -17,7 +24,16 @@ import datetime as _dt
 import struct
 from dataclasses import dataclass
 
-__all__ = ["DbfError", "DbfField", "read_dbf", "write_dbf", "read_header"]
+__all__ = [
+    "DbfError",
+    "DbfField",
+    "read_dbf",
+    "write_dbf",
+    "write_dbt",
+    "read_header",
+]
+
+DBT_BLOCK_SIZE = 512  # dBASE III memo sidecar block size
 
 
 class DbfError(ValueError):
@@ -60,9 +76,13 @@ def read_fields(buf: bytes) -> list[DbfField]:
 
 
 def read_dbf(
-    buf: bytes, encoding: str = "cp932"
+    buf: bytes, encoding: str = "cp932", memo: bytes | None = None
 ) -> tuple[list[DbfField], list[list[object]]]:
-    """Parse a .dbf file into (fields, rows). Deleted rows skipped."""
+    """Parse a .dbf file into (fields, rows). Deleted rows skipped.
+
+    ``memo``: the .dbt sidecar bytes, resolved for 'M' fields; a memo
+    reference with no sidecar decodes to None (nullable, like every
+    other empty cell)."""
     n_records, header_size, record_size, _ = read_header(buf)
     if record_size < 1 or header_size < 32 or header_size > len(buf):
         raise DbfError(
@@ -85,14 +105,42 @@ def read_dbf(
         for f in fields:
             raw = rec[off : off + f.length]
             off += f.length
-            row.append(_decode_value(raw, f, encoding))
+            row.append(_decode_value(raw, f, encoding, memo))
         rows.append(row)
     return fields, rows
 
 
-def _decode_value(raw: bytes, f: DbfField, encoding: str) -> object:
+def _decode_value(
+    raw: bytes, f: DbfField, encoding: str, memo: bytes | None = None
+) -> object:
     if f.ftype == "C":
         return raw.decode(encoding, "replace").rstrip(" \x00") or None
+    if f.ftype == "M":
+        # Memo: the record stores a block reference into the .dbt
+        # sidecar — ASCII digits (dBASE III, 10 bytes) or a LE uint32
+        # (FoxPro-style 4-byte field). Reference maps Memo→Utf8
+        # (builder.rs:88,294); without a sidecar the cell is null.
+        if f.length == 4 and len(raw) == 4:
+            block = struct.unpack("<I", raw)[0]
+        else:
+            text = raw.strip(b" \x00").decode("ascii", "replace")
+            if not text.isdigit():
+                return None
+            block = int(text)
+        if block == 0 or memo is None:
+            return None
+        return _read_dbt_block(memo, block, encoding)
+    if f.ftype == "Y":
+        # Currency: 8-byte LE integer, implied 4 decimal places → f64
+        # (builder.rs:59 FieldValue::Currency → Float64Builder).
+        if len(raw) != 8:
+            return None
+        return struct.unpack("<q", raw)[0] / 10000.0
+    if f.ftype == "B":
+        # Double: 8-byte IEEE 754 LE → f64 (builder.rs:59,291).
+        if len(raw) != 8:
+            return None
+        return struct.unpack("<d", raw)[0]
     text = raw.strip(b" \x00*").decode("ascii", "replace")
     if f.ftype in ("N", "F"):
         if not text:
@@ -131,6 +179,36 @@ def _decode_value(raw: bytes, f: DbfField, encoding: str) -> object:
         base = _dt.datetime(1970, 1, 1)  # JDN 2440588
         return base + _dt.timedelta(days=jdn - 2440588, milliseconds=ms)
     raise DbfError(f"unsupported dBASE field type: {f.ftype}")
+
+
+def _read_dbt_block(memo: bytes, block: int, encoding: str) -> str | None:
+    """dBASE III .dbt: text starts at block*512, runs to 0x1A (field
+    terminator). A reference past the sidecar's end decodes to null —
+    the cell is quarantined, not the file."""
+    start = block * DBT_BLOCK_SIZE
+    if start >= len(memo):
+        return None
+    end = memo.find(b"\x1a", start)
+    chunk = memo[start : end if end != -1 else len(memo)]
+    return chunk.decode(encoding, "replace").rstrip(" \x00") or None
+
+
+def write_dbt(texts: list[str | None], encoding: str = "cp932") -> tuple[bytes, list[int]]:
+    """Build a dBASE III memo sidecar (fixture builder): returns
+    (dbt_bytes, block_number per text; 0 = no memo)."""
+    out = bytearray(DBT_BLOCK_SIZE)  # header block: next-free pointer
+    blocks: list[int] = []
+    for t in texts:
+        if t is None:
+            blocks.append(0)
+            continue
+        raw = t.encode(encoding) + b"\x1a\x1a"
+        blocks.append(len(out) // DBT_BLOCK_SIZE)
+        n_blocks = (len(raw) + DBT_BLOCK_SIZE - 1) // DBT_BLOCK_SIZE
+        out += raw + bytes(n_blocks * DBT_BLOCK_SIZE - len(raw))
+    struct.pack_into("<I", out, 0, len(out) // DBT_BLOCK_SIZE)
+    out[16] = 0x03  # dBASE III version marker
+    return bytes(out), blocks
 
 
 def write_dbf(
@@ -177,6 +255,19 @@ def _encode_value(v: object, f: DbfField, encoding: str) -> bytes:
         )
         raw = text.encode("ascii")[-f.length :]
         return b" " * (f.length - len(raw)) + raw
+    if f.ftype == "M":
+        # v is the .dbt block number from write_dbt (0/None = no memo)
+        text = "" if not v else str(int(v))
+        raw = text.encode("ascii")[-f.length:]
+        return b" " * (f.length - len(raw)) + raw
+    if f.ftype == "Y":
+        if v is None:
+            return bytes(8)
+        return struct.pack("<q", round(float(v) * 10000.0))
+    if f.ftype == "B":
+        if v is None:
+            return bytes(8)
+        return struct.pack("<d", float(v))
     if f.ftype == "L":
         return b"?" if v is None else (b"T" if v else b"F")
     if f.ftype == "D":

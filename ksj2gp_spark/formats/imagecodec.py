@@ -2,16 +2,16 @@
 
 The input-table contract (BASELINE input_hint) carries images as opaque
 ``bytes`` with ``fmt`` ∈ {"png", "jpeg"}. This environment has no image
-libraries (no PIL/libjpeg), so:
+libraries (no PIL/libjpeg), so both codecs are from scratch:
 
 * ``png`` is a real PNG codec (formats/png.py, stdlib zlib).
-* ``jpeg`` is a **deterministic stand-in for a lossy codec**: pixel
-  values are quantized to even values (max error 1 LSB ⇒ PSNR ≈ 48 dB,
-  comfortably over the 40 dB invariant) and the quantized image is
-  stored PNG-encoded behind a 4-byte ``FJPG`` magic. The Spark-side
-  plumbing (binary column, Arrow batches, decode-in-UDF, PSNR check) is
-  identical to what a real libjpeg-backed UDF would do; swapping in a
-  real codec is a one-function change here.
+* ``jpeg`` is a real baseline JFIF codec (formats/jpeg.py — numpy DCT,
+  Annex-K quantization + Huffman tables). Encoding uses quality 98,
+  which holds the PSNR≥40dB lossy invariant with margin even on the
+  synthetic fixtures' pathological sawtooth chroma (measured: min
+  42.9 dB across fixture shapes; q96 dips to 37 dB). Round-2 bytes
+  behind the legacy 4-byte ``FJPG`` magic (PNG-backed stand-in) still
+  decode for back-compat with previously-written tables.
 
 All functions operate on numpy arrays and are called from pandas UDFs
 over whole Arrow batches.
@@ -21,9 +21,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import png
+from . import jpeg, png
 
 FAKE_JPEG_MAGIC = b"FJPG"
+JPEG_QUALITY = 98
 
 
 class ImageError(ValueError):
@@ -35,8 +36,7 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png.encode(arr)
     if fmt == "jpeg":
-        quantized = (arr >> 1) << 1  # deterministic "lossy" quantization
-        return FAKE_JPEG_MAGIC + png.encode(quantized)
+        return jpeg.encode(arr, quality=JPEG_QUALITY)
     raise ImageError(f"unsupported format: {fmt}")
 
 
@@ -45,14 +45,10 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         return png.decode(bytes(buf))
     if fmt == "jpeg":
         b = bytes(buf)
-        if not b.startswith(FAKE_JPEG_MAGIC):
-            # A real JPEG requires libjpeg, absent in this container.
-            raise NotImplementedError(
-                "real JPEG decode requires an image library not present in "
-                "this environment; only the deterministic FJPG stand-in is "
-                "supported"
-            )
-        return png.decode(b[len(FAKE_JPEG_MAGIC) :])
+        if b.startswith(FAKE_JPEG_MAGIC):
+            # legacy round-2 stand-in bytes (PNG behind a magic)
+            return png.decode(b[len(FAKE_JPEG_MAGIC) :])
+        return jpeg.decode(b)
     raise ImageError(f"unsupported format: {fmt}")
 
 

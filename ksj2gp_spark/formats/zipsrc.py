@@ -60,6 +60,7 @@ class ShapefileBundle:
     shx: bytes | None
     crs: str
     encoding: str
+    dbt: bytes | None = None  # memo sidecar for dBASE 'M' fields
 
 
 def read_bundle(zip_bytes: bytes, target_shp: str) -> ShapefileBundle:
@@ -94,6 +95,8 @@ def read_bundle(zip_bytes: bytes, target_shp: str) -> ShapefileBundle:
         shp_bytes = zf.read(shp_raw)
         dbf_bytes = zf.read(dbf_raw)
         shx_bytes = zf.read(shx_raw) if shx_raw else None
+        dbt_raw = raw(stem + ".dbt")
+        dbt_bytes = zf.read(dbt_raw) if dbt_raw else None
 
         prj_raw = raw(stem + ".prj")
         prj_wkt = (
@@ -117,4 +120,5 @@ def read_bundle(zip_bytes: bytes, target_shp: str) -> ShapefileBundle:
             shx=shx_bytes,
             crs=crs,
             encoding=encoding,
+            dbt=dbt_bytes,
         )

@@ -75,7 +75,9 @@ def parse_zip_bytes(
                 target_shp=shp_name,
             )
             geoms = shp_mod.read_shp(bundle.shp)
-            fields, recs = dbf_mod.read_dbf(bundle.dbf, bundle.encoding)
+            fields, recs = dbf_mod.read_dbf(
+                bundle.dbf, bundle.encoding, memo=bundle.dbt
+            )
             colnames = [translate_colnames(f.name, opts) for f in fields]
             codelists = [
                 get_codelist_map(f.name, year, shp_name)

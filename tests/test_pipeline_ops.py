@@ -221,7 +221,7 @@ class TestImageOps:
         df = spark.createDataFrame(pdf)
         out = img_ops.decode_verify(df).toPandas()
         assert out.loc[0, "decode_error"] is not None
-        assert "NotImplementedError" in out.loc[0, "decode_error"]
+        assert "JpegError" in out.loc[0, "decode_error"]
 
     def test_resize(self, spark, images):
         out = img_ops.resize_images(images.limit(20), 4, 4).toPandas()
