@@ -172,35 +172,32 @@ def minhash_signature_udf(num_hashes: int = 64, n_shingle: int = 3):
     return sig
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
     n_shingle: int = 3,
-    threshold: float = 0.7,
-    max_bucket: int | None = 10_000,
-) -> DataFrame:
-    """Near-duplicate pairs by MinHash+LSH with signature verification.
+) -> tuple[DataFrame, list[str]]:
+    """UNCAPPED banded frame: one row per (doc, band) with the band
+    signature packed into int64 bucket keys. Public so callers can
+    audit cap drops: ``dropped_bucket_stats(banded, ["band",
+    *bucket_cols], max_bucket)`` is the ledger the cap inside
+    :func:`minhash_lsh_pairs` applies. Returns (banded, bucket_cols).
 
-    Emits (id_a, id_b, est_jaccard) for pairs whose estimated Jaccard
-    (matching minhash fraction) ≥ threshold. Candidate generation is a
-    bucket self-join: rows sharing any band signature. Buckets larger
-    than ``max_bucket`` (boilerplate/empty-text clusters whose in-bucket
-    join would go quadratic at corpus scale) are dropped from candidate
-    generation — see :func:`_cap_buckets` for the audit trail."""
+    No .cache() on purpose: the downstream self-join's two sides are
+    identical subplans, so Spark's ReuseExchange computes the
+    signature UDF once and replays the shuffle for the other side
+    (measured at 40k docs: cache-free within noise of cached). A
+    cached frame here leaked for the session's lifetime — every
+    composed-pipeline call accumulated storage pressure
+    (tests/test_pipeline_ops.py pins the no-new-persistent-RDDs
+    contract)."""
     rows_per_band = num_hashes // bands
-    # No .cache() here on purpose: the banded self-join's two sides are
-    # identical subplans, so Spark's ReuseExchange computes the
-    # signature UDF once and replays the shuffle for the other side
-    # (measured at 40k docs: cache-free within noise of cached). A
-    # cached frame here leaked for the session's lifetime — every
-    # composed-pipeline call accumulated storage pressure
-    # (tests/test_pipeline_ops.py pins the no-new-persistent-RDDs
-    # contract).
     sigged = df.select(
-        F.col(id_col), minhash_signature_udf(num_hashes, n_shingle)(F.col(text_col)).alias("sig")
+        F.col(id_col),
+        minhash_signature_udf(num_hashes, n_shingle)(F.col(text_col)).alias("sig"),
     )
 
     # Bucket key is the band's minhash values packed EXACTLY into
@@ -229,6 +226,30 @@ def minhash_lsh_pairs(
     banded = sigged.select(
         id_col, "sig", F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "sig", "bb.band", *[f"bb.{c}" for c in bucket_cols])
+    return banded, bucket_cols
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_shingle: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash+LSH with signature verification.
+
+    Emits (id_a, id_b, est_jaccard) for pairs whose estimated Jaccard
+    (matching minhash fraction) ≥ threshold. Candidate generation is a
+    bucket self-join: rows sharing any band signature. Buckets larger
+    than ``max_bucket`` (boilerplate/empty-text clusters whose in-bucket
+    join would go quadratic at corpus scale) are dropped from candidate
+    generation — see :func:`_cap_buckets` for the audit trail."""
+    banded, bucket_cols = minhash_banded(
+        df, id_col, text_col, num_hashes, bands, n_shingle
+    )
     banded = _cap_buckets(banded, ["band", *bucket_cols], max_bucket)
 
     join_cond = (
