@@ -1639,9 +1639,15 @@ FROM pairs0 WHERE bit_count(xor(pa, pb)) <= 4
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio+video multimodal lanes over deterministic synthetic media
-    (real WAV + PNGV-container decode in mapInPandas; rows-only —
-    codecs are engine-defined)."""
+    """Audio lane: per-clip WAV header/feature decode, value-oracled by
+    PLANTED STRUCTURE. Every clip is a deterministic 0.5s/8kHz sine
+    (n_samples=4000 by construction); clips with i % 7 == 3 are tagged
+    as an unsupported codec ('opus' — no codec lib in this container)
+    and must land in the quarantine lane with zeroed header fields. The
+    structural decode outputs (sample count, rate, duration check,
+    quarantine flag) are exact integers the DuckDB oracle predicts from
+    the same id arithmetic; codec-defined floats (rms/peak) stay under
+    pytest invariants (tests/test_media.py), not in the contract hash."""
     import pandas as pd
 
     from ksj2gp_spark.operators import media
@@ -1652,12 +1658,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = np.arange(rate // 2) / rate
         amp = 0.1 + (i % 9) / 10.0
         s = amp * np.sin(2 * np.pi * (110 + 13 * i) * t)
-        audio_rows.append((f"au{i:03d}", media.encode_wav(s, rate), "wav", 500))
+        fmt = "opus" if i % 7 == 3 else "wav"
+        audio_rows.append((f"au{i:03d}", media.encode_wav(s, rate), fmt, 500))
     adf = spark.createDataFrame(
         pd.DataFrame(
             audio_rows, columns=["media_id", "bytes", "fmt", "duration_ms"]
         )
     )
+    return media.audio_features(adf).select(
+        "media_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ok").cast("long").alias("dur_ok"),
+        F.col("decode_error").isNotNull().cast("long").alias("quarantined"),
+    )
+
+
+_MEDIA_FEATURES_SQL = """
+SELECT 'au' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_id,
+       CAST(CASE WHEN i % 7 = 3 THEN 0 ELSE 4000 END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN i % 7 = 3 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN i % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS dur_ok,
+       CAST(CASE WHEN i % 7 = 3 THEN 1 ELSE 0 END AS BIGINT) AS quarantined
+FROM range(0, 50) t(i)
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video lane: PNGV container decode + every-4th-frame sampling,
+    value-oracled by PLANTED STRUCTURE. Each video v has 12 constant-
+    valued 16×16 frames with pixel value (7v+f) % 251, so a sampled
+    frame's mean luma is EXACTLY that integer — the DuckDB oracle
+    predicts (media_id, frame_idx, h, w, mean_luma) for the sampled
+    indices {0, 4, 8} with pure arithmetic. A container mis-parse,
+    wrong frame stride, or PNG pixel corruption breaks hash equality."""
+    import pandas as pd
+
+    from ksj2gp_spark.operators import media
+
     vids = []
     for v in range(10):
         frames = [
@@ -1668,35 +1706,71 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vdf = spark.createDataFrame(
         pd.DataFrame(vids, columns=["media_id", "bytes", "fmt"])
     )
-    audio = media.audio_features(adf).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("duration_ok").cast("long")).alias("n_dur_ok"),
-    ).withColumn("lane", F.lit("audio"))
-    video = media.sample_frames(vdf, every_k=4).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("decode_error").isNull(), 1).otherwise(0)).alias(
-            "n_dur_ok"
-        ),
-    ).withColumn("lane", F.lit("video"))
-    return audio.unionByName(video).select("lane", "n", "n_dur_ok")
+    return media.sample_frames(vdf, every_k=4).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("h").cast("long").alias("h"),
+        F.col("w").cast("long").alias("w"),
+        F.col("mean_luma").cast("long").alias("mean_luma"),
+    )
+
+
+_VIDEO_FRAMES_SQL = """
+SELECT 'vi' || lpad(CAST(v AS VARCHAR), 3, '0') AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS h,
+       CAST(16 AS BIGINT) AS w,
+       CAST((7 * v + f) % 251 AS BIGINT) AS mean_luma
+FROM range(0, 10) t(v) CROSS JOIN (VALUES (0), (4), (8)) s(f)
+"""
 
 
 def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image lane: decode + metadata verification counts over a
-    deterministic synthetic batch (rows-only: PNG decode is a UDF)."""
+    """Image lane: decode + metadata verification per format,
+    value-oracled by PLANTED STRUCTURE. The fixture stores each image's
+    post-roundtrip phash and true dims, so for every intact row the
+    decoder must reproduce phash_match = w_ok = h_ok = true across 2000
+    real PNG/baseline-JPEG encode→decode round-trips; rows with
+    id % 101 == 7 get their bytes replaced by garbage and must land in
+    the error lane. Per-fmt counts are therefore exact integers the
+    DuckDB oracle computes from the same id arithmetic (fmt = jpeg when
+    id % 3 == 0 else png, fixtures.py:147). Pixel-level fidelity
+    (PSNR≥40dB) stays under pytest (tests/test_images.py)."""
     from ksj2gp_spark import fixtures
     from ksj2gp_spark.operators.images import decode_verify
 
     imgs = fixtures.images_df(spark, 2000, with_bytes=True)
+    corrupt = F.substring("image_id", 4, 8).cast("long") % 101 == F.lit(7)
+    imgs = imgs.withColumn(
+        "bytes",
+        F.when(corrupt, F.lit(b"not-an-image")).otherwise(F.col("bytes")),
+    )
     out = decode_verify(imgs)
-    return out.agg(
+    return out.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.col("phash_match").cast("long")).alias("n_phash_match"),
         F.sum(F.col("w_ok").cast("long")).alias("n_w_ok"),
+        F.sum(F.col("h_ok").cast("long")).alias("n_h_ok"),
         F.sum(F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)).alias(
             "n_errors"
         ),
     )
+
+
+_IMAGE_DECODE_SQL = """
+WITH tagged AS (
+  SELECT CASE WHEN i % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+         (i % 101 = 7) AS corrupt
+  FROM range(0, 2000) t(i)
+)
+SELECT fmt,
+       count(*) AS n_images,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_phash_match,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_w_ok,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_h_ok,
+       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM tagged GROUP BY fmt
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1749,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_verify": q_image_decode_verify,
         "phash_near_dups": q_phash_near_dups,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
         "rasterize_admin": q_rasterize_admin,
         "vectorize_admin": q_vectorize_admin,
         "concave_tiles": q_concave_tiles,
@@ -1818,7 +1893,12 @@ GROUP BY p.admin_code
         "admin_geometry_stats": _geometry_stats_sql(),
         "tile_rollup": _ROLLUP_SQL,
         "similarity_ivf": _SIMILARITY_IVF_SQL,
-        # image_decode_verify / media_features: codec-defined byte lanes
-        # (PNG/WAV bits) — rows-only checks by design; every hash/LSH
-        # lane is value-oracled via planted structure.
+        # Codec lanes are value-oracled by planted structure: the
+        # structural decode outputs (dims, phash round-trip, header
+        # fields, constant-frame luma, quarantine routing) are exact
+        # integers predictable from the fixture's id arithmetic. Only
+        # codec-defined floats (PSNR, rms) stay pytest-side.
+        "image_decode_verify": _IMAGE_DECODE_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
+        "video_frames": _VIDEO_FRAMES_SQL,
     }
