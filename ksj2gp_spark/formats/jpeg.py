@@ -158,6 +158,33 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
     return {(ln, code): sym for sym, (code, ln) in enc.items()}
 
 
+_LUT_CACHE: dict[tuple[bytes, bytes], tuple[bytes, bytes]] = {}
+
+
+def _decode_lut(bits: list[int], vals: list[int]) -> tuple[bytes, bytes]:
+    """Peek-16 Huffman decode tables: two length-65536 ``bytes``
+    mapping every 16-bit lookahead prefix to (code length, symbol);
+    length 0 marks an invalid prefix. One table lookup replaces the
+    bit-by-bit canonical-tree walk (the decoder's hot path — ~5.4
+    bit reads per symbol otherwise). Cached on the table definition:
+    real-world scans reuse the same four Annex-K tables, so the build
+    cost is paid once per process, not per image."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    enc = _canonical_codes(bits, vals)
+    lut_len = np.zeros(65536, dtype=np.uint8)
+    lut_sym = np.zeros(65536, dtype=np.uint8)
+    for sym, (code, ln) in enc.items():
+        lo = code << (16 - ln)
+        lut_len[lo : lo + (1 << (16 - ln))] = ln
+        lut_sym[lo : lo + (1 << (16 - ln))] = sym
+    out = (lut_len.tobytes(), lut_sym.tobytes())
+    _LUT_CACHE[key] = out
+    return out
+
+
 _ENC_TABLES = {
     (0, 0): _canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
     (0, 1): _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS),
@@ -438,14 +465,17 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise JpegError("invalid Huffman code in scan")
+    def huff(self, lut: tuple[bytes, bytes]) -> int:
+        """Decode one symbol via the peek-16 LUT (see _decode_lut)."""
+        if self.n < 16:
+            self._fill(16)
+        p = (self.acc >> (self.n - 16)) & 0xFFFF
+        ln = lut[0][p]
+        if ln == 0:
+            raise JpegError("invalid Huffman code in scan")
+        self.n -= ln
+        self.acc &= (1 << self.n) - 1
+        return lut[1][p]
 
 
 def _extend(v: int, size: int) -> int:
@@ -457,29 +487,37 @@ def _extend(v: int, size: int) -> int:
 def _split_entropy(buf: bytes, start: int) -> tuple[list[bytes], int]:
     """From ``start`` (just after SOS header), split the scan into
     restart segments with stuffed bytes removed. Returns (segments,
-    index of the terminating marker's 0xFF)."""
+    index of the terminating marker's 0xFF).
+
+    Only 0xFF positions need inspection (stuffing, RSTn, or a real
+    marker); everything between them is copied by slice, so the scan
+    is O(#FF bytes) Python work instead of a per-byte loop."""
+    raw = memoryview(buf)[start:]
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = len(arr)
     segs: list[bytes] = []
-    cur = bytearray()
-    i = start
-    n = len(buf)
-    while i < n:
-        b = buf[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nxt = buf[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
+    parts: list = []
+    pos = 0
+    for f in np.flatnonzero(arr == 0xFF):
+        f = int(f)
+        if f < pos:
+            continue  # the 0x00 of a previous FF00 pair can't be FF
+        nxt = int(arr[f + 1]) if f + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed data byte: keep the FF, drop the 00
+            parts.append(raw[pos : f + 1])
+            pos = f + 2
         elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i += 2
+            parts.append(raw[pos:f])
+            segs.append(b"".join(parts))
+            parts = []
+            pos = f + 2
         else:  # real marker terminates the scan
-            break
-    segs.append(bytes(cur))
-    return segs, i
+            parts.append(raw[pos:f])
+            segs.append(b"".join(parts))
+            return segs, start + f
+    parts.append(raw[pos:])
+    segs.append(b"".join(parts))
+    return segs, start + n
 
 
 def decode(buf: bytes) -> np.ndarray:
@@ -488,7 +526,7 @@ def decode(buf: bytes) -> np.ndarray:
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG: missing SOI")
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     restart_interval = 0
     frame = None
     i = 2
@@ -535,7 +573,7 @@ def decode(buf: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nv])
-                htables[(cls, tid)] = _decode_table(bits, vals)
+                htables[(cls, tid)] = _decode_lut(bits, vals)
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", payload, 0)
@@ -596,8 +634,31 @@ def _decode_scan(frame, scan_tbl, qtables, htables, restart_interval, segs):
             raise JpegError("frame references undefined quant table")
         tbls.append((htables[(0, dct)], htables[(1, act)]))
 
+    # Per-MCU block order: (component index, flat-block-column stride
+    # data, LUT bytes) — hoisted so the entropy loop below runs on
+    # locals only. Coefficients are accumulated as flat (index, value)
+    # lists and scattered into the store in ONE vectorized assignment
+    # per component at the end: per-coefficient numpy scalar writes
+    # were a top-3 cost of the previous per-block implementation.
+    ncols = [mcus_x * c[1] for c in comps]
+    order = []
+    for ci, (cid, sh, sv, qid) in enumerate(comps):
+        dc_lut, ac_lut = tbls[ci]
+        for by in range(sv):
+            for bx in range(sh):
+                order.append(
+                    (ci, sv, by, sh, bx, dc_lut[0], dc_lut[1],
+                     ac_lut[0], ac_lut[1])
+                )
+    idx_acc: list[list[int]] = [[] for _ in comps]
+    val_acc: list[list[int]] = [[] for _ in comps]
+
     seg_iter = iter(segs)
-    reader = _BitReader(next(seg_iter))
+    data = next(seg_iter)
+    dlen = len(data)
+    pos = 0
+    acc = 0
+    nb = 0
     preds = [0] * len(comps)
     n_in_interval = 0
     for my in range(mcus_y):
@@ -606,36 +667,98 @@ def _decode_scan(frame, scan_tbl, qtables, htables, restart_interval, segs):
                 nxt = next(seg_iter, None)
                 if nxt is None:
                     raise JpegError("missing restart segment")
-                reader = _BitReader(nxt)
+                data, dlen, pos, acc, nb = nxt, len(nxt), 0, 0, 0
                 preds = [0] * len(comps)
                 n_in_interval = 0
-            for ci, (cid, sh, sv, qid) in enumerate(comps):
-                dc_tbl, ac_tbl = tbls[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        zz = store[ci][my * sv + by, mx * sh + bx]
-                        size = reader.huff(dc_tbl)
-                        if size > 11:
-                            raise JpegError("invalid DC size")
-                        preds[ci] += _extend(reader.bits(size), size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.huff(ac_tbl)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if sym != 0xF0:
-                                    raise JpegError("invalid AC symbol")
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
+            for ci, sv, by, sh, bx, dcl, dcs, acl, acs in order:
+                base = (
+                    ((my * sv + by) * ncols[ci] + (mx * sh + bx)) << 6
+                )
+                # DC: one fill covers the 16-bit peek + <=11 magnitude
+                # bits (27 max), then peek/consume on locals.
+                while nb < 27:
+                    if pos < dlen:
+                        take = dlen - pos
+                        if take > 4:
+                            take = 4
+                        acc = (acc << (take << 3)) | int.from_bytes(
+                            data[pos : pos + take], "big"
+                        )
+                        pos += take
+                        nb += take << 3
+                    else:
+                        acc <<= 8
+                        nb += 8
+                p = (acc >> (nb - 16)) & 0xFFFF
+                ln = dcl[p]
+                if ln == 0:
+                    raise JpegError("invalid Huffman code in scan")
+                size = dcs[p]
+                if size > 11:
+                    raise JpegError("invalid DC size")
+                nb -= ln
+                if size:
+                    v = (acc >> (nb - size)) & ((1 << size) - 1)
+                    nb -= size
+                    preds[ci] += (
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                acc &= (1 << nb) - 1
+                ia = idx_acc[ci]
+                va = val_acc[ci]
+                ia.append(base)
+                va.append(preds[ci])
+                k = 1
+                while k < 64:
+                    # 16-bit peek + <=10 magnitude bits per AC symbol
+                    while nb < 26:
+                        if pos < dlen:
+                            take = dlen - pos
+                            if take > 4:
+                                take = 4
+                            acc = (acc << (take << 3)) | int.from_bytes(
+                                data[pos : pos + take], "big"
+                            )
+                            pos += take
+                            nb += take << 3
+                        else:
+                            acc <<= 8
+                            nb += 8
+                    p = (acc >> (nb - 16)) & 0xFFFF
+                    ln = acl[p]
+                    if ln == 0:
+                        raise JpegError("invalid Huffman code in scan")
+                    sym = acs[p]
+                    nb -= ln
+                    if sym == 0x00:  # EOB
+                        acc &= (1 << nb) - 1
+                        break
+                    size = sym & 0x0F
+                    if size == 0:
+                        if sym != 0xF0:
+                            acc &= (1 << nb) - 1
+                            raise JpegError("invalid AC symbol")
+                        acc &= (1 << nb) - 1
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise JpegError("AC run past block end")
+                    v = (acc >> (nb - size)) & ((1 << size) - 1)
+                    nb -= size
+                    acc &= (1 << nb) - 1
+                    ia.append(base + k)
+                    va.append(
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                    k += 1
             n_in_interval += 1
+
+    for ci in range(len(comps)):
+        if idx_acc[ci]:
+            store[ci].reshape(-1)[
+                np.asarray(idx_acc[ci], dtype=np.int64)
+            ] = val_acc[ci]
 
     # dequantize + inverse zigzag + IDCT, vectorized per component
     planes = []

@@ -40,6 +40,31 @@ def list_shp_files(zip_bytes: bytes) -> list[str]:
         return [n for n in _member_names(zf) if n.endswith(".shp")]
 
 
+def list_gml_files(zip_bytes: bytes) -> list[str]:
+    """UTF-8 names of the JPGIS-GML members: ``.gml`` plus non-KS-META
+    ``.xml``. (The reference lists only .shp members, lib.rs:23-35 —
+    the GML lane is graft capability; see formats/gml.py.)"""
+    with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+        out = []
+        for n in _member_names(zf):
+            base = n.rsplit("/", 1)[-1]
+            if base.startswith("KS-META"):
+                continue
+            if n.endswith(".gml") or n.endswith(".xml"):
+                out.append(n)
+        return out
+
+
+def read_member(zip_bytes: bytes, name_utf8: str) -> bytes:
+    """Read one member by its UTF-8-repaired name."""
+    with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+        names = _member_names(zf)
+        raw = names.get(name_utf8)
+        if raw is None:
+            raise ZipSourceError(f"member {name_utf8!r} not in ZIP")
+        return zf.read(raw)
+
+
 def find_meta_xml(zip_bytes: bytes) -> str | None:
     """First member whose basename starts with KS-META (lib.rs:37-48)."""
     with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:

@@ -115,6 +115,88 @@ def parse_zip_bytes(
     return pd.DataFrame(rows)
 
 
+def parse_gml_zip_bytes(
+    zip_path: str,
+    zip_bytes: bytes,
+    translate: bool = True,
+    target_member: str | None = None,
+) -> pd.DataFrame:
+    """Parse the JPGIS-GML members of a KSJ ZIP into the SAME feature
+    rows as the shapefile lane (INGEST_SCHEMA) — graft capability
+    beyond the reference (which reads only .shp members, lib.rs:23-35;
+    the north_star names "Shapefile/GML" ingest).
+
+    Attribute names are the GML localnames (self-describing English,
+    e.g. ``administrativeAreaCode``); coded values are translated
+    through the shared codelist registry via their ``codeSpace``
+    attribute, with the reference's pass-through-on-miss semantics."""
+    from ..formats import gml as gml_mod
+
+    filename = os.path.basename(zip_path)
+    try:
+        ksj_id, year = extract_ksj_id(filename)
+    except Exception:
+        ksj_id, year = "", 0
+    rows = []
+    try:
+        members = zipsrc.list_gml_files(zip_bytes)
+        if target_member is not None:
+            if target_member not in members:
+                raise zipsrc.ZipSourceError(
+                    f"target member {target_member!r} not in ZIP "
+                    f"(members: {members})"
+                )
+            members = [target_member]
+        if not members:
+            raise zipsrc.ZipSourceError("no GML member in ZIP")
+        n_features = 0
+        for member in members:
+            buf = zipsrc.read_member(zip_bytes, member)
+            try:
+                features, crs = gml_mod.read_gml(buf)
+            except gml_mod.GmlError as e:
+                rows.append(
+                    _row(
+                        zip_path, ksj_id, year, member, -1, "", None, "",
+                        {}, f"GmlError: {e}",
+                    )
+                )
+                continue
+            for idx, (ftype, raw_attrs, geom) in enumerate(features):
+                attrs = {"featureType": ftype}
+                for name, (text, codespace) in raw_attrs.items():
+                    if text is not None and translate:
+                        cl = gml_mod.codelist_for_codespace(codespace)
+                        if cl is not None:
+                            text = cl.get(text, text)
+                    attrs[name] = text
+                if geom is None:
+                    rows.append(
+                        _row(
+                            zip_path, ksj_id, year, member, idx, crs,
+                            None, "", attrs, "feature without geometry",
+                        )
+                    )
+                    continue
+                n_features += 1
+                rows.append(
+                    _row(
+                        zip_path, ksj_id, year, member, idx, crs,
+                        wkb.dumps(geom), geom.name, attrs, None,
+                    )
+                )
+        if n_features == 0 and not rows:
+            raise zipsrc.ZipSourceError("GML members contain no features")
+    except Exception as e:
+        rows.append(
+            _row(
+                zip_path, ksj_id, year, "", -1, "", None, "",
+                {}, f"{type(e).__name__}: {e}",
+            )
+        )
+    return pd.DataFrame(rows)
+
+
 def _row(zip_path, ksj_id, year, shp_name, idx, crs, geometry, gtype, attrs, err):
     return {
         "zip_path": zip_path,
@@ -135,17 +217,31 @@ def ingest_zips(
     path: str,
     translate: bool = True,
     target_shp: str | None = None,
+    source: str = "shp",
 ) -> DataFrame:
-    """Distributed ingestion: binaryFile scan → per-ZIP parse UDF."""
+    """Distributed ingestion: binaryFile scan → per-ZIP parse UDF.
+
+    ``source``: "shp" (reference parity — shapefile members), "gml"
+    (JPGIS-GML members), or "auto" (shapefile members when the ZIP has
+    any, else GML — one lane per ZIP, never both, so a bundle shipping
+    both representations is not double-ingested)."""
+    if source not in ("shp", "gml", "auto"):
+        raise ValueError(f"source must be shp|gml|auto, got {source!r}")
     raw = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                yield parse_zip_bytes(
-                    p, bytes(content), translate=translate,
-                    target_shp=target_shp,
-                )
+                b = bytes(content)
+                lane = source
+                if lane == "auto":
+                    lane = "shp" if zipsrc.list_shp_files(b) else "gml"
+                if lane == "shp":
+                    yield parse_zip_bytes(
+                        p, b, translate=translate, target_shp=target_shp
+                    )
+                else:
+                    yield parse_gml_zip_bytes(p, b, translate=translate)
 
     return raw.select("path", "content").mapInPandas(parse, schema=INGEST_SCHEMA)
 
