@@ -95,10 +95,19 @@ def main() -> None:
         cache noise on short lanes; a median with visible raw spread
         distinguishes a code regression from box weather (best-of-N
         hid outliers; a single run WAS an outlier, round-2 lesson).
-        A JVM GC runs before each lane so collections triggered by the
-        previous lane's garbage don't land mid-measurement."""
+        A Python GC followed by a JVM GC runs before each lane:
+        Python-side DataFrame wrappers pin their JVM plans (and thus
+        shuffle/broadcast state) through py4j until finalized, so
+        without the Python pass the ContextCleaner can't reclaim the
+        previous lanes' shuffle files — measured as monotonically
+        growing repeats on late lanes (knn_ocean 5.3→16.7s in a full
+        run vs a stable 4.3s in isolation)."""
         try:
+            import gc as _gc
+
+            _gc.collect()
             spark._jvm.System.gc()
+            time.sleep(0.5)  # ContextCleaner cleanup is async
         except Exception:
             pass
         times = []
@@ -246,6 +255,81 @@ def main() -> None:
 
     timed("convert_160k_features", convert_lane)
 
+    # GML conversion lane — same shape as convert_160k_features but the
+    # ZIPs carry JPGIS-GML members (xlink'd Surfaces + codeSpace'd
+    # attributes) instead of shapefiles: ingest_zips(source="gml") →
+    # GeoParquet. Fixture ZIPs built outside the timed region.
+    def build_gml_fixtures(n_per: int, n_zips: int) -> str:
+        import io as _io
+        import tempfile
+        import zipfile as _zipfile
+
+        import numpy as np
+
+        d = tempfile.mkdtemp(prefix="bench_gmlconv_")
+        rng = np.random.default_rng(0)
+        for z in range(n_zips):
+            x0 = rng.uniform(130, 140, n_per)
+            y0 = rng.uniform(33, 40, n_per)
+            parts = [
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<Dataset xmlns:gml="http://www.opengis.net/gml/3.2" '
+                'xmlns:xlink="http://www.w3.org/1999/xlink" '
+                'xmlns="http://nlftp.mlit.go.jp/ksj/schemas/ksj-app" '
+                'gml:id="ds">'
+            ]
+            for i in range(n_per):
+                x, y = x0[i], y0[i]
+                pl = (
+                    f"{y:.6f} {x:.6f} {y:.6f} {x + 0.01:.6f} "
+                    f"{y + 0.01:.6f} {x + 0.01:.6f} {y:.6f} {x:.6f}"
+                )
+                parts.append(
+                    f'<gml:Surface gml:id="sf{i}" srsName="fguuid:jgd2011.bl">'
+                    f"<gml:patches><gml:PolygonPatch><gml:exterior>"
+                    f"<gml:LinearRing><gml:posList>{pl}</gml:posList>"
+                    f"</gml:LinearRing></gml:exterior></gml:PolygonPatch>"
+                    f"</gml:patches></gml:Surface>"
+                    f'<AdministrativeBoundary gml:id="ab{i}">'
+                    f'<bounds xlink:href="#sf{i}"/>'
+                    f'<administrativeAreaCode codeSpace="AdminAreaCd.xml">'
+                    f"13{i % 900 + 100:03d}</administrativeAreaCode>"
+                    f"<name>city{i % 100}</name>"
+                    f"</AdministrativeBoundary>"
+                )
+            parts.append("</Dataset>")
+            bio = _io.BytesIO()
+            with _zipfile.ZipFile(bio, "w") as zf:
+                zf.writestr(
+                    f"d/N03-2024010{z}.xml", "\n".join(parts).encode()
+                )
+            with open(
+                os.path.join(d, f"N03-2024010{z}_13_GML.zip"), "wb"
+            ) as f:
+                f.write(bio.getvalue())
+        return d
+
+    gml_dir = build_gml_fixtures(N_PER, N_ZIPS)
+
+    def convert_gml_lane():
+        from ksj2gp_spark.operators import ingest as ingest_ops
+        from ksj2gp_spark.sinks import geoparquet as gp_sink
+
+        ingested = ingest_ops.ingest_zips(
+            spark, os.path.join(gml_dir, "*.zip"), source="gml"
+        )
+        good = ingested.filter(F.col("error").isNull())
+        gp_sink.write_geoparquet(
+            good.drop("error"), os.path.join(gml_dir, "out.parquet")
+        )
+        n_out = spark.read.parquet(
+            os.path.join(gml_dir, "out.parquet")
+        ).count()
+        assert n_out == N_PER * N_ZIPS, n_out
+        return n_out
+
+    timed("convert_gml_160k_features", convert_gml_lane)
+
     # Raster↔vector round trip at res 18 (~2M cells over the layer
     # bbox): rasterize is pure Catalyst (range crossJoin + broadcast
     # bbox join), vectorize is the searchsorted boundary-tracing
@@ -327,6 +411,28 @@ def main() -> None:
         .cache()
     )
     docs100k.count()
+    # Warm the minhash kernel path the same way the spatial pipeline is
+    # warmed: the signature pass allocates ~MB-scale uint64 scratch per
+    # Arrow batch, and the first full-size batch in each Python worker
+    # pays allocator growth + first-touch page faults (measured: a cold
+    # first repeat runs 2-3× the steady state, 54s vs ~17s).
+    warm_docs = (
+        spark.range(2_000 * cpus)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.substring(
+                        F.md5((F.col("id") * 40 + i).cast("string")), 1, 6
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .repartition(cpus * 2)
+    )
+    dedup_ops.minhash_lsh_pairs(warm_docs, threshold=0.5).count()
     timed(
         "minhash_lsh_100k",
         lambda: dedup_ops.minhash_lsh_pairs(docs100k, threshold=0.5).count(),
