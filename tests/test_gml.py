@@ -299,3 +299,78 @@ class TestGmlIngest:
         out = ingest.ingest_zips(spark, str(p), source="gml").toPandas()
         assert len(out) == 1
         assert "GmlError" in out.iloc[0]["error"]
+
+
+class TestHostileInputs:
+    """DoS-hardening: entity expansion and zip bombs quarantine, never
+    expand. stdlib ElementTree DOES expand nested internal entities
+    (verified: 6-level nest → 3×10⁵ chars from <1 KB), so the parser
+    rejects any DOCTYPE at the expat level before a declaration lands."""
+
+    BILLION_LAUGHS = (
+        b'<?xml version="1.0"?>\n'
+        b"<!DOCTYPE lolz [<!ENTITY lol 'lol'>"
+        b"<!ENTITY lol2 '&lol;&lol;&lol;&lol;&lol;&lol;&lol;&lol;'>"
+        b"<!ENTITY lol3 '&lol2;&lol2;&lol2;&lol2;&lol2;&lol2;&lol2;&lol2;'>"
+        b"]>\n<lolz>&lol3;</lolz>"
+    )
+
+    def test_entity_expansion_rejected(self):
+        with pytest.raises(gml.GmlError, match="DOCTYPE"):
+            gml.read_gml(self.BILLION_LAUGHS)
+
+    def test_plain_doctype_rejected(self):
+        doc = b'<?xml version="1.0"?><!DOCTYPE d><d/>'
+        with pytest.raises(gml.GmlError, match="DOCTYPE"):
+            gml.read_gml(doc)
+
+    def test_non_numeric_poslist_is_typed(self):
+        doc = (
+            b'<?xml version="1.0"?>'
+            b'<d xmlns:gml="http://www.opengis.net/gml/3.2"'
+            b' xmlns:xlink="http://www.w3.org/1999/xlink"'
+            b' xmlns:k="http://x/app">'
+            b'<gml:Point gml:id="p"><gml:pos>35.0 abc</gml:pos>'
+            b"</gml:Point>"
+            b'<k:Station gml:id="st"><k:position xlink:href="#p"/>'
+            b"</k:Station></d>"
+        )
+        with pytest.raises(gml.GmlError, match="non-numeric"):
+            gml.read_gml(doc)
+
+    def test_entity_bomb_quarantines_in_ingest(self):
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            zf.writestr("d/N03-20240101.xml", self.BILLION_LAUGHS)
+        pdf = ingest.parse_gml_zip_bytes(
+            "N03-20240101_13_GML.zip", bio.getvalue()
+        )
+        assert len(pdf) == 1
+        assert "DOCTYPE" in pdf.iloc[0]["error"]
+
+    def test_zip_bomb_declared_size_rejected(self):
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("d/big.xml", b"\0" * 4096)  # 4 KB member
+        with pytest.raises(zipsrc.ZipSourceError, match="zip-bomb"):
+            zipsrc.read_member(bio.getvalue(), "d/big.xml", max_bytes=1024)
+
+    def test_zip_bomb_member_quarantines_bundle(self, monkeypatch):
+        layer = fixtures.polygon_layer()
+        geoms = [wkb.loads(b) for b in layer["geometry"]]
+        shp_buf, shx_buf = shp.write_shp(geoms)
+        dbf_buf = dbf.write_dbf(
+            [dbf.DbfField("N03_007", "C", 5)],
+            [[r["行政区域コード"]] for _, r in layer.iterrows()],
+            encoding="cp932",
+            ldid=13,
+        )
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            zf.writestr("d/admin.shp", shp_buf)
+            zf.writestr("d/admin.shx", shx_buf)
+            zf.writestr("d/admin.dbf", dbf_buf)
+        monkeypatch.setattr(zipsrc, "MAX_MEMBER_BYTES", 8)
+        pdf = ingest.parse_zip_bytes("N03-20240101_13_GML.zip", bio.getvalue())
+        assert len(pdf) == 1
+        assert "zip-bomb" in pdf.iloc[0]["error"]

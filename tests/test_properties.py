@@ -264,3 +264,57 @@ def test_shp_mutated_bytes_no_foreign_exceptions(seed, n_flips):
         shp_mod.read_shp(bytes(buf))
     except shp_mod.ShpError:
         pass
+
+
+def _valid_gml() -> bytes:
+    """A KSJ-shaped GML doc (Curve → Surface → xlink'd feature)."""
+    sq = "35 139 35 139.1 35.1 139.1 35.1 139 35 139"
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<ksj:Dataset gml:id="DS0"'
+        ' xmlns:gml="http://www.opengis.net/gml/3.2"'
+        ' xmlns:xlink="http://www.w3.org/1999/xlink"'
+        ' xmlns:ksj="http://nlftp.mlit.go.jp/ksj/schemas/ksj-app">'
+        '<gml:Curve gml:id="c0" srsName="fguuid:jgd2011.bl"><gml:segments>'
+        f"<gml:LineStringSegment><gml:posList>{sq}</gml:posList>"
+        "</gml:LineStringSegment></gml:segments></gml:Curve>"
+        '<gml:Surface gml:id="s0"><gml:patches><gml:PolygonPatch>'
+        '<gml:exterior><gml:Ring><gml:curveMember xlink:href="#c0"/>'
+        "</gml:Ring></gml:exterior></gml:PolygonPatch></gml:patches>"
+        "</gml:Surface>"
+        '<ksj:AdministrativeBoundary gml:id="a0">'
+        '<ksj:bounds xlink:href="#s0"/>'
+        '<ksj:administrativeAreaCode codeSpace="AdminAreaCd.xml">13101'
+        "</ksj:administrativeAreaCode></ksj:AdministrativeBoundary>"
+        "</ksj:Dataset>"
+    ).encode()
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_gml_reader_raises_typed_error_only(data):
+    from ksj2gp_spark.formats import gml as gml_mod
+
+    try:
+        gml_mod.read_gml(data)
+    except gml_mod.GmlError:
+        pass  # typed rejection is the contract
+
+
+@given(st.integers(0, 10**9), st.integers(1, 16))
+@settings(max_examples=120, deadline=None)
+def test_gml_mutated_bytes_no_foreign_exceptions(seed, n_flips):
+    """Bit-flipped valid GML exercises the deep paths (xlink deref,
+    ring assembly, posList numerics): outcome must be a successful
+    parse or a typed GmlError — never a raw ValueError/KeyError/
+    ParseError escape."""
+    from ksj2gp_spark.formats import gml as gml_mod
+
+    buf = bytearray(_valid_gml())
+    rng = np.random.default_rng(seed)
+    for pos in rng.integers(0, len(buf), n_flips):
+        buf[pos] ^= int(rng.integers(1, 256))
+    try:
+        gml_mod.read_gml(bytes(buf))
+    except gml_mod.GmlError:
+        pass
