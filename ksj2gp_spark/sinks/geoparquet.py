@@ -93,12 +93,37 @@ def geo_file_metadata(
     )
 
 
+def hilbert_key_udf(level: int = 16):
+    """bbox → int64 Hilbert-curve position (S2 cell id of the bbox
+    center at ``level``, >>1 so the uint64 order survives int64).
+
+    S2 cell ids at a fixed level are positions along a face-wise
+    Hilbert curve, so range-partitioning on this key clusters rows
+    into compact 2-D tiles instead of the x-then-y lexicographic
+    strips a (xmin, ymin) sort produces. At 100 TB that is the
+    difference between a bbox query touching O(√files) tiles and
+    touching every x-strip that crosses the query's x-range."""
+    from ..geo import s2
+
+    @F.pandas_udf("long")
+    def hk(
+        xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+    ) -> pd.Series:
+        lon = ((xmin + xmax) * 0.5).to_numpy(dtype=np.float64)
+        lat = ((ymin + ymax) * 0.5).to_numpy(dtype=np.float64)
+        cells = s2.latlng_to_cell(lon, lat, level)
+        return pd.Series((cells >> 1).astype(np.int64))
+
+    return hk
+
+
 def write_geoparquet(
     df: DataFrame,
     path: str,
     geometry_col: str = "geometry",
     crs_name: str = "JGD2011",
-    sort_spatially: bool = True,
+    sort_spatially: bool | str = True,
+    n_files: int | None = None,
 ) -> list[dict]:
     """Write WKB rows as GeoParquet: bbox covering columns + the
     ``geo`` key-value blob in every file's parquet FOOTER, so
@@ -108,22 +133,47 @@ def write_geoparquet(
     ``mapInPandas`` pass — still fully distributed (one file per
     partition, shared filesystem assumed, same as any Spark sink).
 
-    ``sort_spatially`` range-partitions by (bbox_xmin, bbox_ymin) so
-    row groups are spatially coherent — that's what turns the bbox
-    column min/max statistics into an effective spatial index at read
-    time (tight per-row-group bounds instead of full-extent bounds).
+    ``sort_spatially`` clusters rows so the bbox column min/max
+    statistics become an effective spatial index at read time (tight
+    per-file/row-group bounds instead of full-extent bounds):
+
+    * ``True`` / ``"hilbert"`` (default) — range-partition + sort on
+      the Hilbert-curve position of the bbox center (S2 cell id at
+      level 16): files are compact 2-D tiles, so a bbox query touches
+      O(√files) of them;
+    * ``"range"`` — the round-1 lexicographic (bbox_xmin, bbox_ymin)
+      sort: files are x-strips spanning the full y-extent, every strip
+      crossing the query's x-range is touched;
+    * ``False`` — keep the incoming partitioning.
 
     Returns the per-file manifest [{file, rows}, ...].
     """
     import os
     import shutil
 
+    if sort_spatially not in (True, False, "hilbert", "range"):
+        raise ValueError(
+            f"sort_spatially must be bool|'hilbert'|'range', "
+            f"got {sort_spatially!r}"
+        )
     out = with_bbox_covering(df, geometry_col)
-    if sort_spatially:
+    n_parts = n_files or max(
+        df.sparkSession.sparkContext.defaultParallelism, 1
+    )
+    if sort_spatially in (True, "hilbert"):
+        hk = hilbert_key_udf()
+        out = (
+            out.withColumn(
+                "_hilbert",
+                hk("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"),
+            )
+            .repartitionByRange(n_parts, "_hilbert")
+            .sortWithinPartitions("_hilbert")
+            .drop("_hilbert")
+        )
+    elif sort_spatially == "range":
         out = out.repartitionByRange(
-            max(df.sparkSession.sparkContext.defaultParallelism, 1),
-            "bbox_xmin",
-            "bbox_ymin",
+            n_parts, "bbox_xmin", "bbox_ymin"
         ).sortWithinPartitions("bbox_xmin", "bbox_ymin")
     meta_bytes = geo_file_metadata(geometry_col, crs_name).encode()
     if os.path.exists(path):

@@ -155,3 +155,80 @@ def test_cli_convert(spark, tmp_path):
     back3 = gpkg.read_gpkg(out3, "layer1")
     assert len(back3) == 21
     assert back3["行政区域コード"].str.startswith(("13", "27", "01")).all()
+
+
+def _grid_squares_df(spark, n_side=40, x0=135.0, y0=34.0, ext=4.0):
+    """n_side² tiny squares tiling [x0,x0+ext]×[y0,y0+ext]."""
+    rows = []
+    step = ext / n_side
+    for i in range(n_side):
+        for j in range(n_side):
+            x, y = x0 + i * step, y0 + j * step
+            rows.append(
+                (
+                    i * n_side + j,
+                    wkb.polygon(
+                        [(x, y), (x + step, y), (x + step, y + step),
+                         (x, y + step), (x, y)]
+                    ),
+                )
+            )
+    return spark.createDataFrame(rows, "id long, geometry binary")
+
+
+def _files_touched(path, minx, miny, maxx, maxy):
+    """Files whose footer bbox-column stats intersect the query box —
+    exactly the pruning decision a stats-aware reader makes."""
+    import pyarrow.parquet as pq
+
+    touched, total = 0, 0
+    for p in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.read_metadata(p)
+        names = [md.schema.column(k).name for k in range(md.num_columns)]
+        lo = {c: min(md.row_group(g).column(names.index(c)).statistics.min
+                     for g in range(md.num_row_groups))
+              for c in ("bbox_xmin", "bbox_ymin")}
+        hi = {c: max(md.row_group(g).column(names.index(c)).statistics.max
+                     for g in range(md.num_row_groups))
+              for c in ("bbox_xmax", "bbox_ymax")}
+        total += 1
+        if (hi["bbox_xmax"] >= minx and lo["bbox_xmin"] <= maxx
+                and hi["bbox_ymax"] >= miny and lo["bbox_ymin"] <= maxy):
+            touched += 1
+    return touched, total
+
+
+def test_hilbert_layout_prunes_better_than_range_sort(spark, tmp_path):
+    """The scale rationale for the default layout: lexicographic
+    (xmin, ymin) sort makes x-strip files spanning the full y-extent,
+    so a wide-and-short query box touches EVERY strip; Hilbert tiles
+    are compact in both dimensions."""
+    df = _grid_squares_df(spark)
+    out_h = str(tmp_path / "hilbert.parquet")
+    out_r = str(tmp_path / "range.parquet")
+    geoparquet.write_geoparquet(df, out_h, sort_spatially="hilbert",
+                                n_files=16)
+    geoparquet.write_geoparquet(df, out_r, sort_spatially="range",
+                                n_files=16)
+
+    # full x-extent, central 1/8th of the y-extent
+    box = (135.0, 35.8, 139.0, 36.3)
+    t_h, n_h = _files_touched(out_h, *box)
+    t_r, n_r = _files_touched(out_r, *box)
+    assert n_h == n_r == 16
+    assert t_r == 16  # every x-strip crosses the box
+    assert t_h < t_r, (t_h, t_r)
+    # hilbert segments aren't perfect squares — allow some slack over
+    # the ideal ~4-tile row (measured: 9 of 16 on this grid)
+    assert t_h <= 12
+
+    # and the two layouts return identical row sets for the box scan
+    got_h = sorted(
+        r.id for r in
+        geoparquet.read_geoparquet_bbox(spark, out_h, *box).collect()
+    )
+    got_r = sorted(
+        r.id for r in
+        geoparquet.read_geoparquet_bbox(spark, out_r, *box).collect()
+    )
+    assert got_h == got_r and len(got_h) > 0
