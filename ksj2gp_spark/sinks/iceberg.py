@@ -50,6 +50,84 @@ class CommitError(RuntimeError):
     pass
 
 
+# --- field-id schema evolution -------------------------------------------
+#
+# Iceberg identifies columns by FIELD ID, not by name: a rename is a
+# metadata-only commit (old data files keep the old parquet column name
+# but the id is unchanged), an added column gets a fresh id and reads as
+# null from files that predate it, and a dropped column disappears from
+# reads while its bytes stay in old files until compaction. The table
+# metadata carries ``fields`` ([{id, name, type}]) + ``last_column_id``,
+# and every data-file manifest entry carries the id→name binding it was
+# written under, which is what ``read(..., merge_schema=True)`` uses to
+# reconcile files across schema versions.
+
+
+def _fields_from_spark_schema(schema_json: dict, start_id: int = 0):
+    """Assign ids in field order — used for legacy tables (pre-
+    evolution metadata) and first commits."""
+    fields = []
+    next_id = start_id
+    for f in schema_json["fields"]:
+        next_id += 1
+        fields.append(
+            {"id": next_id, "name": f["name"], "type": f["type"]}
+        )
+    return fields, next_id
+
+
+def _evolve_fields(
+    parent_fields: list[dict] | None,
+    last_column_id: int,
+    df_schema_json: dict,
+) -> tuple[list[dict], int]:
+    """Reconcile an incoming DataFrame schema with the table schema:
+    names already in the table keep their field id (type refreshed —
+    parquet handles the int→long/float→double promotions Spark emits),
+    unseen names are appended with fresh ids. Columns the frame lacks
+    stay in the table schema — files simply don't carry them and read
+    as null."""
+    if parent_fields is None:
+        return _fields_from_spark_schema(df_schema_json)
+    by_name = {f["name"]: f for f in parent_fields}
+    fields = [dict(f) for f in parent_fields]
+    next_id = last_column_id
+    for f in df_schema_json["fields"]:
+        known = by_name.get(f["name"])
+        if known is not None:
+            for out in fields:
+                if out["id"] == known["id"]:
+                    out["type"] = f["type"]
+        else:
+            next_id += 1
+            fields.append(
+                {"id": next_id, "name": f["name"], "type": f["type"]}
+            )
+    return fields, next_id
+
+
+def _table_fields(meta: dict) -> tuple[list[dict], int]:
+    """Current fields + last id, deriving them for legacy metadata."""
+    if "fields" in meta:
+        return meta["fields"], meta["last_column_id"]
+    return _fields_from_spark_schema(meta["schema"])
+
+
+def _spark_schema_of(fields: list[dict]) -> dict:
+    return {
+        "type": "struct",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": f["type"],
+                "nullable": True,
+                "metadata": {},
+            }
+            for f in fields
+        ],
+    }
+
+
 def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
 
@@ -251,6 +329,16 @@ def _commit_locked(
         else 1
     )
 
+    schema_json = json.loads(df.schema.json())
+    fields, last_column_id = _evolve_fields(
+        *(_table_fields(parent_meta) if parent_meta else (None, 0)),
+        schema_json,
+    )
+    id_of = {f["name"]: f["id"] for f in fields}
+    file_binding = {
+        str(id_of[f["name"]]): f["name"] for f in schema_json["fields"]
+    }
+
     # 1. data files (immutable, snapshot-owned directory)
     data_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -260,7 +348,11 @@ def _commit_locked(
             continue
         fp = os.path.join(data_dir, name)
         new_files.append(
-            {"path": os.path.relpath(fp, path), **_file_stats(fp)}
+            {
+                "path": os.path.relpath(fp, path),
+                "fields": file_binding,
+                **_file_stats(fp),
+            }
         )
 
     all_files = parent_files + new_files
@@ -295,7 +387,11 @@ def _commit_locked(
     ]
     new_meta = {
         "format_version": FORMAT_VERSION,
-        "schema": json.loads(df.schema.json()),
+        # legacy key: the FULL table schema (a frame missing an evolved
+        # column narrows nothing — absent columns read as null)
+        "schema": _spark_schema_of(fields),
+        "fields": fields,
+        "last_column_id": last_column_id,
         "current_snapshot_id": snapshot_id,
         "snapshots": snapshots,
     }
@@ -575,16 +671,53 @@ def read(
     merge_schema: bool = False,
 ) -> DataFrame:
     """Read the current (or a time-travel) snapshot. ``merge_schema``
-    reconciles files written under evolved schemas (columns added by a
-    later append read as null in older files — Iceberg's add-column
-    semantics)."""
+    reconciles files written under evolved schemas BY FIELD ID through
+    each file's manifest binding: added columns read as null from older
+    files, renamed columns keep their values under the new name, and
+    dropped columns disappear — parquet's name-based mergeSchema can do
+    only the first of those."""
     files = _live_files(path, snapshot_id)
     if not files:
         raise FileNotFoundError(f"snapshot has no data files: {path}")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*(os.path.join(path, f["path"]) for f in files))
+    if not merge_schema:
+        return spark.read.parquet(
+            *(os.path.join(path, f["path"]) for f in files)
+        )
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    meta = _load_metadata(path)
+    fields, _ = _table_fields(meta)
+    table_schema = StructType.fromJson(_spark_schema_of(fields))
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        binding = tuple(sorted((f.get("fields") or {}).items()))
+        groups.setdefault(binding, []).append(os.path.join(path, f["path"]))
+
+    parts = []
+    for binding, paths in groups.items():
+        gdf = spark.read.parquet(*paths)
+        written_by_id = {int(i): n for i, n in binding}
+        cols = []
+        for fld, sf in zip(fields, table_schema.fields):
+            # legacy files (no binding) wrote current names directly
+            written = (
+                written_by_id.get(fld["id"]) if binding else fld["name"]
+            )
+            if written is not None and written in gdf.columns:
+                cols.append(
+                    F.col(written).cast(sf.dataType).alias(fld["name"])
+                )
+            else:
+                cols.append(
+                    F.lit(None).cast(sf.dataType).alias(fld["name"])
+                )
+        parts.append(gdf.select(cols))
+    return reduce(DataFrame.unionByName, parts)
 
 
 def scan(
@@ -620,6 +753,66 @@ def scan(
         *(os.path.join(path, f["path"]) for f in selected)
     )
     return df, info
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Metadata-only rename by FIELD ID (Iceberg rename semantics): no
+    data file is touched — old files keep the old parquet column name,
+    and ``read(..., merge_schema=True)`` maps them back through the
+    per-file id→name binding. Runs under the commit lock with the same
+    O_EXCL version claim as data commits."""
+    meta_dir = _meta_dir(path)
+    lease = _acquire_commit_lock(meta_dir)
+    try:
+        version = current_version(path)
+        meta = _load_metadata(path, version)
+        fields, last_id = _table_fields(meta)
+        fields = [dict(f) for f in fields]
+        names = {f["name"] for f in fields}
+        if old not in names:
+            raise CommitError(f"no column {old!r} in table schema")
+        if new in names:
+            raise CommitError(f"column {new!r} already exists")
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        new_meta = dict(
+            meta,
+            fields=fields,
+            last_column_id=last_id,
+            schema=_spark_schema_of(fields),
+        )
+        lease.verify()
+        return _publish_metadata(path, meta_dir, new_meta, version)
+    finally:
+        lease.release()
+
+
+def drop_column(path: str, name: str) -> int:
+    """Metadata-only drop: the field leaves the table schema, its bytes
+    stay in existing data files until compaction rewrites them, and
+    merge-schema reads stop projecting it (Iceberg drop semantics —
+    re-adding the same name later mints a NEW field id, so old values
+    do not resurrect)."""
+    meta_dir = _meta_dir(path)
+    lease = _acquire_commit_lock(meta_dir)
+    try:
+        version = current_version(path)
+        meta = _load_metadata(path, version)
+        fields, last_id = _table_fields(meta)
+        kept = [dict(f) for f in fields if f["name"] != name]
+        if len(kept) == len(fields):
+            raise CommitError(f"no column {name!r} in table schema")
+        new_meta = dict(
+            meta,
+            fields=kept,
+            last_column_id=last_id,
+            schema=_spark_schema_of(kept),
+        )
+        lease.verify()
+        return _publish_metadata(path, meta_dir, new_meta, version)
+    finally:
+        lease.release()
 
 
 def rollback(path: str, snapshot_id: int) -> int:

@@ -371,3 +371,77 @@ def test_admin_ops_serialize_with_commits(spark, tmp_path):
     # expire under the lock path produces a dense, claimed version
     res = iceberg.expire_snapshots(path, keep_last=2)
     assert isinstance(res, dict)
+
+
+def test_rename_column_is_metadata_only_and_id_mapped(spark, tmp_path):
+    """Iceberg rename semantics: old data files keep the old parquet
+    column name; the field ID carries the values to the new name."""
+    path = str(tmp_path / "ren")
+    iceberg.append(
+        spark.range(0, 40).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+    )
+    files_before = {f["path"] for f in iceberg._live_files(path)}
+    iceberg.rename_column(path, "v", "value")
+    # no data file was rewritten
+    assert {f["path"] for f in iceberg._live_files(path)} == files_before
+    df = iceberg.read(spark, path, merge_schema=True)
+    assert set(df.columns) == {"id", "value"}
+    assert df.filter(F.col("value") == F.col("id") * 3).count() == 40
+    # appends after the rename write the new name; both eras reconcile
+    iceberg.append(
+        spark.range(40, 60).select(
+            F.col("id"), (F.col("id") * 3).alias("value")
+        ),
+        path,
+    )
+    df2 = iceberg.read(spark, path, merge_schema=True)
+    assert df2.count() == 60
+    assert df2.filter(F.col("value") == F.col("id") * 3).count() == 60
+
+    with pytest.raises(iceberg.CommitError):
+        iceberg.rename_column(path, "nope", "x")
+    with pytest.raises(iceberg.CommitError):
+        iceberg.rename_column(path, "id", "value")
+
+
+def test_drop_column_then_readd_does_not_resurrect(spark, tmp_path):
+    """Dropping a column hides it from reads; re-adding the same NAME
+    mints a new field id, so old values must NOT come back."""
+    path = str(tmp_path / "drop")
+    iceberg.append(
+        spark.range(0, 30).select(F.col("id"), F.lit("old").alias("tag")),
+        path,
+    )
+    iceberg.drop_column(path, "tag")
+    df = iceberg.read(spark, path, merge_schema=True)
+    assert set(df.columns) == {"id"}
+    # re-add "tag" via a new append: fresh field id
+    iceberg.append(
+        spark.range(30, 40).select(F.col("id"), F.lit("new").alias("tag")),
+        path,
+    )
+    df2 = iceberg.read(spark, path, merge_schema=True)
+    assert set(df2.columns) == {"id", "tag"}
+    tags = {r.tag for r in df2.collect()}
+    assert tags == {None, "new"}  # "old" stays buried in the old files
+    assert df2.filter(F.col("tag").isNull()).count() == 30
+
+
+def test_rename_interleaves_with_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    s1 = iceberg.append(
+        spark.range(0, 10).select(F.col("id"), F.col("id").alias("a")), path
+    )
+    iceberg.rename_column(path, "a", "b")
+    s2 = iceberg.append(
+        spark.range(10, 20).select(F.col("id"), F.col("id").alias("b")), path
+    )
+    # current read: everything under the current name
+    cur = iceberg.read(spark, path, merge_schema=True)
+    assert set(cur.columns) == {"id", "b"}
+    assert cur.filter(F.col("b") == F.col("id")).count() == 20
+    # time travel to s1 still reads (current schema names apply)
+    old = iceberg.read(spark, path, snapshot_id=s1, merge_schema=True)
+    assert old.count() == 10
+    assert s2 > s1
