@@ -644,6 +644,33 @@ GROUP BY 1, 2
 """
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the stream-stream interval join
+    (streaming/events.py::attribution_join): every purchase attributed
+    to each same-user click in the preceding 30 minutes. Integer
+    microsecond delay keeps the oracle exact."""
+    from ksj2gp_spark.streaming import events as stream_ops
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return stream_ops.attribution_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        max_delay="30 minutes",
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+     p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id, c.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_usec
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents (hash-groupBy canonical row)."""
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -1808,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
+        "events_attribution": q_events_attribution,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "similarity_topk": q_similarity_topk,
@@ -1874,6 +1902,7 @@ GROUP BY p.admin_code
         "regional_revenue": _REGIONAL_REVENUE_SQL,
         "events_tumbling": _EVENTS_SQL,
         "events_sliding": _EVENTS_SLIDING_SQL,
+        "events_attribution": _ATTRIBUTION_SQL,
         "dedup_exact": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
         "similarity_topk": _SIMILARITY_SQL,
