@@ -73,6 +73,81 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         return pd.Series(out)
 
     spark.udf.register("ksj_colname", ksj_colname)
+
+    # -- ST_* geometry functions over WKB columns ----------------------
+    # These serve the polygon-layer side (10³–10⁵ rows: admin metrics,
+    # layer QA) — per-geometry decode is fine there. The 10¹²-row image
+    # side never calls them: point-in-polygon at scale goes through the
+    # broadcast cell join + refine_pip Arrow kernels.
+    from .geo import geom as _geom
+    from .geo import wkb as _wkb
+
+    def _per_geom(fn, dtype):
+        @pandas_udf(dtype)
+        def udf(wkb_col: pd.Series) -> pd.Series:
+            return pd.Series(
+                [fn(_wkb.loads(b)) if b is not None else None
+                 for b in wkb_col],
+                dtype=object,
+            ).astype(dtype if dtype != "string" else object)
+
+        return udf
+
+    spark.udf.register(
+        "st_area", _per_geom(_geom.geometry_area, "double")
+    )
+    spark.udf.register(
+        "st_centroid_x", _per_geom(lambda g: _geom.centroid(g)[0], "double")
+    )
+    spark.udf.register(
+        "st_centroid_y", _per_geom(lambda g: _geom.centroid(g)[1], "double")
+    )
+    spark.udf.register(
+        "st_geomtype", _per_geom(lambda g: g.name, "string")
+    )
+
+    @pandas_udf("boolean")
+    def st_contains(
+        wkb_col: pd.Series, lon: pd.Series, lat: pd.Series
+    ) -> pd.Series:
+        xs = lon.to_numpy(dtype=np.float64)
+        ys = lat.to_numpy(dtype=np.float64)
+        out = []
+        for i, b in enumerate(wkb_col):
+            if b is None:
+                out.append(None)
+                continue
+            out.append(
+                bool(
+                    _geom.geometry_contains(
+                        xs[i : i + 1], ys[i : i + 1], _wkb.loads(b)
+                    )[0]
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    @pandas_udf("double")
+    def st_distance(
+        wkb_col: pd.Series, lon: pd.Series, lat: pd.Series
+    ) -> pd.Series:
+        xs = lon.to_numpy(dtype=np.float64)
+        ys = lat.to_numpy(dtype=np.float64)
+        out = []
+        for i, b in enumerate(wkb_col):
+            if b is None:
+                out.append(None)
+                continue
+            out.append(
+                float(
+                    _geom.distance_to_geometry(
+                        xs[i : i + 1], ys[i : i + 1], _wkb.loads(b)
+                    )[0]
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("st_contains", st_contains)
+    spark.udf.register("st_distance", st_distance)
     return [
         "grid_cell",
         "hex_cell",
@@ -80,4 +155,10 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "tokyo_to_wgs84_lon",
         "tokyo_to_wgs84_lat",
         "ksj_colname",
+        "st_area",
+        "st_centroid_x",
+        "st_centroid_y",
+        "st_geomtype",
+        "st_contains",
+        "st_distance",
     ]

@@ -51,3 +51,54 @@ def test_sql_tokyo_transform_and_colname(spark):
     assert abs(row["lon"] - lo[0]) < 1e-12
     assert abs(row["lat"] - la[0]) < 1e-12
     assert row["name"] and row["name"] != "A03_001"  # translated to Japanese
+
+
+def test_sql_st_functions_match_kernels(spark):
+    """ST_* SQL functions equal the numpy kernels they wrap."""
+    register_sql_functions(spark)
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.geo import geom, wkb
+
+    layer = fixtures.polygon_layer()
+    sdf = spark.createDataFrame(layer[["polygon_id", "geometry"]])
+    sdf.createOrReplaceTempView("polys")
+    got = (
+        spark.sql(
+            """SELECT polygon_id,
+                      st_area(geometry)       AS area,
+                      st_centroid_x(geometry) AS cx,
+                      st_centroid_y(geometry) AS cy,
+                      st_geomtype(geometry)   AS gt,
+                      st_contains(geometry, st_centroid_x(geometry),
+                                  st_centroid_y(geometry)) AS has_centroid,
+                      st_distance(geometry, 0.0, 0.0) AS d0
+               FROM polys"""
+        )
+        .toPandas()
+        .set_index("polygon_id")
+        .sort_index()
+    )
+    for pid, b in zip(layer["polygon_id"], layer["geometry"]):
+        g = wkb.loads(b)
+        r = got.loc[pid]
+        assert abs(r["area"] - geom.geometry_area(g)) < 1e-12
+        cx, cy = geom.centroid(g)
+        assert abs(r["cx"] - cx) < 1e-12 and abs(r["cy"] - cy) < 1e-12
+        assert r["gt"] == g.name
+        want_c = bool(
+            geom.geometry_contains(
+                np.array([cx]), np.array([cy]), g
+            )[0]
+        )
+        assert bool(r["has_centroid"]) == want_c
+        want_d = float(
+            geom.distance_to_geometry(np.array([0.0]), np.array([0.0]), g)[0]
+        )
+        assert abs(r["d0"] - want_d) < 1e-9
+
+    # null geometry → null results, not a crash
+    row = spark.sql(
+        "SELECT st_area(CAST(NULL AS BINARY)) AS a, "
+        "st_contains(CAST(NULL AS BINARY), 1.0, 2.0) AS c"
+    ).first()
+    assert row["a"] is None and row["c"] is None
