@@ -70,3 +70,30 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "admin_code" in plan.split("PartitionFilters", 1)[1][:200]
     assert scan.count() == 200
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP contract: joining a partitioned fact to a FILTERED dim on
+    the partition column must prune fact partitions at runtime — the
+    scan carries a dynamicpruning subquery instead of reading all
+    partitions. At 100 TB this is the difference between scanning one
+    prefecture and scanning Japan."""
+    fact = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("string").alias("admin_code"),
+        (F.col("id") * 2).alias("v"),
+    )
+    out = str(tmp_path / "fact_parts")
+    layout.write_partitioned(fact, out, ("admin_code",))
+
+    dim = spark.createDataFrame(
+        [(str(i), f"pref{i}") for i in range(10)],
+        "admin_code string, pref string",
+    ).filter(F.col("pref") == "pref3")
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                   "true")
+    joined = spark.read.parquet(out).join(dim, "admin_code")
+    plan = layout.executed_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 2_000
