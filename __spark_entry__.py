@@ -1028,6 +1028,121 @@ FROM ras GROUP BY admin_code
 """
 
 
+# Planted Douglas-Peucker fixture: rectangles densified with collinear
+# edge vertices (always removed), one outward "bump" vertex of height d
+# at the bottom-edge midpoint (kept iff d > tol — its DP deviation is
+# exactly d), and on some rows a tiny square hole whose max deviation is
+# below tol (always dropped). All params are dyadic rationals, so vertex
+# counts and shoelace areas are exact integers/doubles predictable in
+# SQL. (polygon_id, x0, y0, w, h, m, d, hole)
+_SIMPLIFY_PARAMS = [
+    ("sp0", 0.0, 0.0, 1.0, 1.0, 3, 0.125, 0),
+    ("sp1", 2.0, 0.0, 1.5, 1.0, 10, 0.25, 1),
+    ("sp2", 4.0, 0.0, 2.0, 1.5, 40, 0.0009765625, 0),
+    ("sp3", 0.0, 2.0, 0.5, 2.0, 5, 0.0009765625, 1),
+    ("sp4", 2.0, 3.0, 1.0, 0.5, 8, 0.125, 0),
+    ("sp5", 4.0, 3.0, 2.0, 2.0, 16, 0.25, 1),
+]
+_SIMPLIFY_TOL = 0.01
+_SIMPLIFY_HOLE_S = 0.00390625  # 2^-8; ring diagonal deviation << tol
+
+
+def _simplify_fixture_pdf():
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    rows = []
+    for pid, x0, y0, w, h, m, d, hole in _SIMPLIFY_PARAMS:
+        ext = [(x0, y0), (x0 + w / 2, y0 - d), (x0 + w, y0)]
+        ext += [(x0 + w, y0 + (i + 1) * h / (m + 1)) for i in range(m)]
+        ext += [(x0 + w, y0 + h)]
+        ext += [(x0 + w - (i + 1) * w / (m + 1), y0 + h) for i in range(m)]
+        ext += [(x0, y0 + h)]
+        ext += [(x0, y0 + h - (i + 1) * h / (m + 1)) for i in range(m)]
+        rings = [ext]
+        if hole:
+            s = _SIMPLIFY_HOLE_S
+            cx, cy = x0 + w / 2, y0 + h / 2
+            rings.append(
+                [(cx, cy), (cx + s, cy), (cx + s, cy + s), (cx, cy + s)]
+            )
+        rows.append((pid, _wkb.polygon(*rings)))
+    return pd.DataFrame(rows, columns=["polygon_id", "geometry"])
+
+
+def q_simplify_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Douglas-Peucker simplification (geo/geom.py:
+    simplify_geometry — the broadcast-shrink path of spatial_join_tiles'
+    ``simplify_tol``): per-polygon vertex counts and shoelace areas
+    before/after, which the planted fixture makes exactly predictable
+    relationally (collinear vertices always drop, the bump survives iff
+    its deviation d exceeds tol, sub-tol holes collapse)."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import geom as geom_mod, wkb as _wkb
+
+    layer = spark.createDataFrame(_simplify_fixture_pdf())
+    tol = _SIMPLIFY_TOL
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = _wkb.loads(bytes(r["geometry"]))
+                s = geom_mod.simplify_geometry(g, tol)
+                rows.append(
+                    (
+                        r["polygon_id"],
+                        len(g.all_coords()),
+                        len(s.all_coords()),
+                        geom_mod.geometry_area(g),
+                        geom_mod.geometry_area(s),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "polygon_id", "n_before", "n_after",
+                    "area_before", "area_after",
+                ],
+            )
+
+    out = layer.mapInPandas(
+        stats,
+        schema=(
+            "polygon_id string, n_before long, n_after long, "
+            "area_before double, area_after double"
+        ),
+    )
+    return out.select(
+        "polygon_id",
+        "n_before",
+        "n_after",
+        F.round("area_before", 9).alias("area_before9"),
+        F.round("area_after", 9).alias("area_after9"),
+    )
+
+
+def _simplify_sql() -> str:
+    rows = ", ".join(
+        f"('{pid}', {w!r}, {h!r}, {m}, {d!r}, {hole})"
+        for pid, _x0, _y0, w, h, m, d, hole in _SIMPLIFY_PARAMS
+    )
+    s2 = _SIMPLIFY_HOLE_S * _SIMPLIFY_HOLE_S
+    return f"""
+WITH params(polygon_id, w, h, m, d, hole) AS (VALUES {rows})
+SELECT polygon_id,
+       CAST(6 + 3 * m + 5 * hole AS BIGINT) AS n_before,
+       CAST(CASE WHEN d > {_SIMPLIFY_TOL!r} THEN 6 ELSE 5 END AS BIGINT)
+         AS n_after,
+       round(w * h + w * d / 2 - hole * {s2!r}, 9) AS area_before9,
+       round(w * h + CASE WHEN d > {_SIMPLIFY_TOL!r} THEN w * d / 2
+                          ELSE 0.0 END, 9) AS area_after9
+FROM params
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — pure relational dedup."""
     from ksj2gp_spark.operators.dedup import ngram_jaccard_pairs
@@ -1856,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_admin": q_vectorize_admin,
         "concave_tiles": q_concave_tiles,
         "admin_geometry_stats": q_admin_geometry_stats,
+        "simplify_admin": q_simplify_admin,
         "tile_rollup": q_tile_rollup,
         "similarity_ivf": q_similarity_ivf,
     }
@@ -1920,6 +2036,7 @@ GROUP BY p.admin_code
         "vectorize_admin": _vectorize_sql(),
         "concave_tiles": _concave_sql(),
         "admin_geometry_stats": _geometry_stats_sql(),
+        "simplify_admin": _simplify_sql(),
         "tile_rollup": _ROLLUP_SQL,
         "similarity_ivf": _SIMILARITY_IVF_SQL,
         # Codec lanes are value-oracled by planted structure: the

@@ -194,3 +194,86 @@ def centroid(geom: Geometry) -> tuple[float, float]:
         c = geom.all_coords()
         return float(c[:, 0].mean()), float(c[:, 1].mean())
     return ax / aa, ay / aa
+
+
+# --- Douglas-Peucker simplification ----------------------------------
+#
+# KSJ coastline/admin polygons carry survey-resolution vertex counts
+# (10^3-10^5 per ring); the broadcast side of the spatial join ships
+# every vertex to every executor. Simplification at a tolerance below
+# the cell size shrinks that broadcast without changing any point
+# classification farther than `tol` from the boundary (every removed
+# vertex lies within `tol` of the simplified chain — the DP guarantee).
+
+
+def simplify_chain(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative (stack-based) Douglas-Peucker over an open chain.
+    Endpoints always survive; the result is a subsequence of the
+    input with max perpendicular deviation <= tol."""
+    n = len(coords)
+    if n <= 2 or tol <= 0.0:
+        return coords.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    x, y = coords[:, 0], coords[:, 1]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        # vectorized point-to-segment distance for coords[i+1:j]
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        ax, ay, bx, by = x[i], y[i], x[j], y[j]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            d2 = (px - ax) ** 2 + (py - ay) ** 2
+        else:
+            t = np.clip(((px - ax) * dx + (py - ay) * dy) / seg2, 0.0, 1.0)
+            d2 = (px - (ax + t * dx)) ** 2 + (py - (ay + t * dy)) ** 2
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return coords[keep].copy()
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray | None:
+    """Simplify a CLOSED ring (first == last). Returns None if the
+    ring collapses below a valid triangle (caller drops the hole /
+    keeps a collapsed exterior as its bbox-degenerate original)."""
+    out = simplify_chain(ring, tol)
+    if len(out) < 4:  # 3 distinct vertices + closure
+        return None
+    return out
+
+
+def simplify_geometry(geom: Geometry, tol: float) -> Geometry:
+    """DP-simplify Polygon/MultiPolygon rings (holes that collapse are
+    dropped; an exterior that collapses keeps its original ring —
+    never silently deletes a feature). Other kinds pass through
+    unchanged (LineString chains are simplified)."""
+    from . import wkb as _wkb
+
+    if geom.kind == _wkb.LINESTRING:
+        return Geometry(_wkb.LINESTRING, simplify_chain(geom.coords, tol))
+    if geom.kind == _wkb.POLYGON:
+        polys = [geom.coords]
+    elif geom.kind == _wkb.MULTIPOLYGON:
+        polys = geom.coords
+    else:
+        return geom
+    new_polys = []
+    for rings in polys:
+        ext = simplify_ring(rings[0], tol)
+        new_rings = [rings[0].copy() if ext is None else ext]
+        for hole in rings[1:]:
+            h = simplify_ring(hole, tol)
+            if h is not None:
+                new_rings.append(h)
+        new_polys.append(new_rings)
+    if geom.kind == _wkb.POLYGON:
+        return Geometry(_wkb.POLYGON, new_polys[0])
+    return Geometry(_wkb.MULTIPOLYGON, new_polys)

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..geo import geom as geom_mod
 from ..geo import grid, hexgrid, s2, transform, wkb
 
 SCHEMES = ("hex", "s2", "grid")
@@ -98,6 +99,24 @@ def normalize_polygons(pdf: pd.DataFrame) -> pd.DataFrame:
         geoms.append(buf)
     out["geometry"] = geoms
     out["crs"] = "WGS84"
+    return out
+
+
+def simplify_polygons(pdf: pd.DataFrame, tol: float) -> pd.DataFrame:
+    """Douglas-Peucker-simplify the WKB ``geometry`` column (driver-side;
+    the polygon layer is broadcast-small). Shrinks the vertex payload
+    the spatial join ships to every executor — KSJ coastline/admin
+    rings carry survey-resolution vertex counts, and at ``tol`` below
+    the cell size the candidate-join cover is unchanged while the PIP
+    refine only moves classifications within ``tol`` of the boundary
+    (the DP deviation guarantee, geo/geom.py:simplify_chain)."""
+    if tol <= 0.0:
+        return pdf
+    out = pdf.copy()
+    out["geometry"] = [
+        wkb.dumps(geom_mod.simplify_geometry(wkb.loads(buf), tol))
+        for buf in out["geometry"]
+    ]
     return out
 
 

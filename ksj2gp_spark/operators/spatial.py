@@ -27,7 +27,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..geo import geom, wkb
-from .cells import normalize_polygons, polygon_cover_pdf, with_cell
+from .cells import (
+    normalize_polygons,
+    polygon_cover_pdf,
+    simplify_polygons,
+    with_cell,
+)
 
 DEFAULT_RES = {"hex": 7, "s2": 12, "grid": 10}
 
@@ -149,6 +154,7 @@ def fused_join_tiles(
     res: int,
     crs: str | None = None,
     admin_col: str = "行政区域コード",
+    simplify_tol: float | None = None,
 ) -> DataFrame:
     """Single-pass map-side spatial join for broadcast-sized polygon
     layers: ONE ``mapInPandas`` computes cells, probes the broadcast
@@ -161,6 +167,8 @@ def fused_join_tiles(
 
     spark = images.sparkSession
     polys = normalize_polygons(polygons_pdf)
+    if simplify_tol:
+        polys = simplify_polygons(polys, simplify_tol)
     cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=(admin_col,))
     cover_b = spark.sparkContext.broadcast(cover_pdf)
     geos_b = spark.sparkContext.broadcast(
@@ -224,6 +232,7 @@ def spatial_join_tiles(
     crs: str | None = None,
     extra_cols: tuple[str, ...] = ("行政区域コード",),
     admin_col: str = "行政区域コード",
+    simplify_tol: float | None = None,
 ) -> DataFrame:
     """images(lon, lat, image_id, …) × polygon layer → tile assignments
     ``(image_id, cell, admin_code, polygon_id)``.
@@ -232,14 +241,23 @@ def spatial_join_tiles(
     fastest for broadcast-sized layers), ``broadcast`` (Catalyst-visible
     BroadcastHashJoin + refine pass), ``shuffle`` (+ optional hot-cell
     salting) for polygon layers too large to broadcast.
+
+    ``simplify_tol`` (opt-in) Douglas-Peucker-simplifies the polygon
+    layer before the cover/refine broadcast — an approximation with
+    deviation bounded by the tolerance: only points within ``tol`` of a
+    boundary can change assignment. Use tolerances well below the cell
+    size to shrink survey-resolution coastline rings.
     """
     res = res if res is not None else DEFAULT_RES[scheme]
     if strategy == "fused":
         return fused_join_tiles(
-            images, polygons_pdf, scheme, res, crs=crs, admin_col=admin_col
+            images, polygons_pdf, scheme, res, crs=crs, admin_col=admin_col,
+            simplify_tol=simplify_tol,
         )
     spark = images.sparkSession
     polys = normalize_polygons(polygons_pdf)
+    if simplify_tol:
+        polys = simplify_polygons(polys, simplify_tol)
     cover_pdf = polygon_cover_pdf(polys, scheme, res, extra_cols=extra_cols)
     if strategy == "auto":
         # Broadcast while the exploded cover fits comfortably under the

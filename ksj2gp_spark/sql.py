@@ -85,11 +85,14 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     def _per_geom(fn, dtype):
         @pandas_udf(dtype)
         def udf(wkb_col: pd.Series) -> pd.Series:
-            return pd.Series(
+            out = pd.Series(
                 [fn(_wkb.loads(b)) if b is not None else None
                  for b in wkb_col],
                 dtype=object,
-            ).astype(dtype if dtype != "string" else object)
+            )
+            # doubles go through float64 (None → NaN); ints/strings
+            # stay object so nulls survive the Arrow conversion
+            return out.astype("float64") if dtype == "double" else out
 
         return udf
 
@@ -148,6 +151,25 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
 
     spark.udf.register("st_contains", st_contains)
     spark.udf.register("st_distance", st_distance)
+
+    @pandas_udf("binary")
+    def st_simplify(wkb_col: pd.Series, tol: pd.Series) -> pd.Series:
+        t = float(tol.iloc[0]) if len(tol) else 0.0
+        return pd.Series(
+            [
+                _wkb.dumps(_geom.simplify_geometry(_wkb.loads(b), t))
+                if b is not None
+                else None
+                for b in wkb_col
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("st_simplify", st_simplify)
+    spark.udf.register(
+        "st_npoints",
+        _per_geom(lambda g: int(len(g.all_coords())), "long"),
+    )
     return [
         "grid_cell",
         "hex_cell",
@@ -161,4 +183,6 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_geomtype",
         "st_contains",
         "st_distance",
+        "st_simplify",
+        "st_npoints",
     ]

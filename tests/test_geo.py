@@ -294,3 +294,102 @@ class TestS2:
         py = 35.0 + pts[:, 1] * 0.3
         pc = s2.latlng_to_cell(px, py, 11)
         assert set(pc.tolist()) <= cells
+
+
+class TestSimplify:
+    """Douglas-Peucker invariants: subsequence, bounded deviation,
+    collinear removal, ring validity, hole collapse."""
+
+    def _noisy_chain(self, n=400, amp=0.05, seed=7):
+        r = np.random.default_rng(seed)
+        x = np.linspace(0.0, 10.0, n)
+        y = np.sin(x) + r.uniform(-amp, amp, n)
+        return np.column_stack([x, y])
+
+    def test_is_subsequence_and_endpoints(self):
+        c = self._noisy_chain()
+        out = geom.simplify_chain(c, 0.1)
+        assert (out[0] == c[0]).all() and (out[-1] == c[-1]).all()
+        # every kept vertex appears in order in the original
+        i = 0
+        for p in out:
+            while not (c[i] == p).all():
+                i += 1
+        assert len(out) < len(c)
+
+    def test_deviation_bounded(self):
+        c = self._noisy_chain()
+        tol = 0.08
+        out = geom.simplify_chain(c, tol)
+        # every original vertex lies within tol of the simplified chain
+        d = np.full(len(c), np.inf)
+        for a, b in zip(out[:-1], out[1:]):
+            seg = np.array([a, b])
+            d = np.minimum(d, geom.dist_to_segments(c[:, 0], c[:, 1], seg))
+        assert d.max() <= tol + 1e-12
+
+    def test_collinear_removed_exactly(self):
+        # square with redundant on-edge vertices → 5-point ring
+        ring = np.array(
+            [(0, 0), (0.25, 0), (0.5, 0), (1, 0), (1, 0.5), (1, 1),
+             (0.7, 1), (0, 1), (0, 0.2), (0, 0)],
+            dtype=np.float64,
+        )
+        out = geom.simplify_ring(ring, 1e-9)
+        assert out is not None and len(out) == 5
+        g0 = wkb.loads(wkb.polygon([tuple(p) for p in ring[:-1]]))
+        g1 = geom.simplify_geometry(g0, 1e-9)
+        assert abs(geom.geometry_area(g1) - 1.0) < 1e-12
+
+    def test_tol_zero_identity(self):
+        c = self._noisy_chain(50)
+        assert (geom.simplify_chain(c, 0.0) == c).all()
+
+    def test_hole_collapse_dropped_exterior_kept(self):
+        outer = _square(0, 0, 4, 4)
+        tiny = _square(2.0, 2.0, 2.001, 2.001)
+        g = wkb.loads(wkb.polygon(outer, tiny))
+        s = geom.simplify_geometry(g, 0.01)
+        assert len(s.coords) == 1  # hole gone
+        assert abs(geom.geometry_area(s) - 16.0) < 1e-9
+        # an exterior that would collapse keeps its original ring
+        small = wkb.loads(wkb.polygon(_square(0, 0, 0.001, 0.001)))
+        kept = geom.simplify_geometry(small, 0.01)
+        assert len(kept.coords[0]) == len(small.coords[0])
+
+    def test_multipolygon_and_linestring(self):
+        mp = wkb.loads(
+            wkb.multipolygon(
+                [[_square(0, 0, 1, 1)], [_square(2, 2, 3, 3)]]
+            )
+        )
+        s = geom.simplify_geometry(mp, 1e-6)
+        assert s.kind == wkb.MULTIPOLYGON and len(s.coords) == 2
+        c = self._noisy_chain(100)
+        ls = wkb.Geometry(wkb.LINESTRING, c)
+        out = geom.simplify_geometry(ls, 0.2)
+        assert out.kind == wkb.LINESTRING and len(out.coords) < 100
+
+    def test_classification_unchanged_away_from_boundary(self):
+        # points farther than tol from the boundary keep their PIP result
+        r = np.random.default_rng(3)
+        n = 64
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        rad = 1.0 + 0.02 * np.sin(7 * ang)
+        ring = [(float(np.cos(a) * s), float(np.sin(a) * s))
+                for a, s in zip(ang, rad)]
+        g = wkb.loads(wkb.polygon(ring))
+        tol = 0.05
+        s = geom.simplify_geometry(g, tol)
+        px = r.uniform(-1.5, 1.5, 4000)
+        py = r.uniform(-1.5, 1.5, 4000)
+        before = geom.geometry_contains(px, py, g)
+        after = geom.geometry_contains(px, py, s)
+        dist = geom.distance_to_geometry(px, py, g)
+        # distance_to_geometry is 0 inside; measure distance to boundary
+        bdist = np.full(len(px), np.inf)
+        for rr in g.rings():
+            bdist = np.minimum(bdist, geom.dist_to_segments(px, py, rr))
+        far = bdist > tol
+        assert (before[far] == after[far]).all()
+        del dist

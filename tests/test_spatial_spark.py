@@ -437,3 +437,48 @@ def test_temporal_join_plan_no_extra_shuffle(spark, images):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert final.count("BroadcastExchange") == 1
     assert "Exchange hashpartitioning" not in final
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "fused"])
+def test_simplify_tol_preserves_assignments(spark, images, expected, strategy):
+    """Densify the fixture rectangles with collinear edge vertices, then
+    join with simplify_tol: DP must strip the redundancy back to the
+    corner rings, so assignments equal the plain-layer join exactly."""
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    layer = fixtures.polygon_layer()
+    dense = layer.copy()
+    geoms = []
+    for buf in dense["geometry"]:
+        g = _wkb.loads(buf)
+        ring = g.coords[0]
+        pts = []
+        for a, b in zip(ring[:-1], ring[1:]):
+            pts.append(tuple(a))
+            for t in (0.2, 0.45, 0.8):  # collinear interior vertices
+                pts.append(tuple(a + (b - a) * t))
+        geoms.append(_wkb.polygon(pts))
+    dense["geometry"] = geoms
+    # sanity: densified rings really are bigger
+    assert len(_wkb.loads(geoms[0]).coords[0]) == 17
+
+    tiles = spatial.spatial_join_tiles(
+        images, dense, scheme="grid", strategy=strategy, simplify_tol=1e-9
+    )
+    _check_against_oracle(tiles, expected)
+    base = (
+        spatial.spatial_join_tiles(
+            images, layer, scheme="grid", strategy=strategy
+        )
+        .select("image_id", "cell", "admin_code")
+        .toPandas()
+        .sort_values(["image_id", "admin_code"])
+        .reset_index(drop=True)
+    )
+    got = (
+        tiles.select("image_id", "cell", "admin_code")
+        .toPandas()
+        .sort_values(["image_id", "admin_code"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, base)

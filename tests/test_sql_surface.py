@@ -102,3 +102,38 @@ def test_sql_st_functions_match_kernels(spark):
         "st_contains(CAST(NULL AS BINARY), 1.0, 2.0) AS c"
     ).first()
     assert row["a"] is None and row["c"] is None
+
+
+def test_sql_st_simplify_npoints(spark):
+    register_sql_functions(spark)
+    import pandas as pd
+
+    from ksj2gp_spark.geo import geom, wkb
+
+    # square with collinear on-edge vertices + a small square hole that
+    # collapses at tol=0.01
+    ring = [(0, 0), (0.25, 0), (0.5, 0), (1, 0), (1, 0.5), (1, 1),
+            (0.7, 1), (0, 1), (0, 0.2)]
+    hole = [(0.5, 0.5), (0.503, 0.5), (0.503, 0.503), (0.5, 0.503)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"gid": ["a"], "geometry": [wkb.polygon(ring, hole)]})
+    )
+    sdf.createOrReplaceTempView("simp")
+    row = spark.sql(
+        """SELECT st_npoints(geometry) AS n0,
+                  st_npoints(st_simplify(geometry, 0.01)) AS n1,
+                  st_area(st_simplify(geometry, 0.01)) AS a1
+           FROM simp"""
+    ).first()
+    assert row["n0"] == 15  # 10 exterior (closed) + 5 hole
+    assert row["n1"] == 5   # corners only, hole dropped
+    assert abs(row["a1"] - 1.0) < 1e-12
+    # kernel equivalence
+    g = geom.simplify_geometry(wkb.loads(wkb.polygon(ring, hole)), 0.01)
+    assert len(g.all_coords()) == row["n1"]
+    # null passthrough
+    r2 = spark.sql(
+        "SELECT st_simplify(CAST(NULL AS BINARY), 0.1) AS s, "
+        "st_npoints(CAST(NULL AS BINARY)) AS n"
+    ).first()
+    assert r2["s"] is None and r2["n"] is None
