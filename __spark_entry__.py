@@ -841,6 +841,52 @@ FROM cells c JOIN polys p
 """
 
 
+def q_compact_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell compaction (operators/raster.py::compact_cells,
+    H3-compact semantics on the grid scheme): the res-12 admin raster
+    collapses complete 2×2 sibling groups bottom-up into the unique
+    minimal mixed-resolution cover. The oracle unrolls the same
+    promotion closure level-by-level in plain SQL (the closure is
+    confluent, so level-ordered promotion is THE answer)."""
+    from ksj2gp_spark.operators import raster as raster_ops
+
+    ras = q_rasterize_admin(spark, sf_dir).select("admin_code", "cell")
+    return raster_ops.compact_cells(ras, res=12)
+
+
+def _compact_sql() -> str:
+    c58, c29 = 1 << 58, 1 << 29
+    parts = [
+        f"""l12 AS (
+  SELECT DISTINCT admin_code,
+         (cell % {c58}) // {c29} AS i, cell % {c29} AS j
+  FROM ({_rasterize_sql()})
+)"""
+    ]
+    finals = []
+    for r in range(12, 0, -1):
+        parts.append(
+            f"g{r} AS (SELECT admin_code, i // 2 AS pi, j // 2 AS pj, "
+            f"count(*) AS n FROM l{r} GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"f{r} AS (SELECT a.admin_code, "
+            f"{r} * {c58} + a.i * {c29} + a.j AS cell "
+            f"FROM l{r} a JOIN g{r} g ON g.admin_code = a.admin_code "
+            f"AND g.pi = a.i // 2 AND g.pj = a.j // 2 WHERE g.n < 4)"
+        )
+        parts.append(
+            f"l{r - 1} AS (SELECT admin_code, pi AS i, pj AS j "
+            f"FROM g{r} WHERE n = 4)"
+        )
+        finals.append(f"SELECT admin_code, cell FROM f{r}")
+    finals.append(f"SELECT admin_code, i * {c29} + j AS cell FROM l0")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical tile rollup: res-10 assignments aggregated to their
     res-7 parent cells through the engine's ``cell_to_parent`` kernel
@@ -1025,6 +1071,32 @@ def _vectorize_sql() -> str:
 WITH ras AS ({_rasterize_sql()})
 SELECT admin_code, count(DISTINCT cell) AS n_cells
 FROM ras GROUP BY admin_code
+"""
+
+
+def q_admin_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon × polygon spatial join (operators/spatial.py::
+    polygon_overlap_join): which admin polygons touch or overlap.
+    The engine runs the real path — cell-cover candidates from a
+    broadcast cover, exact segment/containment refine — while the
+    oracle expresses intersects() relationally (the fixture polygons
+    are rectangles, where intersects ⇔ inclusive bbox overlap)."""
+    layer = fixtures.polygon_layer()
+    left = spark.createDataFrame(
+        layer[["polygon_id", "geometry", "crs"]]
+    )
+    pairs = spatial.polygon_overlap_join(left, layer, scheme="grid", res=10)
+    return pairs.filter(F.col("polygon_id") < F.col("other_id"))
+
+
+def _adjacency_sql() -> str:
+    return f"""
+WITH {_polys_values_sql()}
+SELECT a.polygon_id AS polygon_id, b.polygon_id AS other_id
+FROM polys a JOIN polys b
+  ON a.polygon_id < b.polygon_id
+ AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+ AND a.ymin <= b.ymax AND b.ymin <= a.ymax
 """
 
 
@@ -1389,6 +1461,85 @@ s4 AS (
   FROM f
 )
 SELECT doc_id, lang_guess, quality_score FROM s4 WHERE quality_score >= 0.5
+"""
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+_SPLIT_FRACS = {"short": 0.5, "medium": 0.25, "long": 1.0}
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment + per-stratum
+    downsampling (operators/curate.py::hash_split / stratified_sample):
+    pure map-side hash-threshold expressions — rerun-stable and
+    order-independent, which is exactly why DuckDB reproduces the
+    assignment bit-for-bit from the same BIGINT arithmetic."""
+    from ksj2gp_spark.operators import curate
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = d.withColumn(
+        "stratum",
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long"),
+    )
+    d = curate.hash_split(
+        d,
+        key="doc_id",
+        weights=_SPLIT_WEIGHTS,
+        bucket=curate.mix_bucket("doc_id"),
+    )
+    sampled = curate.stratified_sample(
+        d,
+        "stratum",
+        _SPLIT_FRACS,
+        bucket=curate.mix_bucket("doc_id", 31, 7),
+    )
+    tot = d.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    smp = sampled.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return tot.join(smp, ["stratum", "split"], "left").withColumn(
+        "n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long"))
+    )
+
+
+def _corpus_split_sql() -> str:
+    from ksj2gp_spark.operators.curate import _SPLIT_MIX, _SPLIT_MOD
+
+    # thresholds from the SAME float accumulation hash_split performs
+    acc, cuts = 0.0, []
+    names = list(_SPLIT_WEIGHTS)
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        cuts.append((name, int(acc * _SPLIT_MOD)))
+    split_case = " ".join(
+        f"WHEN b1 < {cut} THEN '{name}'" for name, cut in cuts
+    )
+    frac_case = " ".join(
+        f"WHEN '{val}' THEN {int(frac * _SPLIT_MOD)}"
+        for val, frac in _SPLIT_FRACS.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN n_chars < 200 THEN 'short'
+              WHEN n_chars < 400 THEN 'medium'
+              ELSE 'long' END AS stratum,
+         (doc_id * {_SPLIT_MIX}) % {_SPLIT_MOD} AS b1,
+         ((doc_id * 31 + 7) * {_SPLIT_MIX}) % {_SPLIT_MOD} AS b2
+  FROM documents
+),
+e AS (
+  SELECT stratum,
+         CASE {split_case} ELSE '{names[-1]}' END AS split, b2
+  FROM d
+)
+SELECT stratum, split, count(*) AS n_total,
+       CAST(sum(CASE WHEN b2 < CASE stratum {frac_case} ELSE 0 END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM e GROUP BY stratum, split
 """
 
 
@@ -1958,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "sessionize_batch": q_sessionize_batch,
         "corpus_curation": q_corpus_curation,
+        "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1969,8 +2121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "rasterize_admin": q_rasterize_admin,
         "vectorize_admin": q_vectorize_admin,
+        "compact_admin": q_compact_admin,
         "concave_tiles": q_concave_tiles,
         "admin_geometry_stats": q_admin_geometry_stats,
+        "admin_adjacency": q_admin_adjacency,
         "simplify_admin": q_simplify_admin,
         "tile_rollup": q_tile_rollup,
         "similarity_ivf": q_similarity_ivf,
@@ -2026,6 +2180,7 @@ GROUP BY p.admin_code
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
         "corpus_curation": _curation_sql(),
+        "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
@@ -2034,8 +2189,10 @@ GROUP BY p.admin_code
         "embedding_near_dups": _EMBEDDING_DUPS_SQL,
         "rasterize_admin": _rasterize_sql(),
         "vectorize_admin": _vectorize_sql(),
+        "compact_admin": _compact_sql(),
         "concave_tiles": _concave_sql(),
         "admin_geometry_stats": _geometry_stats_sql(),
+        "admin_adjacency": _adjacency_sql(),
         "simplify_admin": _simplify_sql(),
         "tile_rollup": _ROLLUP_SQL,
         "similarity_ivf": _SIMILARITY_IVF_SQL,

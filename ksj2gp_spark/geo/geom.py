@@ -277,3 +277,102 @@ def simplify_geometry(geom: Geometry, tol: float) -> Geometry:
     if geom.kind == _wkb.POLYGON:
         return Geometry(_wkb.POLYGON, new_polys[0])
     return Geometry(_wkb.MULTIPOLYGON, new_polys)
+
+
+# --- polygon-polygon intersection ------------------------------------
+#
+# Exact boundary-inclusive intersects() for Polygon/MultiPolygon pairs:
+# two polygons intersect iff a vertex of one is covered by the other
+# (handles containment and boundary touch) or some boundary segments
+# cross (handles edge crossings with no vertex inside). Segment tests
+# are vectorized n×m with a mutual-bbox prefilter, so cell-localized
+# candidate pairs (the overlap join's unit of work) stay cheap even on
+# survey-resolution rings.
+
+
+def _cross(ox, oy, ax, ay, bx, by):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def segments_cross_any(r1: np.ndarray, r2: np.ndarray) -> bool:
+    """True if any segment of ring/chain r1 intersects any of r2
+    (inclusive: shared endpoints and collinear overlap count)."""
+    p = r1[:-1]
+    q = r1[1:]
+    r = r2[:-1]
+    s = r2[1:]
+    # mutual bbox prefilter per segment pair
+    p_min = np.minimum(p, q)
+    p_max = np.maximum(p, q)
+    r_min = np.minimum(r, s)
+    r_max = np.maximum(r, s)
+    ok = (
+        (p_min[:, None, 0] <= r_max[None, :, 0])
+        & (p_max[:, None, 0] >= r_min[None, :, 0])
+        & (p_min[:, None, 1] <= r_max[None, :, 1])
+        & (p_max[:, None, 1] >= r_min[None, :, 1])
+    )
+    if not ok.any():
+        return False
+    i, j = np.nonzero(ok)
+    px, py = p[i, 0], p[i, 1]
+    qx, qy = q[i, 0], q[i, 1]
+    rx, ry = r[j, 0], r[j, 1]
+    sx, sy = s[j, 0], s[j, 1]
+    d1 = _cross(rx, ry, sx, sy, px, py)
+    d2 = _cross(rx, ry, sx, sy, qx, qy)
+    d3 = _cross(px, py, qx, qy, rx, ry)
+    d4 = _cross(px, py, qx, qy, sx, sy)
+    proper = (
+        ((d1 > 0) != (d2 > 0))
+        & ((d3 > 0) != (d4 > 0))
+        & (d1 != 0)
+        & (d2 != 0)
+        & (d3 != 0)
+        & (d4 != 0)
+    )
+    if proper.any():
+        return True
+    # collinear / endpoint-touch: a zero cross with the point inside the
+    # other segment's bbox (the prefilter already guarantees bbox overlap
+    # of the segment pair, but the *point* must be re-checked)
+    def on_seg(d, x, y, ax, ay, bx, by):
+        return (
+            (d == 0)
+            & (x >= np.minimum(ax, bx))
+            & (x <= np.maximum(ax, bx))
+            & (y >= np.minimum(ay, by))
+            & (y <= np.maximum(ay, by))
+        )
+
+    touch = (
+        on_seg(d1, px, py, rx, ry, sx, sy)
+        | on_seg(d2, qx, qy, rx, ry, sx, sy)
+        | on_seg(d3, rx, ry, px, py, qx, qy)
+        | on_seg(d4, sx, sy, px, py, qx, qy)
+    )
+    return bool(touch.any())
+
+
+def geometry_intersects(ga: Geometry, gb: Geometry) -> bool:
+    """Boundary-inclusive intersects() for Polygon/MultiPolygon pairs."""
+    ca = ga.all_coords()
+    cb = gb.all_coords()
+    if (
+        ca[:, 0].max() < cb[:, 0].min()
+        or cb[:, 0].max() < ca[:, 0].min()
+        or ca[:, 1].max() < cb[:, 1].min()
+        or cb[:, 1].max() < ca[:, 1].min()
+    ):
+        return False
+    # vertex containment either way (covers containment + touch)
+    if geometry_contains(ca[:, 0], ca[:, 1], gb).any():
+        return True
+    if geometry_contains(cb[:, 0], cb[:, 1], ga).any():
+        return True
+    # boundary crossings with no vertex inside
+    for ra in ga.rings():
+        for rb in gb.rings():
+            if segments_cross_any(ra, rb):
+                return True
+    return False

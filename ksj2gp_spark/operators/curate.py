@@ -102,3 +102,85 @@ def curate_corpus(
         ledger_rows, "stage string, n_in long, n_out long"
     )
     return s4, ledger
+
+
+# --- deterministic splits & stratified sampling -----------------------
+#
+# Train/valid/test assignment and per-stratum downsampling for a 100 TB
+# corpus must be (a) pure map-side expressions (no shuffle, no state),
+# (b) stable under reruns and repartitioning, (c) independent of row
+# order. Both operators therefore key on a deterministic integer bucket
+# of a row key, never on rand()/sample(). The default bucket uses
+# xxhash64 (JVM, whole-stage codegen); pass ``bucket=`` to use an
+# engine-portable mix (the contract query does, so DuckDB reproduces
+# the exact assignment).
+
+_SPLIT_MOD = 1 << 20
+_SPLIT_MIX = 2654435761  # Knuth multiplicative constant (public)
+
+
+def mix_bucket(key, salt_a: int = 1, salt_b: int = 0):
+    """Engine-portable bucket in [0, 2^20): ((key*a + b) * MIX) % MOD —
+    plain BIGINT arithmetic any SQL engine reproduces bit-for-bit."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        (k * F.lit(salt_a) + F.lit(salt_b)) * F.lit(_SPLIT_MIX),
+        F.lit(_SPLIT_MOD),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+    bucket=None,
+) -> DataFrame:
+    """Assign every row to a named split by deterministic hash bucket
+    (default weights 0.98/0.01/0.01 train/valid/test). Map-side only."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = bucket if bucket is not None else F.pmod(
+        F.xxhash64(F.col(key)), F.lit(_SPLIT_MOD)
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < F.lit(int(acc * _SPLIT_MOD))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key: str = "doc_id",
+    default_fraction: float = 0.0,
+    bucket=None,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (hash
+    threshold, not rand()): rerun-stable, order-independent, zero
+    shuffle. Strata missing from ``fractions`` keep
+    ``default_fraction``."""
+    b = bucket if bucket is not None else F.pmod(
+        F.xxhash64(F.col(key)), F.lit(_SPLIT_MOD)
+    )
+    thresh = None
+    for val, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(val)
+        t = F.lit(int(frac * _SPLIT_MOD))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(default_fraction * _SPLIT_MOD))
+        if thresh is None
+        else thresh.otherwise(int(default_fraction * _SPLIT_MOD))
+    )
+    return df.filter(b < thresh)

@@ -163,3 +163,126 @@ def vectorize_cells(
             "area_cells double, geometry binary"
         ),
     )
+
+
+# --- hierarchical cell compaction (H3-style compact/uncompact) --------
+#
+# compact: replace every complete 2×2 sibling group with its parent,
+# repeatedly, producing the unique minimal mixed-resolution cover of
+# the input cell set (promotion groups are disjoint per level, so the
+# bottom-up closure is confluent — the result does not depend on
+# promotion order). uncompact: the exact inverse back to a uniform
+# resolution.
+#
+# Scale shape: ``compact_cells`` is ONE lazy plan of ``res`` map-side-
+# combinable groupBys over geometrically shrinking data (no driver
+# actions, no collect); ``uncompact_cells`` is a narrow explode chain
+# (zero shuffle).
+
+from pyspark.sql import functions as F
+
+_RES_SHIFT = 58
+_IJ_BITS = 29
+_IJ_MASK = (1 << _IJ_BITS) - 1
+
+
+def _decompose(df: DataFrame, cell_col: str) -> DataFrame:
+    c = F.col(cell_col)
+    return df.withColumns(
+        {
+            "_res": F.shiftright(c, _RES_SHIFT).cast("int"),
+            "_i": F.shiftright(c, _IJ_BITS).bitwiseAND(F.lit(_IJ_MASK)),
+            "_j": c.bitwiseAND(F.lit(_IJ_MASK)),
+        }
+    )
+
+
+def _encode(res_expr, i_expr, j_expr):
+    return (
+        F.shiftleft(res_expr.cast("long"), _RES_SHIFT)
+        + F.shiftleft(i_expr, _IJ_BITS)
+        + j_expr
+    ).alias("cell")
+
+
+def compact_cells(
+    df: DataFrame,
+    res: int,
+    group_cols: tuple[str, ...] = ("admin_code",),
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Compact a uniform-``res`` grid-cell set (geo/grid.py ids) into
+    the minimal mixed-resolution cover, independently per
+    ``group_cols`` group. Output: (*group_cols, cell) with mixed-res
+    cell ids covering exactly the input area."""
+    gc = list(group_cols)
+    cur = _decompose(df.select(*gc, cell_col).distinct(), cell_col).select(
+        *gc, "_i", "_j"
+    )
+    finals = []
+    for r in range(res, 0, -1):
+        agg = cur.groupBy(
+            *gc,
+            F.shiftright("_i", 1).alias("_pi"),
+            F.shiftright("_j", 1).alias("_pj"),
+        ).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_list(F.struct("_i", "_j")).alias("_ch"),
+        )
+        incomplete = (
+            agg.filter(F.col("_n") < 4)
+            .select(*gc, F.explode("_ch").alias("_c"))
+            .select(
+                *gc,
+                _encode(F.lit(r), F.col("_c._i"), F.col("_c._j")),
+            )
+        )
+        finals.append(incomplete)
+        cur = agg.filter(F.col("_n") == 4).select(
+            *gc, F.col("_pi").alias("_i"), F.col("_pj").alias("_j")
+        )
+    finals.append(cur.select(*gc, _encode(F.lit(0), F.col("_i"), F.col("_j"))))
+    out = finals[0]
+    for f in finals[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def uncompact_cells(
+    df: DataFrame,
+    target_res: int,
+    group_cols: tuple[str, ...] = ("admin_code",),
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Expand mixed-resolution cells back to uniform ``target_res`` —
+    the inverse of ``compact_cells`` (narrow plan, zero shuffle)."""
+    gc = list(group_cols)
+    cur = _decompose(df.select(*gc, cell_col), cell_col).select(
+        *gc, "_res", "_i", "_j"
+    )
+    kids = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (0, 1)
+            for dy in (0, 1)
+        ]
+    )
+    for _ in range(target_res):
+        split = cur.filter(F.col("_res") < target_res)
+        done = cur.filter(F.col("_res") >= target_res)
+        expanded = split.select(
+            *gc,
+            (F.col("_res") + 1).alias("_res"),
+            F.explode(kids).alias("_k"),
+            F.col("_i"),
+            F.col("_j"),
+        ).select(
+            *gc,
+            "_res",
+            (F.shiftleft("_i", 1) + F.col("_k.dx")).alias("_i"),
+            (F.shiftleft("_j", 1) + F.col("_k.dy")).alias("_j"),
+        )
+        cur = done.unionByName(expanded)
+    return cur.select(
+        *gc, _encode(F.col("_res"), F.col("_i"), F.col("_j"))
+    )

@@ -838,3 +838,78 @@ def temporal_join_tiles(
             .drop("__rn")
         )
     return out.withColumnRenamed(admin_col, "admin_code")
+
+
+def polygon_overlap_join(
+    left: DataFrame,
+    right_pdf: pd.DataFrame,
+    scheme: str = "grid",
+    res: int | None = None,
+    left_id: str = "polygon_id",
+    right_id_out: str = "other_id",
+) -> DataFrame:
+    """Polygon × polygon spatial join (boundary-inclusive intersects):
+    ``left`` is a distributed layer ``(left_id, geometry[, crs])``;
+    ``right_pdf`` is a broadcast-small layer with the same columns.
+    Output: one row per intersecting pair ``(left_id, right_id_out)``.
+
+    Plan shape (the 100 TB path): ONE ``mapInPandas`` over the left
+    layer — each task covers its polygons with cells, probes the
+    broadcast right-cover (pandas hash-merge), dedupes candidate pairs
+    in-batch, and refines with the exact segment/containment kernel
+    (geo/geom.py::geometry_intersects). Zero shuffle; the right layer
+    ships once per executor as (cover DataFrame + WKB dict). For a
+    right side too large to broadcast, cover both sides with
+    ``polygon_cover_df`` and equi-join on cell instead (the same
+    refine applies) — that variant shuffles both covers.
+    """
+    from .cells import cover_fn
+
+    res = res if res is not None else DEFAULT_RES[scheme]
+    spark = left.sparkSession
+    rpolys = normalize_polygons(right_pdf)
+    rcover = polygon_cover_pdf(rpolys, scheme, res)
+    rcover_b = spark.sparkContext.broadcast(rcover)
+    rgeos_b = spark.sparkContext.broadcast(
+        {
+            row["polygon_id"]: bytes(row["geometry"])
+            for _, row in rpolys.iterrows()
+        }
+    )
+    cov = cover_fn(scheme, res)
+
+    def run(batches):
+        rcov = rcover_b.value
+        parsed: dict[str, wkb.Geometry] = {}
+
+        def rgeo(pid: str) -> wkb.Geometry:
+            g = parsed.get(pid)
+            if g is None:
+                g = parsed[pid] = wkb.loads(rgeos_b.value[pid])
+            return g
+
+        for pdf in batches:
+            pdf = normalize_polygons(pdf)  # per-row CRS → WGS84
+            out_l: list[str] = []
+            out_r: list[str] = []
+            for _, row in pdf.iterrows():
+                g = wkb.loads(bytes(row["geometry"]))
+                cells_v = cov(g)
+                cand = (
+                    pd.DataFrame({"cell": cells_v})
+                    .merge(rcov, on="cell", sort=False)["polygon_id"]
+                    .unique()
+                )
+                for rid in cand:
+                    if geom.geometry_intersects(g, rgeo(rid)):
+                        out_l.append(row[left_id])
+                        out_r.append(rid)
+            yield pd.DataFrame({left_id: out_l, right_id_out: out_r})
+
+    probe_cols = [left_id, "geometry"] + (
+        ["crs"] if "crs" in left.columns else []
+    )
+    probe = left.select(*probe_cols)
+    return probe.mapInPandas(
+        run, schema=f"{left_id} string, {right_id_out} string"
+    )

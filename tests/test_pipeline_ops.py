@@ -5,6 +5,7 @@ brute-force or constructed oracle."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from ksj2gp_spark.formats import imagecodec
 from ksj2gp_spark.operators import dedup, images as img_ops, text
@@ -368,3 +369,68 @@ class TestCuration:
         kept.count()
         after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
         assert after - before == set(), "curate_corpus leaked cached RDDs"
+
+
+class TestHashSplit:
+    """Deterministic splits: stable under repartitioning/rerun, weights
+    validated, per-stratum sampling honors thresholds exactly."""
+
+    def _docs(self, spark, n=2000):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("stratum"),
+        )
+
+    def test_split_deterministic_and_partition_independent(self, spark):
+        from ksj2gp_spark.operators.curate import hash_split
+
+        d = self._docs(spark)
+        a = hash_split(d, key="doc_id").toPandas()
+        b = hash_split(d.repartition(13), key="doc_id").toPandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert (a["split"] == b["split"]).all()
+        frac = (a["split"] == "train").mean()
+        assert 0.95 < frac < 1.0  # ~0.98 default
+
+    def test_split_weights_validated(self, spark):
+        from ksj2gp_spark.operators.curate import hash_split
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(self._docs(spark), weights={"a": 0.5, "b": 0.4})
+
+    def test_stratified_sample_exact_thresholds(self, spark):
+        from ksj2gp_spark.operators.curate import (
+            _SPLIT_MOD, mix_bucket, stratified_sample,
+        )
+
+        d = self._docs(spark)
+        got = stratified_sample(
+            d,
+            "stratum",
+            {"0": 0.5, "1": 0.0},
+            bucket=mix_bucket("doc_id"),
+            default_fraction=1.0,
+        ).toPandas()
+        # stratum 1 gone, stratum 2 complete, stratum 0 = exact bucket rule
+        assert (got["stratum"] != "1").all()
+        n2 = (got["stratum"] == "2").sum()
+        assert n2 == 2000 // 3
+        ids = np.arange(0, 2000, 3)  # stratum 0
+        want0 = ((ids * 2654435761) % _SPLIT_MOD < _SPLIT_MOD // 2).sum()
+        assert (got["stratum"] == "0").sum() == want0
+
+    def test_sample_rerun_stable(self, spark):
+        from ksj2gp_spark.operators.curate import stratified_sample
+
+        d = self._docs(spark)
+        s1 = set(
+            stratified_sample(d, "stratum", {"0": 0.3, "1": 0.7, "2": 0.5})
+            .toPandas()["doc_id"]
+        )
+        s2 = set(
+            stratified_sample(
+                d.repartition(7), "stratum", {"0": 0.3, "1": 0.7, "2": 0.5}
+            ).toPandas()["doc_id"]
+        )
+        assert s1 == s2

@@ -104,3 +104,52 @@ def test_vectorize_cells_spark_roundtrip(spark):
             tgt = covered if row["area_cells"] > 0 else holes
             tgt.update(cand[inside].tolist())
         assert covered - holes == want
+
+
+class TestCompact:
+    """compact_cells/uncompact_cells: exact inverse round-trip, aligned
+    blocks collapse fully, groups stay independent."""
+
+    def _cells(self, spark, rows):
+        return spark.createDataFrame(rows, "admin_code string, cell long")
+
+    @staticmethod
+    def _mk(res, i, j):
+        return (res << 58) | (i << 29) | j
+
+    def test_aligned_block_collapses_to_one(self, spark):
+        # an aligned 4x4 block at res 5 compacts to a single res-3 cell
+        rows = [("a", self._mk(5, i, j))
+                for i in range(96, 100) for j in range(64, 68)]
+        comp = raster.compact_cells(self._cells(spark, rows), res=5).collect()
+        assert len(comp) == 1
+        assert comp[0]["cell"] == self._mk(3, 24, 16)
+
+    def test_roundtrip_exact_and_minimal(self, spark):
+        rows = [("a", self._mk(5, i, j))
+                for i in range(100, 111) for j in range(40, 53)]
+        rows += [("b", self._mk(5, i, j))
+                 for i in range(200, 208) for j in range(60, 68)]
+        df = self._cells(spark, rows)
+        comp = raster.compact_cells(df, res=5).cache()
+        assert comp.count() < len(rows)
+        back = raster.uncompact_cells(comp, target_res=5)
+        assert set(map(tuple, back.collect())) == set(rows)
+        # no two compacted cells overlap: uncompact emits no duplicates
+        assert back.count() == back.distinct().count()
+        comp.unpersist()
+
+    def test_lone_cells_pass_through(self, spark):
+        rows = [("a", self._mk(7, 1000, 1000)), ("a", self._mk(7, 5000, 23))]
+        comp = raster.compact_cells(self._cells(spark, rows), res=7)
+        assert sorted(r["cell"] for r in comp.collect()) == sorted(
+            r for _, r in rows
+        )
+
+    def test_groups_do_not_mix(self, spark):
+        # same 2x2 sibling set split across two groups must NOT promote
+        sibs = [(0, 0), (0, 1), (1, 0), (1, 1)]
+        rows = [("a", self._mk(4, 10 + dx, 20 + dy)) for dx, dy in sibs[:2]]
+        rows += [("b", self._mk(4, 10 + dx, 20 + dy)) for dx, dy in sibs[2:]]
+        comp = raster.compact_cells(self._cells(spark, rows), res=4)
+        assert comp.count() == 4  # nothing promoted

@@ -482,3 +482,67 @@ def test_simplify_tol_preserves_assignments(spark, images, expected, strategy):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, base)
+
+
+def test_polygon_overlap_join_matches_brute_force(spark):
+    """Distributed polygon×polygon intersects join equals the O(n²)
+    kernel sweep; on the rectangle fixture it also equals bbox overlap."""
+    from ksj2gp_spark.geo import geom as geom_mod, wkb as _wkb
+
+    layer = fixtures.polygon_layer()
+    left = spark.createDataFrame(layer[["polygon_id", "geometry", "crs"]])
+    got = set(
+        map(
+            tuple,
+            spatial.polygon_overlap_join(left, layer, scheme="grid", res=10)
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    gs = {r["polygon_id"]: _wkb.loads(r["geometry"]) for _, r in layer.iterrows()}
+    brute = {
+        (a, b)
+        for a in gs
+        for b in gs
+        if geom_mod.geometry_intersects(gs[a], gs[b])
+    }
+    assert got == brute
+    assert all((a, a) in got for a in gs)  # reflexive
+
+
+def test_polygon_overlap_join_concave_and_hole(spark):
+    """Hole containment (disjoint), hole-boundary crossing, and a
+    cross shape with no vertex of either inside the other."""
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    right = pd.DataFrame(
+        {
+            "polygon_id": ["donut", "bar_v"],
+            "geometry": [
+                _wkb.polygon(sq(130, 30, 131, 31), sq(130.2, 30.2, 130.8, 30.8)),
+                _wkb.polygon(sq(133.4, 33, 133.6, 34)),
+            ],
+        }
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "polygon_id": ["in_hole", "cross_ring", "bar_h"],
+                "geometry": [
+                    _wkb.polygon(sq(130.4, 30.4, 130.6, 30.6)),
+                    _wkb.polygon(sq(130.1, 30.1, 130.3, 30.3)),
+                    _wkb.polygon(sq(133, 33.4, 134, 33.6)),
+                ],
+            }
+        )
+    )
+    got = set(
+        map(
+            tuple,
+            spatial.polygon_overlap_join(left, right, scheme="grid", res=8)
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    assert got == {("cross_ring", "donut"), ("bar_h", "bar_v")}
