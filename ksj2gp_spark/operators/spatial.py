@@ -890,20 +890,38 @@ def polygon_overlap_join(
 
         for pdf in batches:
             pdf = normalize_polygons(pdf)  # per-row CRS → WGS84
+            if pdf.empty:
+                continue
+            # candidate pairs for the whole Arrow batch in ONE hash
+            # merge: concat all left covers, probe the broadcast right
+            # cover, dedupe (left, right) — the per-pair exact kernel
+            # then runs only on true cell-colocated candidates.
+            geoms = [wkb.loads(bytes(b)) for b in pdf["geometry"]]
+            covers = [cov(g) for g in geoms]
+            li = np.repeat(
+                np.arange(len(geoms)), [len(c) for c in covers]
+            )
+            cand = (
+                pd.DataFrame(
+                    {
+                        "_li": li,
+                        "cell": np.concatenate(covers)
+                        if covers
+                        else np.array([], dtype=np.int64),
+                    }
+                )
+                .merge(rcov, on="cell", sort=False)[["_li", "polygon_id"]]
+                .drop_duplicates()
+            )
             out_l: list[str] = []
             out_r: list[str] = []
-            for _, row in pdf.iterrows():
-                g = wkb.loads(bytes(row["geometry"]))
-                cells_v = cov(g)
-                cand = (
-                    pd.DataFrame({"cell": cells_v})
-                    .merge(rcov, on="cell", sort=False)["polygon_id"]
-                    .unique()
-                )
-                for rid in cand:
-                    if geom.geometry_intersects(g, rgeo(rid)):
-                        out_l.append(row[left_id])
-                        out_r.append(rid)
+            lids = pdf[left_id].to_numpy()
+            for i, rid in zip(
+                cand["_li"].to_numpy(), cand["polygon_id"].to_numpy()
+            ):
+                if geom.geometry_intersects(geoms[i], rgeo(rid)):
+                    out_l.append(lids[i])
+                    out_r.append(rid)
             yield pd.DataFrame({left_id: out_l, right_id_out: out_r})
 
     probe_cols = [left_id, "geometry"] + (
