@@ -94,3 +94,30 @@ def to_wgs84(
         lo, la, _ = tokyo_to_wgs84(lon, lat)
         return lo, la
     return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+
+def tokyo_geometry_to_wgs84(g):
+    """Structure-preserving Tokyo→WGS84 over a parsed Geometry:
+    MultiPolygon parts stay parts (flattening them into one Polygon
+    would turn every extra exterior into a hole under the even-odd
+    PIP rule), rings stay rings, Z is dropped (the 2-D engine lanes)."""
+    from . import wkb
+
+    def rp(arr: np.ndarray) -> np.ndarray:
+        lo, la, _ = tokyo_to_wgs84(arr[:, 0], arr[:, 1])
+        return np.column_stack([lo, la])
+
+    if g.kind == wkb.POINT:
+        lo, la, _ = tokyo_to_wgs84(
+            np.array([g.coords[0]]), np.array([g.coords[1]])
+        )
+        return wkb.Geometry(wkb.POINT, np.array([lo[0], la[0]]))
+    if g.kind in (wkb.LINESTRING, wkb.MULTIPOINT):
+        return wkb.Geometry(g.kind, rp(g.coords))
+    if g.kind in (wkb.POLYGON, wkb.MULTILINESTRING):
+        return wkb.Geometry(g.kind, [rp(r) for r in g.coords])
+    if g.kind == wkb.MULTIPOLYGON:
+        return wkb.Geometry(
+            wkb.MULTIPOLYGON, [[rp(r) for r in part] for part in g.coords]
+        )
+    raise ValueError(f"reproject on {g.name}")

@@ -90,12 +90,9 @@ def normalize_polygons(pdf: pd.DataFrame) -> pd.DataFrame:
     geoms = []
     for buf, crs in zip(out["geometry"], out["crs"]):
         if crs == "Tokyo":
-            g = wkb.loads(buf)
-            rings = []
-            for ring in g.rings():
-                lo, la, _ = transform.tokyo_to_wgs84(ring[:, 0], ring[:, 1])
-                rings.append(np.column_stack([lo, la]))
-            buf = wkb.dumps(wkb.Geometry(wkb.POLYGON, rings))
+            buf = wkb.dumps(
+                transform.tokyo_geometry_to_wgs84(wkb.loads(buf))
+            )
         geoms.append(buf)
     out["geometry"] = geoms
     out["crs"] = "WGS84"

@@ -289,14 +289,7 @@ def to_geojson_features(
                 g = wkb.loads(row[geometry_col])
                 crs = row.get(crs_col, "JGD2011") if crs_col in pdf else "JGD2011"
                 if crs == "Tokyo":
-                    if g.kind == wkb.POLYGON:
-                        rings = []
-                        for r in g.coords:
-                            lo, la, _ = transform.tokyo_to_wgs84(
-                                r[:, 0], r[:, 1]
-                            )
-                            rings.append(np.column_stack([lo, la]))
-                        g = wkb.Geometry(wkb.POLYGON, rings)
+                    g = transform.tokyo_geometry_to_wgs84(g)
                 feature = {
                     "type": "Feature",
                     "geometry": _geometry_to_geojson(g),

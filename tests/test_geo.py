@@ -393,3 +393,67 @@ class TestSimplify:
         far = bdist > tol
         assert (before[far] == after[far]).all()
         del dist
+
+
+class TestTokyoGeometryReproject:
+    """Structure-preserving Tokyo→WGS84 (a flattened MultiPolygon would
+    turn part-2 exteriors into holes under the even-odd PIP rule)."""
+
+    def _tokyo_multipoly(self):
+        parts_wgs = [
+            _square(139.0, 35.0, 139.5, 35.5),
+            _square(140.0, 36.0, 140.5, 36.5),
+        ]
+        tok_parts = []
+        for sqr in parts_wgs:
+            arr = np.array(sqr + [sqr[0]], dtype=np.float64)
+            lo, la, _ = transform.wgs84_to_tokyo(arr[:, 0], arr[:, 1])
+            tok_parts.append([np.column_stack([lo, la])])
+        return wkb.Geometry(wkb.MULTIPOLYGON, tok_parts)
+
+    def test_multipolygon_parts_survive(self):
+        g = transform.tokyo_geometry_to_wgs84(self._tokyo_multipoly())
+        assert g.kind == wkb.MULTIPOLYGON and len(g.coords) == 2
+        # a point inside EACH part must be covered after reprojection
+        for x, y in ((139.25, 35.25), (140.25, 36.25)):
+            assert bool(
+                geom.geometry_contains(np.array([x]), np.array([y]), g)[0]
+            ), (x, y)
+
+    def test_normalize_polygons_preserves_parts(self):
+        import pandas as pd
+
+        from ksj2gp_spark.operators import cells
+
+        pdf = pd.DataFrame(
+            {
+                "polygon_id": ["mp"],
+                "geometry": [wkb.dumps(self._tokyo_multipoly())],
+                "crs": ["Tokyo"],
+            }
+        )
+        out = cells.normalize_polygons(pdf)
+        g = wkb.loads(out["geometry"].iloc[0])
+        assert g.kind == wkb.MULTIPOLYGON
+        assert bool(
+            geom.geometry_contains(
+                np.array([140.25]), np.array([36.25]), g
+            )[0]
+        )
+
+    def test_point_and_linestring_reproject(self):
+        lon, lat = 139.741357, 35.658099
+        lo_t, la_t, _ = transform.wgs84_to_tokyo(
+            np.array([lon]), np.array([lat])
+        )
+        p = wkb.Geometry(wkb.POINT, np.array([lo_t[0], la_t[0]]))
+        p2 = transform.tokyo_geometry_to_wgs84(p)
+        assert abs(p2.coords[0] - lon) < 1e-6  # Helmert round-trip ~4mm
+        assert abs(p2.coords[1] - lat) < 1e-6
+        ls = wkb.Geometry(
+            wkb.LINESTRING,
+            np.column_stack([lo_t, la_t]),
+        )
+        ls2 = transform.tokyo_geometry_to_wgs84(ls)
+        assert ls2.kind == wkb.LINESTRING
+        assert abs(ls2.coords[0, 0] - lon) < 1e-6
