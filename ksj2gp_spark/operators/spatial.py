@@ -931,3 +931,78 @@ def polygon_overlap_join(
     return probe.mapInPandas(
         run, schema=f"{left_id} string, {right_id_out} string"
     )
+
+
+def _normalize_layer_df(df: DataFrame) -> DataFrame:
+    """Distributed CRS normalization of a polygon layer DataFrame:
+    identity unless a ``crs`` column is present (then Tokyo rows are
+    Helmert-reprojected per Arrow batch, structure-preserving)."""
+    if "crs" not in df.columns:
+        return df
+    schema = df.schema
+
+    def norm(batches):
+        for pdf in batches:
+            yield normalize_polygons(pdf)
+
+    return df.mapInPandas(norm, schema=schema)
+
+
+def polygon_overlap_join_shuffle(
+    left: DataFrame,
+    right: DataFrame,
+    scheme: str = "grid",
+    res: int | None = None,
+    left_id: str = "polygon_id",
+    right_id: str = "polygon_id",
+    right_id_out: str = "other_id",
+) -> DataFrame:
+    """Polygon × polygon intersects join for TWO distributed layers —
+    the shape for when neither side fits a broadcast (nation-scale ×
+    nation-scale). Both layers are covered distributed
+    (``polygon_cover_df``), candidates come from a shuffle equi-join
+    on cell + distinct pair dedup, and the exact refine joins each
+    pair back to its two geometries before one ``mapInPandas`` pass.
+
+    Shuffle budget (the honest cost of big × big): cover equi-join,
+    pair distinct, and two geometry re-joins — all on (id, cell) /
+    (id, id) rows, never geometry bytes through the candidate join.
+    Hot cells (dense metro areas) can skew the cell join: AQE skew
+    handling applies, and lowering ``res`` bounds per-cell fan-out.
+    Prefer ``polygon_overlap_join`` whenever one side broadcasts.
+    """
+    from .cells import polygon_cover_df
+
+    res = res if res is not None else DEFAULT_RES[scheme]
+    lnorm = _normalize_layer_df(left).select(left_id, "geometry")
+    rnorm = _normalize_layer_df(right).select(
+        F.col(right_id).alias("_rid"), "geometry"
+    )
+    lcov = polygon_cover_df(lnorm, scheme, res, id_col=left_id)
+    rcov = polygon_cover_df(rnorm, scheme, res, id_col="_rid")
+    pairs = (
+        lcov.join(rcov, "cell")
+        .select(left_id, "_rid")
+        .distinct()
+    )
+    withgeo = (
+        pairs.join(lnorm.withColumnRenamed("geometry", "_lg"), left_id)
+        .join(rnorm.withColumnRenamed("geometry", "_rg"), "_rid")
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            keep = []
+            for _, row in pdf.iterrows():
+                keep.append(
+                    geom.geometry_intersects(
+                        wkb.loads(bytes(row["_lg"])),
+                        wkb.loads(bytes(row["_rg"])),
+                    )
+                )
+            yield pdf.loc[keep, [left_id, "_rid"]]
+
+    out = withgeo.mapInPandas(
+        refine, schema=f"{left_id} string, _rid string"
+    )
+    return out.withColumnRenamed("_rid", right_id_out)

@@ -166,6 +166,22 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         )
 
     spark.udf.register("st_simplify", st_simplify)
+
+    @pandas_udf("boolean")
+    def st_intersects(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bool(
+                    _geom.geometry_intersects(_wkb.loads(a), _wkb.loads(b))
+                )
+                if a is not None and b is not None
+                else None
+                for a, b in zip(a_col, b_col)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("st_intersects", st_intersects)
     spark.udf.register(
         "st_npoints",
         _per_geom(lambda g: int(len(g.all_coords())), "long"),
@@ -185,4 +201,5 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_distance",
         "st_simplify",
         "st_npoints",
+        "st_intersects",
     ]

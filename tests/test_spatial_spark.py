@@ -546,3 +546,51 @@ def test_polygon_overlap_join_concave_and_hole(spark):
         )
     )
     assert got == {("cross_ring", "donut"), ("bar_h", "bar_v")}
+
+
+def test_polygon_overlap_join_shuffle_equals_broadcast(spark):
+    """Big×big (shuffle) overlap join produces exactly the broadcast
+    variant's pair set, including cross-layer asymmetric inputs."""
+    layer = fixtures.polygon_layer()
+    ldf = spark.createDataFrame(layer[["polygon_id", "geometry", "crs"]])
+    b = set(
+        map(
+            tuple,
+            spatial.polygon_overlap_join(ldf, layer, scheme="grid", res=10)
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    s = set(
+        map(
+            tuple,
+            spatial.polygon_overlap_join_shuffle(
+                ldf, ldf, scheme="grid", res=10
+            )
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    assert b == s
+    # cross-layer: only the first prefecture band on the right
+    sub = layer.iloc[:7]
+    rdf = spark.createDataFrame(sub[["polygon_id", "geometry", "crs"]])
+    sx = set(
+        map(
+            tuple,
+            spatial.polygon_overlap_join_shuffle(
+                ldf, rdf, scheme="grid", res=10
+            )
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    bx = set(
+        map(
+            tuple,
+            spatial.polygon_overlap_join(ldf, sub, scheme="grid", res=10)
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    assert sx == bx and all(r in set(sub["polygon_id"]) for _, r in sx)

@@ -137,3 +137,44 @@ def test_sql_st_simplify_npoints(spark):
         "st_npoints(CAST(NULL AS BINARY)) AS n"
     ).first()
     assert r2["s"] is None and r2["n"] is None
+
+
+def test_sql_st_intersects(spark):
+    register_sql_functions(spark)
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb
+
+    sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    donut = wkb.polygon(sq(0, 0, 10, 10), sq(2, 2, 8, 8))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "name": ["overlap", "in_hole", "touch", "disjoint"],
+                "a": [donut] * 4,
+                "b": [
+                    wkb.polygon(sq(1, 1, 3, 3)),     # crosses hole edge
+                    wkb.polygon(sq(4, 4, 6, 6)),     # inside the hole
+                    wkb.polygon(sq(10, 0, 12, 10)),  # shared edge
+                    wkb.polygon(sq(20, 20, 21, 21)),
+                ],
+            }
+        )
+    )
+    sdf.createOrReplaceTempView("pairs")
+    got = {
+        r["name"]: r["x"]
+        for r in spark.sql(
+            "SELECT name, st_intersects(a, b) AS x FROM pairs"
+        ).collect()
+    }
+    assert got == {
+        "overlap": True,
+        "in_hole": False,
+        "touch": True,
+        "disjoint": False,
+    }
+    r = spark.sql(
+        "SELECT st_intersects(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) AS x"
+    ).first()
+    assert r["x"] is None
