@@ -1100,6 +1100,62 @@ FROM polys a JOIN polys b
 """
 
 
+# Convex query windows for the overlay join (dyadic coords; they span
+# prefecture-band boundaries so windows hit multiple admin rectangles).
+_OVERLAY_WINDOWS = [
+    ("win0", 139.0, 35.0, 139.5, 35.5),
+    ("win1", 139.25, 35.5, 140.75, 36.25),
+    ("win2", 140.0, 35.25, 141.5, 36.75),
+    ("win3", 138.5, 36.5, 139.75, 37.5),
+]
+
+
+def q_admin_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay join (operators/spatial.py::polygon_overlay_join):
+    intersection AREA of every admin polygon × convex query window via
+    Sutherland-Hodgman clipping + shoelace, over the cell-cover
+    candidate plan. On the rectangle fixture the oracle computes the
+    same areas relationally (rect ∩ rect = clamped extent product)."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as _wkb
+
+    layer = fixtures.polygon_layer()
+    left = spark.createDataFrame(layer[["polygon_id", "geometry", "crs"]])
+    wins = pd.DataFrame(
+        {
+            "polygon_id": [w[0] for w in _OVERLAY_WINDOWS],
+            "geometry": [
+                _wkb.polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+                for _, x0, y0, x1, y1 in _OVERLAY_WINDOWS
+            ],
+        }
+    )
+    out = spatial.polygon_overlay_join(left, wins, scheme="grid", res=10)
+    return out.select(
+        "polygon_id",
+        "other_id",
+        F.round("intersection_area", 9).alias("area9"),
+    )
+
+
+def _overlay_sql() -> str:
+    rows = ", ".join(
+        f"('{w}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for w, x0, y0, x1, y1 in _OVERLAY_WINDOWS
+    )
+    return f"""
+WITH {_polys_values_sql()},
+wins(win_id, wx0, wy0, wx1, wy1) AS (VALUES {rows})
+SELECT p.polygon_id, w.win_id AS other_id,
+       round((least(p.xmax, w.wx1) - greatest(p.xmin, w.wx0))
+           * (least(p.ymax, w.wy1) - greatest(p.ymin, w.wy0)), 9) AS area9
+FROM polys p JOIN wins w
+  ON least(p.xmax, w.wx1) > greatest(p.xmin, w.wx0)
+ AND least(p.ymax, w.wy1) > greatest(p.ymin, w.wy0)
+"""
+
+
 # Planted Douglas-Peucker fixture: rectangles densified with collinear
 # edge vertices (always removed), one outward "bump" vertex of height d
 # at the bottom-edge midpoint (kept iff d > tol — its DP deviation is
@@ -2125,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concave_tiles": q_concave_tiles,
         "admin_geometry_stats": q_admin_geometry_stats,
         "admin_adjacency": q_admin_adjacency,
+        "admin_overlay": q_admin_overlay,
         "simplify_admin": q_simplify_admin,
         "tile_rollup": q_tile_rollup,
         "similarity_ivf": q_similarity_ivf,
@@ -2193,6 +2250,7 @@ GROUP BY p.admin_code
         "concave_tiles": _concave_sql(),
         "admin_geometry_stats": _geometry_stats_sql(),
         "admin_adjacency": _adjacency_sql(),
+        "admin_overlay": _overlay_sql(),
         "simplify_admin": _simplify_sql(),
         "tile_rollup": _ROLLUP_SQL,
         "similarity_ivf": _SIMILARITY_IVF_SQL,

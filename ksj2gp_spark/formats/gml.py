@@ -97,6 +97,11 @@ def _secure_parse(buf: bytes) -> ET.Element:
         return parser.close()
     except ET.ParseError as e:
         raise GmlError(f"XML parse failure: {e}") from e
+    except (LookupError, ValueError, OverflowError) as e:
+        # expat surfaces some malformed prologs as raw codec/value
+        # errors (e.g. encoding="UTh-8" → LookupError) — same
+        # quarantine lane as any other unparseable member
+        raise GmlError(f"XML parse failure: {e}") from e
 
 
 _SRS_DATUM = re.compile(r"\b(JGD2011|JGD2000|TD)\b")

@@ -376,3 +376,111 @@ def geometry_intersects(ga: Geometry, gb: Geometry) -> bool:
             if segments_cross_any(ra, rb):
                 return True
     return False
+
+
+# --- polygon intersection area (overlay) ------------------------------
+#
+# Sutherland-Hodgman clipping: the SUBJECT polygon (may be concave, may
+# have holes via signed-area accounting) is clipped against each edge
+# of a CONVEX clip polygon. Intersection area then follows from the
+# shoelace sum over clipped rings: exterior rings add, holes subtract.
+# The convex-clip restriction is explicit (`ConvexClipError`) — the
+# overlay join validates its clip side up front rather than silently
+# returning wrong areas for concave clips.
+
+
+class ConvexClipError(ValueError):
+    """Clip polygon is not convex (Sutherland-Hodgman precondition)."""
+
+
+def _is_convex_ring(ring: np.ndarray) -> bool:
+    """True if the closed ring is convex (no sign change in the edge
+    cross products; collinear runs allowed)."""
+    p = ring[:-1]
+    n = len(p)
+    if n < 3:
+        return False
+    a = p
+    b = p[(np.arange(n) + 1) % n]
+    c = p[(np.arange(n) + 2) % n]
+    cr = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+        b[:, 1] - a[:, 1]
+    ) * (c[:, 0] - a[:, 0])
+    return bool((cr >= -1e-18).all() or (cr <= 1e-18).all())
+
+
+def clip_ring_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip a closed subject ring by a closed
+    CONVEX clip ring. Returns the clipped CLOSED ring (possibly empty,
+    shape (0, 2)). Orientation of the result follows the subject."""
+    # orient clip CCW so "inside" is a consistent left-of-edge test
+    if ring_area(clip) < 0:
+        clip = clip[::-1]
+    out = subject[:-1]
+    for k in range(len(clip) - 1):
+        if len(out) == 0:
+            break
+        ax, ay = clip[k]
+        bx, by = clip[k + 1]
+        x, y = out[:, 0], out[:, 1]
+        # signed side of each subject vertex vs clip edge (>=0 inside)
+        side = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        inside = side >= -1e-18
+        nxt = np.roll(np.arange(len(out)), -1)
+        res: list[np.ndarray] = []
+        for i in range(len(out)):
+            j = nxt[i]
+            if inside[i]:
+                res.append(out[i])
+                if not inside[j]:
+                    res.append(_edge_intersect(out[i], out[j], (ax, ay), (bx, by)))
+            elif inside[j]:
+                res.append(_edge_intersect(out[i], out[j], (ax, ay), (bx, by)))
+        out = np.array(res) if res else np.empty((0, 2))
+    if len(out) == 0:
+        return np.empty((0, 2))
+    return np.vstack([out, out[:1]])
+
+
+def _edge_intersect(p, q, a, b):
+    """Intersection of segment pq with the infinite line ab."""
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    sp = dx * (p[1] - ay) - dy * (p[0] - ax)
+    sq = dx * (q[1] - ay) - dy * (q[0] - ax)
+    t = sp / (sp - sq)
+    return np.array([p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])])
+
+
+def intersection_area_convex_clip(subject: Geometry, clip: Geometry) -> float:
+    """Area of subject ∩ clip, where ``clip`` is a convex Polygon
+    (single ring). Subject may be Polygon/MultiPolygon with holes:
+    each ring is clipped separately and signed areas combine (exterior
+    adds |area|, holes subtract — valid because clipping a convex
+    region cannot split one ring into multiple parts... it CAN for a
+    concave subject ring; Sutherland-Hodgman then returns the parts
+    connected by zero-width bridges along the clip boundary, whose
+    shoelace area is still exactly the intersection area)."""
+    from . import wkb as _wkb
+
+    if clip.kind != _wkb.POLYGON or len(clip.coords) != 1:
+        raise ConvexClipError("clip must be a single-ring Polygon")
+    clip_ring = clip.coords[0]
+    if not _is_convex_ring(clip_ring):
+        raise ConvexClipError("clip polygon is not convex")
+    if subject.kind == _wkb.POLYGON:
+        polys = [subject.coords]
+    elif subject.kind == _wkb.MULTIPOLYGON:
+        polys = subject.coords
+    else:
+        raise ValueError(f"intersection_area on {subject.name}")
+    total = 0.0
+    for rings in polys:
+        for idx, ring in enumerate(rings):
+            clipped = clip_ring_convex(ring, clip_ring)
+            if len(clipped) < 4:
+                continue
+            a = abs(ring_area(clipped))
+            total += a if idx == 0 else -a
+    return total

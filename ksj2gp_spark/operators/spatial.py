@@ -1006,3 +1006,90 @@ def polygon_overlap_join_shuffle(
         refine, schema=f"{left_id} string, _rid string"
     )
     return out.withColumnRenamed("_rid", right_id_out)
+
+
+def polygon_overlay_join(
+    left: DataFrame,
+    clips_pdf: pd.DataFrame,
+    scheme: str = "grid",
+    res: int | None = None,
+    left_id: str = "polygon_id",
+    clip_id: str = "polygon_id",
+    right_id_out: str = "other_id",
+    area_col: str = "intersection_area",
+) -> DataFrame:
+    """Overlay join: for every (left polygon, clip polygon) pair with
+    positive intersection area, emit ``(left_id, right_id_out,
+    intersection_area)``. The clip side must be broadcast-small and
+    CONVEX (validated up front — Sutherland-Hodgman precondition,
+    geo/geom.py::intersection_area_convex_clip); the left side may be
+    concave, holed, or multi-part. Same zero-shuffle plan shape as
+    ``polygon_overlap_join``: cell-cover candidates per Arrow batch,
+    exact clipping only on cell-colocated pairs."""
+    from .cells import cover_fn
+
+    res = res if res is not None else DEFAULT_RES[scheme]
+    spark = left.sparkSession
+    clips = normalize_polygons(clips_pdf)
+    parsed_clips = {
+        row[clip_id]: wkb.loads(bytes(row["geometry"]))
+        for _, row in clips.iterrows()
+    }
+    for cid, g in parsed_clips.items():
+        if g.kind != wkb.POLYGON or len(g.coords) != 1 or not geom._is_convex_ring(
+            g.coords[0]
+        ):
+            raise geom.ConvexClipError(
+                f"clip polygon {cid!r} must be a convex single-ring Polygon"
+            )
+    ccover = polygon_cover_pdf(clips, scheme, res, id_col=clip_id)
+    ccover = ccover.rename(columns={clip_id: "_cid"})
+    ccover_b = spark.sparkContext.broadcast(ccover)
+    cgeo_b = spark.sparkContext.broadcast(
+        {cid: wkb.dumps(g) for cid, g in parsed_clips.items()}
+    )
+    cov = cover_fn(scheme, res)
+
+    def run(batches):
+        ccov = ccover_b.value
+        cgeos = {k: wkb.loads(v) for k, v in cgeo_b.value.items()}
+        for pdf in batches:
+            pdf = normalize_polygons(pdf)
+            if pdf.empty:
+                continue
+            geoms = [wkb.loads(bytes(b)) for b in pdf["geometry"]]
+            covers = [cov(g) for g in geoms]
+            li = np.repeat(np.arange(len(geoms)), [len(c) for c in covers])
+            cand = (
+                pd.DataFrame(
+                    {
+                        "_li": li,
+                        "cell": np.concatenate(covers)
+                        if covers
+                        else np.array([], dtype=np.int64),
+                    }
+                )
+                .merge(ccov, on="cell", sort=False)[["_li", "_cid"]]
+                .drop_duplicates()
+            )
+            lids = pdf[left_id].to_numpy()
+            out_l, out_r, out_a = [], [], []
+            for i, cid in zip(
+                cand["_li"].to_numpy(), cand["_cid"].to_numpy()
+            ):
+                a = geom.intersection_area_convex_clip(geoms[i], cgeos[cid])
+                if a > 0.0:
+                    out_l.append(lids[i])
+                    out_r.append(cid)
+                    out_a.append(a)
+            yield pd.DataFrame(
+                {left_id: out_l, right_id_out: out_r, area_col: out_a}
+            )
+
+    probe_cols = [left_id, "geometry"] + (
+        ["crs"] if "crs" in left.columns else []
+    )
+    return left.select(*probe_cols).mapInPandas(
+        run,
+        schema=f"{left_id} string, {right_id_out} string, {area_col} double",
+    )

@@ -457,3 +457,77 @@ class TestTokyoGeometryReproject:
         ls2 = transform.tokyo_geometry_to_wgs84(ls)
         assert ls2.kind == wkb.LINESTRING
         assert abs(ls2.coords[0, 0] - lon) < 1e-6
+
+
+class TestOverlayKernel:
+    """Sutherland-Hodgman intersection area: exact on analytic cases."""
+
+    def _sq(self, x0, y0, x1, y1):
+        return np.array(
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype=float
+        )
+
+    def _poly(self, *rings):
+        return wkb.loads(
+            wkb.polygon(*[[tuple(p) for p in r[:-1]] for r in rings])
+        )
+
+    def test_rect_cases(self):
+        a = self._poly(self._sq(0, 0, 2, 2))
+        assert (
+            abs(
+                geom.intersection_area_convex_clip(
+                    a, self._poly(self._sq(1, 1, 3, 3))
+                )
+                - 1.0
+            )
+            < 1e-12
+        )
+        assert (
+            geom.intersection_area_convex_clip(
+                a, self._poly(self._sq(5, 5, 6, 6))
+            )
+            == 0.0
+        )
+
+    def test_hole_and_concave_subject(self):
+        donut = self._poly(self._sq(0, 0, 4, 4), self._sq(1, 1, 3, 3))
+        half = self._poly(self._sq(0, 0, 2, 4))
+        assert abs(geom.intersection_area_convex_clip(donut, half) - 6.0) < 1e-12
+        U = wkb.loads(
+            wkb.polygon(
+                [(0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3)]
+            )
+        )
+        band = self._poly(self._sq(0, 2, 3, 3))  # cuts off both prongs
+        assert abs(geom.intersection_area_convex_clip(U, band) - 2.0) < 1e-12
+
+    def test_triangle_clip_and_convexity_guard(self):
+        tri = wkb.loads(wkb.polygon([(0, 0), (4, 0), (0, 4)]))
+        sq44 = self._poly(self._sq(0, 0, 4, 4))
+        assert abs(geom.intersection_area_convex_clip(sq44, tri) - 8.0) < 1e-12
+        L = wkb.loads(
+            wkb.polygon([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)])
+        )
+        with pytest.raises(geom.ConvexClipError):
+            geom.intersection_area_convex_clip(sq44, L)
+
+    def test_clip_orientation_independent(self):
+        a = self._poly(self._sq(0, 0, 2, 2))
+        cw = self._poly(self._sq(1, 1, 3, 3))
+        cw.coords[0] = cw.coords[0][::-1].copy()  # reverse to CW
+        assert abs(geom.intersection_area_convex_clip(a, cw) - 1.0) < 1e-12
+
+    def test_matches_raster_estimate_random(self):
+        r = np.random.default_rng(11)
+        for _ in range(5):
+            x0, y0 = r.uniform(0, 2, 2)
+            subj = self._poly(self._sq(x0, y0, x0 + r.uniform(1, 3), y0 + r.uniform(1, 3)))
+            c0, c1 = r.uniform(0, 2, 2)
+            clip = self._poly(self._sq(c0, c1, c0 + r.uniform(1, 3), c1 + r.uniform(1, 3)))
+            got = geom.intersection_area_convex_clip(subj, clip)
+            # analytic rectangle overlap
+            sb, cb = subj.bounds(), clip.bounds()
+            w = max(0.0, min(sb[2], cb[2]) - max(sb[0], cb[0]))
+            h = max(0.0, min(sb[3], cb[3]) - max(sb[1], cb[1]))
+            assert abs(got - w * h) < 1e-10

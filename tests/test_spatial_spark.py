@@ -594,3 +594,59 @@ def test_polygon_overlap_join_shuffle_equals_broadcast(spark):
         )
     )
     assert sx == bx and all(r in set(sub["polygon_id"]) for _, r in sx)
+
+
+def test_polygon_overlay_join_areas(spark):
+    """Overlay join through Spark: concave + holed subjects against
+    convex windows, exact analytic areas; non-convex clip rejected."""
+    from ksj2gp_spark.geo import geom as geom_mod, wkb as _wkb
+
+    sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "polygon_id": ["rect", "donut", "ushape"],
+                "geometry": [
+                    _wkb.polygon(sq(130, 30, 132, 32)),
+                    _wkb.polygon(sq(134, 30, 138, 34), sq(135, 31, 137, 33)),
+                    _wkb.polygon(
+                        [(140, 30), (143, 30), (143, 33), (142, 33),
+                         (142, 31), (141, 31), (141, 33), (140, 33)]
+                    ),
+                ],
+            }
+        )
+    )
+    wins = pd.DataFrame(
+        {
+            "polygon_id": ["w_rect", "w_half", "w_band"],
+            "geometry": [
+                _wkb.polygon(sq(131, 31, 133, 33)),
+                _wkb.polygon(sq(134, 30, 136, 34)),
+                _wkb.polygon(sq(140, 32, 143, 33)),
+            ],
+        }
+    )
+    got = {
+        (r["polygon_id"], r["other_id"]): r["intersection_area"]
+        for r in spatial.polygon_overlay_join(
+            left, wins, scheme="grid", res=8
+        ).collect()
+    }
+    assert abs(got[("rect", "w_rect")] - 1.0) < 1e-9
+    assert abs(got[("donut", "w_half")] - 6.0) < 1e-9  # 2x4 minus 1x2 hole
+    assert abs(got[("ushape", "w_band")] - 2.0) < 1e-9  # two prongs
+    assert ("rect", "w_band") not in got  # zero-area pairs dropped
+    # non-convex clip rejected up front
+    bad = pd.DataFrame(
+        {
+            "polygon_id": ["L"],
+            "geometry": [
+                _wkb.polygon(
+                    [(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)]
+                )
+            ],
+        }
+    )
+    with pytest.raises(geom_mod.ConvexClipError, match="convex"):
+        spatial.polygon_overlay_join(left, bad)
