@@ -1563,7 +1563,7 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_split_sql() -> str:
-    from ksj2gp_spark.operators.curate import _SPLIT_MIX, _SPLIT_MOD
+    from ksj2gp_spark.operators.curate import _SPLIT_MOD, mix_bucket_sql
 
     # thresholds from the SAME float accumulation hash_split performs
     acc, cuts = 0.0, []
@@ -1583,8 +1583,8 @@ WITH d AS (
   SELECT CASE WHEN n_chars < 200 THEN 'short'
               WHEN n_chars < 400 THEN 'medium'
               ELSE 'long' END AS stratum,
-         (doc_id * {_SPLIT_MIX}) % {_SPLIT_MOD} AS b1,
-         ((doc_id * 31 + 7) * {_SPLIT_MIX}) % {_SPLIT_MOD} AS b2
+         {mix_bucket_sql("doc_id")} AS b1,
+         {mix_bucket_sql("doc_id", 31, 7)} AS b2
   FROM documents
 ),
 e AS (

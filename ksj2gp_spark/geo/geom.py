@@ -257,8 +257,14 @@ def simplify_geometry(geom: Geometry, tol: float) -> Geometry:
     unchanged (LineString chains are simplified)."""
     from . import wkb as _wkb
 
+    # Z survives: DP deviation is measured in XY, but kept vertices
+    # carry their full rows, so (n, 3) inputs stay (k, 3) with has_z
+    # preserved (dropping the flag while keeping 3-wide rows would
+    # serialize corrupt WKB).
     if geom.kind == _wkb.LINESTRING:
-        return Geometry(_wkb.LINESTRING, simplify_chain(geom.coords, tol))
+        return Geometry(
+            _wkb.LINESTRING, simplify_chain(geom.coords, tol), geom.has_z
+        )
     if geom.kind == _wkb.POLYGON:
         polys = [geom.coords]
     elif geom.kind == _wkb.MULTIPOLYGON:
@@ -275,8 +281,8 @@ def simplify_geometry(geom: Geometry, tol: float) -> Geometry:
                 new_rings.append(h)
         new_polys.append(new_rings)
     if geom.kind == _wkb.POLYGON:
-        return Geometry(_wkb.POLYGON, new_polys[0])
-    return Geometry(_wkb.MULTIPOLYGON, new_polys)
+        return Geometry(_wkb.POLYGON, new_polys[0], geom.has_z)
+    return Geometry(_wkb.MULTIPOLYGON, new_polys, geom.has_z)
 
 
 # --- polygon-polygon intersection ------------------------------------

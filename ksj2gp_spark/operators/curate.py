@@ -117,16 +117,34 @@ def curate_corpus(
 
 _SPLIT_MOD = 1 << 20
 _SPLIT_MIX = 2654435761  # Knuth multiplicative constant (public)
+_SPLIT_FOLD = (1 << 31) - 1  # Mersenne fold keeps products < 2^62
 
 
 def mix_bucket(key, salt_a: int = 1, salt_b: int = 0):
-    """Engine-portable bucket in [0, 2^20): ((key*a + b) * MIX) % MOD —
-    plain BIGINT arithmetic any SQL engine reproduces bit-for-bit."""
+    """Engine-portable bucket in [0, 2^20). Every multiply is preceded
+    by a fold modulo 2^31-1 so no intermediate exceeds ~2^62: safe for
+    arbitrary 64-bit keys under ANSI mode (no silent Java wrap), and
+    bit-for-bit reproducible in any BIGINT SQL engine via
+    ``((x % m) + m) % m`` (pmod semantics; see mix_bucket_sql)."""
     k = F.col(key) if isinstance(key, str) else key
-    return F.pmod(
-        (k * F.lit(salt_a) + F.lit(salt_b)) * F.lit(_SPLIT_MIX),
-        F.lit(_SPLIT_MOD),
+    folded = F.pmod(k, F.lit(_SPLIT_FOLD))
+    salted = F.pmod(
+        folded * F.lit(salt_a) + F.lit(salt_b), F.lit(_SPLIT_FOLD)
     )
+    return F.pmod(salted * F.lit(_SPLIT_MIX), F.lit(_SPLIT_MOD))
+
+
+def mix_bucket_sql(key_expr: str, salt_a: int = 1, salt_b: int = 0) -> str:
+    """The exact same bucket as ``mix_bucket`` in portable ANSI SQL
+    (pmod spelled out, so negative keys agree with Spark)."""
+    m = _SPLIT_FOLD
+
+    def pmod(x: str, mod: int) -> str:
+        return f"((({x}) % {mod} + {mod}) % {mod})"
+
+    folded = pmod(key_expr, m)
+    salted = pmod(f"{folded} * {salt_a} + {salt_b}", m)
+    return pmod(f"{salted} * {_SPLIT_MIX}", _SPLIT_MOD)
 
 
 def hash_split(

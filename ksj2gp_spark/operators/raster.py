@@ -255,34 +255,35 @@ def uncompact_cells(
     cell_col: str = "cell",
 ) -> DataFrame:
     """Expand mixed-resolution cells back to uniform ``target_res`` —
-    the inverse of ``compact_cells`` (narrow plan, zero shuffle)."""
+    the inverse of ``compact_cells``. Single pass: each cell at res r
+    explodes directly into its 2^(target-r) × 2^(target-r) descendant
+    block (two ``sequence`` explodes — one per axis), so the plan is
+    ONE narrow Generate chain regardless of target_res. (A per-level
+    loop that unions "done" and "expanded" branches re-references its
+    own plan twice per level → 2^target_res source scans.)"""
     gc = list(group_cols)
     cur = _decompose(df.select(*gc, cell_col), cell_col).select(
         *gc, "_res", "_i", "_j"
     )
-    kids = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (0, 1)
-            for dy in (0, 1)
-        ]
+    side = F.pow(F.lit(2.0), (F.lit(target_res) - F.col("_res"))).cast(
+        "long"
     )
-    for _ in range(target_res):
-        split = cur.filter(F.col("_res") < target_res)
-        done = cur.filter(F.col("_res") >= target_res)
-        expanded = split.select(
-            *gc,
-            (F.col("_res") + 1).alias("_res"),
-            F.explode(kids).alias("_k"),
-            F.col("_i"),
-            F.col("_j"),
-        ).select(
-            *gc,
-            "_res",
-            (F.shiftleft("_i", 1) + F.col("_k.dx")).alias("_i"),
-            (F.shiftleft("_j", 1) + F.col("_k.dy")).alias("_j"),
+    return (
+        cur.withColumn("_side", side)
+        .withColumn(
+            "_dx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_side") - 1)),
         )
-        cur = done.unionByName(expanded)
-    return cur.select(
-        *gc, _encode(F.col("_res"), F.col("_i"), F.col("_j"))
+        .withColumn(
+            "_dy",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_side") - 1)),
+        )
+        .select(
+            *gc,
+            _encode(
+                F.lit(target_res),
+                F.col("_i") * F.col("_side") + F.col("_dx"),
+                F.col("_j") * F.col("_side") + F.col("_dy"),
+            ),
+        )
     )

@@ -154,13 +154,15 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
 
     @pandas_udf("binary")
     def st_simplify(wkb_col: pd.Series, tol: pd.Series) -> pd.Series:
-        t = float(tol.iloc[0]) if len(tol) else 0.0
+        # per-row tolerance (a literal arrives as a constant column);
+        # null geometry or null tolerance → null, never a batch-wide
+        # first-row tolerance
         return pd.Series(
             [
-                _wkb.dumps(_geom.simplify_geometry(_wkb.loads(b), t))
-                if b is not None
+                _wkb.dumps(_geom.simplify_geometry(_wkb.loads(b), float(t)))
+                if b is not None and t is not None and not pd.isna(t)
                 else None
-                for b in wkb_col
+                for b, t in zip(wkb_col, tol)
             ],
             dtype=object,
         )

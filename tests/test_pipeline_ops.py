@@ -434,3 +434,38 @@ class TestHashSplit:
             ).toPandas()["doc_id"]
         )
         assert s1 == s2
+
+
+class TestMixBucketRobustness:
+    """mix_bucket must survive 64-bit and negative keys (ANSI-safe
+    folds) and agree with its SQL spelling in DuckDB."""
+
+    def test_large_and_negative_keys_match_duckdb(self, spark):
+        import duckdb
+
+        from ksj2gp_spark.operators.curate import mix_bucket, mix_bucket_sql
+
+        keys = [
+            0, 1, 2**31 - 2, 2**31, 2**40 + 123, 2**62, -1, -(2**35),
+            9_223_372_036_854_775_807,
+        ]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", mix_bucket("k", 31, 7).alias("b")
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            r[0]: r[1]
+            for r in con.sql(
+                "SELECT k, "
+                + mix_bucket_sql("k", 31, 7)
+                + " AS b FROM (VALUES "
+                + ", ".join(f"(CAST({k} AS BIGINT))" for k in keys)
+                + ") t(k)"
+            ).fetchall()
+        }
+        assert got == want
+        assert all(0 <= b < 2**20 for b in got.values())
