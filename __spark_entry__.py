@@ -2122,6 +2122,122 @@ FROM tagged GROUP BY fmt
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash+LSH pairs → connected components
+    (min-label + pointer jumping, operators/graph.py). The oracle
+    reuses the full minhash SQL pipeline and computes components with
+    a recursive CTE (min reachable node id)."""
+    from ksj2gp_spark.operators.dedup import minhash_lsh_pairs
+    from ksj2gp_spark.operators.graph import dedup_components
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.2)
+    return dedup_components(pairs)
+
+
+def _dedup_components_sql() -> str:
+    return f"""WITH RECURSIVE {_minhash_pairs_ctes("documents")},
+pairs AS ({_minhash_pairs_select(0.2)}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+SELECT node AS doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS csize
+FROM comp
+"""
+
+
+_BM25_TERMS = ("hash", "join", "scan", "shuffle")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query bag
+    (operators/text.py::bm25_scores, inverted-index shape)."""
+    from ksj2gp_spark.operators.text import bm25_scores
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bm25_scores(
+        d, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+c AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       SUM( ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+            * tf.tf * ({k1} + 1.0)
+            / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl)) ) AS bm25
+FROM tf
+JOIN dfq USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN c
+GROUP BY tf.doc_id
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a cartesian: events.value against 60
+    overlapping [i*8, i*8+20) intervals via the bin-bucketed
+    range_join (operators/joins.py), then per-interval count + exact
+    cent-sum. The oracle is the naive inequality join."""
+    from ksj2gp_spark.operators.joins import range_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    iv = spark.range(60).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * F.lit(8.0)).alias("lo"),
+        (F.col("id") * F.lit(8.0) + F.lit(20.0)).alias("hi"),
+    )
+    j = range_join(
+        ev, iv, "value", "lo", "hi", bin_size=16.0,
+        broadcast_intervals=True,
+    )
+    return j.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH iv AS (
+  SELECT i AS interval_id, i * 8.0 AS lo, i * 8.0 + 20.0 AS hi
+  FROM range(0, 60) t(i)
+)
+SELECT iv.interval_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM iv JOIN events e ON e.value >= iv.lo AND e.value < iv.hi
+GROUP BY iv.interval_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2185,6 +2301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_admin": q_simplify_admin,
         "tile_rollup": q_tile_rollup,
         "similarity_ivf": q_similarity_ivf,
+        "dedup_components": q_dedup_components,
+        "bm25_rank": q_bm25_rank,
+        "events_range_join": q_events_range_join,
     }
 
 
@@ -2262,4 +2381,7 @@ GROUP BY p.admin_code
         "image_decode_verify": _IMAGE_DECODE_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
+        "dedup_components": _dedup_components_sql(),
+        "bm25_rank": _bm25_sql(),
+        "events_range_join": _RANGE_JOIN_SQL,
     }

@@ -124,3 +124,70 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     return df.withColumn(
         "fingerprint", F.array_min(windows)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson/Sparck Jones, public formula) — the ranking step of a
+    corpus search / quality-filter lane. Returns (id_col, bm25) for
+    documents containing at least one query term.
+
+    Shape is the inverted-index one and every stage is JVM-side and
+    map-side combinable: token explode → per-(doc,term) tf for the
+    query terms only (the explode is filtered BEFORE the shuffle, so
+    shuffle volume is O(matching tokens), not O(corpus tokens)); df
+    per term and the corpus-wide (N, avgdl) are tiny aggregates that
+    broadcast back. No UDFs, no driver loops.
+
+    idf = ln(1 + (N - df + .5)/(df + .5)); contribution per term
+    = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); dl is the
+    whitespace token count (size(split)), matching the SQL oracle's
+    len(string_split) exactly.
+    """
+    terms = [t for t in query_terms if t]
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    dl = df.select(
+        id_col, F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return contrib.groupBy(id_col).agg(F.sum("c").alias("bm25"))

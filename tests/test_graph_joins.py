@@ -1,0 +1,178 @@
+"""connected_components / dedup_components (operators/graph.py),
+range_join (operators/joins.py), bm25_scores (operators/text.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksj2gp_spark.operators.graph import connected_components, dedup_components
+from ksj2gp_spark.operators.joins import range_join
+from ksj2gp_spark.operators.text import bm25_scores
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for n in list(parent):
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self, spark):
+        edges = [
+            (1, 2), (2, 3), (3, 4),       # chain
+            (10, 11),                     # pair
+            (20, 21), (21, 22), (22, 20), # triangle
+            (30, 4),                      # joins the chain
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == _union_find(edges)
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 200-node path: plain neighbor-min needs ~200 rounds;
+        # pointer jumping must finish well inside max_iter=12
+        n = 200
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        got = connected_components(df, max_iter=12).collect()
+        assert len(got) == n + 1
+        assert {r["component"] for r in got} == {0}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        df = spark.createDataFrame(
+            [(2, 1), (1, 2), (2, 1), (5, 5)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == {1: 1, 2: 1, 5: 5}
+
+    def test_dedup_components_sizes(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        got = {
+            r["doc_id"]: (r["component"], r["csize"])
+            for r in dedup_components(pairs).collect()
+        }
+        assert got == {
+            1: (1, 3), 2: (1, 3), 3: (1, 3),
+            10: (10, 2), 11: (10, 2),
+        }
+
+
+class TestRangeJoin:
+    def _naive(self, points, intervals):
+        return sorted(
+            (p_id, iv_id)
+            for p_id, v in points
+            for iv_id, lo, hi in intervals
+            if lo <= v < hi
+        )
+
+    @pytest.mark.parametrize("bin_size", [0.7, 2.0, 10.0])
+    def test_matches_naive_including_boundaries(self, spark, bin_size):
+        # negative values, points exactly on lo (in) and hi (out),
+        # interval inside one bin, empty and inverted intervals
+        points = [
+            (0, -5.0), (1, -0.5), (2, 0.0), (3, 2.0), (4, 3.999),
+            (5, 4.0), (6, 7.5), (7, 100.0),
+        ]
+        intervals = [
+            (0, -6.0, -4.0),
+            (1, -1.0, 2.0),
+            (2, 0.0, 4.0),     # hits lo=0.0 in, hi=4.0 out
+            (3, 3.9, 4.1),     # sub-bin interval
+            (4, 5.0, 5.0),     # empty
+            (5, 9.0, 6.0),     # inverted -> no matches
+            (6, 2.0, 200.0),   # wide
+        ]
+        p = spark.createDataFrame(points, "p_id long, v double")
+        iv = spark.createDataFrame(
+            intervals, "iv_id long, lo double, hi double"
+        )
+        got = sorted(
+            (r["p_id"], r["iv_id"])
+            for r in range_join(p, iv, "v", "lo", "hi", bin_size).collect()
+        )
+        assert got == self._naive(points, intervals)
+
+    def test_no_cartesian_in_plan(self, spark):
+        p = spark.createDataFrame([(0, 1.0)], "p_id long, v double")
+        iv = spark.createDataFrame(
+            [(0, 0.0, 2.0)], "iv_id long, lo double, hi double"
+        )
+        for bcast in (False, True):
+            plan = range_join(
+                p, iv, "v", "lo", "hi", 1.0, broadcast_intervals=bcast
+            )._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_rejects_bad_bin_size(self, spark):
+        p = spark.createDataFrame([(0, 1.0)], "p_id long, v double")
+        with pytest.raises(ValueError):
+            range_join(p, p, "v", "v", "v", 0.0)
+
+
+class TestBm25:
+    def test_matches_manual_formula(self, spark):
+        docs = [
+            (0, "a b c a"),
+            (1, "a d d"),
+            (2, "x y z"),
+            (3, "b b b b b"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        k1, b = 1.5, 0.75
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores(
+                df, ["a", "b"], k1=k1, b=b
+            ).collect()
+        }
+        # manual: N=4, dls = [4,3,3,5], avgdl=3.75
+        n_docs, avgdl = 4, 3.75
+        tf = {0: {"a": 2, "b": 1}, 1: {"a": 1}, 3: {"b": 5}}
+        dl = {0: 4, 1: 3, 3: 5}
+        dfreq = {"a": 2, "b": 2}
+        for d, terms in tf.items():
+            want = sum(
+                math.log(
+                    1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                )
+                * f * (k1 + 1)
+                / (f + k1 * (1 - b + b * dl[d] / avgdl))
+                for t, f in terms.items()
+            )
+            assert got[d] == pytest.approx(want, rel=1e-12)
+        assert 2 not in got  # no query terms -> absent
