@@ -2122,6 +2122,53 @@ FROM tagged GROUP BY fmt
 """
 
 
+def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 4×4 patch extraction over REAL decoded pixels,
+    value-oracled by planted structure: the PNG rows (id % 3 != 0) are
+    lossless, so every channel sum equals the fixture's pixel formula
+    (imagecodec.make_test_image) — which the DuckDB oracle re-derives
+    per pixel with the same integer arithmetic and aggregates per
+    patch. 1,333 images → ~12k patch rows, all BIGINT-exact."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators.images import extract_patches
+
+    imgs = fixtures.images_df(spark, 2000, with_bytes=True).filter(
+        F.col("fmt") == "png"
+    )
+    return extract_patches(imgs, patch=4)
+
+
+_IMAGE_PATCHES_SQL = """
+WITH dims AS (
+  SELECT i, 8 + i % 9 AS h, 8 + (i * 3) % 9 AS w
+  FROM range(0, 2000) t(i) WHERE i % 3 <> 0
+),
+px AS (
+  SELECT i, h, w, y, x,
+         ((x * 255) // (w - 1)
+          + ((y * 255) // (h - 1)) * (i % 3 + 1)
+          + i * 37) AS base
+  FROM dims,
+       UNNEST(generate_series(0, h - 1)) ty(y),
+       UNNEST(generate_series(0, w - 1)) tx(x)
+  WHERE y < 4 * (h // 4) AND x < 4 * (w // 4)
+),
+pat AS (
+  SELECT i, y // 4 AS py, x // 4 AS pxi,
+         SUM(base % 256) AS sum_r,
+         SUM((base * 3 + i) % 256) AS sum_g,
+         SUM((base * 7 + i * 11) % 256) AS sum_b
+  FROM px GROUP BY i, py, pxi
+)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+       CAST(py AS INT) AS py, CAST(pxi AS INT) AS px,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b
+FROM pat
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash+LSH pairs → connected components
     (min-label + pointer jumping, operators/graph.py). The oracle
@@ -2304,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "bm25_rank": q_bm25_rank,
         "events_range_join": q_events_range_join,
+        "image_patches": q_image_patches,
     }
 
 
@@ -2384,4 +2432,5 @@ GROUP BY p.admin_code
         "dedup_components": _dedup_components_sql(),
         "bm25_rank": _bm25_sql(),
         "events_range_join": _RANGE_JOIN_SQL,
+        "image_patches": _IMAGE_PATCHES_SQL,
     }

@@ -81,3 +81,44 @@ def test_media_join_composability(spark):
     )
     got = out.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
     assert got == 3  # frames 0, 2, 4
+
+
+def test_extract_patches_exact_sums_and_quarantine(spark):
+    """Patch sums over lossless PNG equal the fixture's pixel formula;
+    undecodable rows and sub-patch images are skipped."""
+    import numpy as np
+    import pandas as pd
+
+    from ksj2gp_spark.formats import imagecodec
+    from ksj2gp_spark.operators.images import extract_patches
+
+    rows = []
+    for i in (1, 2, 4):
+        h, w = 8 + i % 9, 8 + (i * 3) % 9
+        arr = imagecodec.make_test_image(i, h, w)
+        rows.append((f"img{i}", imagecodec.encode_image(arr, "png"), "png"))
+    rows.append(("bad", b"garbage", "png"))
+    # 3x3 image: smaller than one 4x4 patch -> no rows
+    tiny = imagecodec.make_test_image(9, 3, 3)
+    rows.append(("tiny", imagecodec.encode_image(tiny, "png"), "png"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+    )
+    got = extract_patches(df, patch=4).toPandas()
+    assert set(got["image_id"]) == {"img1", "img2", "img4"}
+    for i in (1, 2, 4):
+        h, w = 8 + i % 9, 8 + (i * 3) % 9
+        arr = imagecodec.make_test_image(i, h, w).astype(np.int64)
+        nh, nw = h // 4, w // 4
+        want = (
+            arr[: nh * 4, : nw * 4]
+            .reshape(nh, 4, nw, 4, 3)
+            .sum(axis=(1, 3))
+        )
+        sub = got[got["image_id"] == f"img{i}"]
+        assert len(sub) == nh * nw
+        for _, r in sub.iterrows():
+            assert (
+                want[r["py"], r["px"]]
+                == np.array([r["sum_r"], r["sum_g"], r["sum_b"]])
+            ).all()
