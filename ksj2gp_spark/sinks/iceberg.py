@@ -268,6 +268,7 @@ def _commit(
     operation: str,
     parent_files: list[dict] | None,
     expected_version: int | None = None,
+    summary_extra: dict | None = None,
 ) -> int:
     """Create one snapshot under the table's exclusive commit lock.
 
@@ -295,7 +296,7 @@ def _commit(
     try:
         return _commit_locked(
             path, meta_dir, df, operation, parent_files, expected_version,
-            lease,
+            lease, summary_extra,
         )
     finally:
         lease.release()
@@ -309,6 +310,7 @@ def _commit_locked(
     parent_files: list[dict] | None,
     expected_version: int | None,
     lease: "_LockLease",
+    summary_extra: dict | None = None,
 ) -> int:
     version = current_version(path)
     if expected_version is not None and version != expected_version:
@@ -370,6 +372,7 @@ def _commit_locked(
             "total_files": len(all_files),
             "added_rows": sum(f["rows"] for f in new_files),
             "total_rows": sum(f["rows"] for f in all_files),
+            **(summary_extra or {}),
         },
     }
     with open(os.path.join(meta_dir, f"snap-{snapshot_id}.json"), "w") as f:
@@ -494,11 +497,31 @@ def _acquire_commit_lock(
             time.sleep(0.02)
 
 
-def append(df: DataFrame, path: str) -> int:
+def append(
+    df: DataFrame, path: str, summary_extra: dict | None = None
+) -> int:
     """Append a snapshot; returns the new snapshot id. Parent files are
     resolved inside the commit lock, so concurrent appends serialize
-    and compose — neither fails, neither loses the other's files."""
-    return _commit(path, df, "append", None)
+    and compose — neither fails, neither loses the other's files.
+    ``summary_extra`` lands in the snapshot summary — used by the
+    streaming sink to record (stream id, epoch) ATOMICALLY with the
+    data, which is what makes replayed micro-batches detectable."""
+    return _commit(path, df, "append", None, summary_extra=summary_extra)
+
+
+def last_streaming_epoch(path: str, stream_id: str) -> int | None:
+    """Highest epoch id committed for ``stream_id``, or None. Reads
+    only snapshot summaries in the current metadata file."""
+    if not current_version(path):
+        return None
+    meta = _load_metadata(path)
+    epochs = [
+        s["summary"]["streaming_epoch"]
+        for s in meta["snapshots"]
+        if s.get("summary", {}).get("streaming_query") == stream_id
+        and "streaming_epoch" in s.get("summary", {})
+    ]
+    return max(epochs) if epochs else None
 
 
 def overwrite(df: DataFrame, path: str) -> int:

@@ -397,3 +397,54 @@ def test_stream_stream_attribution_join_buffers_across_runs(spark, tmp_path):
     assert {(r.click_id, r.purchase_id) for r in got.collect()} == {
         (0, 4), (1, 4), (1, 7)
     }
+
+
+def test_stream_to_iceberg_exactly_once(spark, tmp_path):
+    """Streaming → Iceberg table: availableNow run lands all rows; a
+    replayed foreachBatch epoch (the crash-between-append-and-
+    checkpoint window) is a no-op; a restart with the same checkpoint
+    appends only new files."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.sinks import iceberg
+    from ksj2gp_spark.streaming import tiles as st
+    from ksj2gp_spark.streaming.iceberg_sink import (
+        iceberg_batch_writer,
+        run_stream_to_iceberg,
+    )
+
+    src = str(tmp_path / "imgs_src")
+    table = str(tmp_path / "iceberg_tbl")
+    ckpt = str(tmp_path / "ckpt_ice")
+
+    wave1 = fixtures.images_df(
+        spark, 400, with_bytes=False, partitions=2
+    ).drop("bytes")
+    wave1.write.mode("append").parquet(src)
+
+    stream = st.read_image_stream(spark, src, max_files=1).drop("bytes")
+    q = run_stream_to_iceberg(stream, table, ckpt)
+    q.awaitTermination(120)
+    assert iceberg.read(spark, table).count() == 400
+
+    # simulate the replay window: re-deliver an already committed epoch
+    writer = iceberg_batch_writer(table, ckpt)
+    last = iceberg.last_streaming_epoch(table, ckpt)
+    assert last is not None
+    v_before = iceberg.current_version(table)
+    writer(wave1, last)  # replay -> must be a no-op
+    assert iceberg.current_version(table) == v_before
+    assert iceberg.read(spark, table).count() == 400
+
+    # restart with new files: only the delta lands, exactly once
+    wave2 = (
+        fixtures.images_df(spark, 600, with_bytes=False, partitions=2)
+        .drop("bytes")
+        .filter("image_id >= 'img00000400'")
+    )
+    wave2.write.mode("append").parquet(src)
+    stream2 = st.read_image_stream(spark, src, max_files=1).drop("bytes")
+    q2 = run_stream_to_iceberg(stream2, table, ckpt)
+    q2.awaitTermination(120)
+    got = iceberg.read(spark, table).toPandas()
+    assert len(got) == 600
+    assert got["image_id"].nunique() == 600
