@@ -152,24 +152,26 @@ def bm25_scores(
     len(string_split) exactly.
     """
     terms = [t for t in query_terms if t]
-    toks = df.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
-    )
-    dl = df.select(
-        id_col, F.size(F.split(F.col(text_col), " ")).alias("dl")
-    )
-    corpus = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    # dl rides through the tf groupBy as a key (functionally dependent
+    # on the doc id), so there is NO per-doc dl join afterwards — a
+    # (doc_id, dl) relation is O(corpus) and would either broadcast
+    # (OOM at scale) or add a full shuffle. Two corpus scans total:
+    # this one and the tiny (N, avgdl) aggregate.
+    base = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = base.groupBy(id_col, "dl", "term").agg(
+        F.count("*").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = df.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf",
