@@ -2169,6 +2169,35 @@ FROM pat
 """
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(lang, source) length quantiles
+    (operators/stats.py::exact_group_quantiles) — integer rank
+    arithmetic, one window sort per group, all |qs| quantiles from a
+    single pass."""
+    from ksj2gp_spark.operators.stats import exact_group_quantiles
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return exact_group_quantiles(
+        d, ["lang", "source"], "n_chars", [0.25, 0.5, 0.9]
+    )
+
+
+_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source ORDER BY n_chars
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+),
+qs(q, num, den) AS (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10))
+SELECT lang, source, CAST(q AS DOUBLE) AS q, n_chars AS value
+FROM ranked, qs
+WHERE rn = greatest(1, (n * num + den - 1) // den)
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash+LSH pairs → connected components
     (min-label + pointer jumping, operators/graph.py). The oracle
@@ -2352,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "events_range_join": q_events_range_join,
         "image_patches": q_image_patches,
+        "doc_length_quantiles": q_doc_length_quantiles,
     }
 
 
@@ -2433,4 +2463,5 @@ GROUP BY p.admin_code
         "bm25_rank": _bm25_sql(),
         "events_range_join": _RANGE_JOIN_SQL,
         "image_patches": _IMAGE_PATCHES_SQL,
+        "doc_length_quantiles": _QUANTILES_SQL,
     }

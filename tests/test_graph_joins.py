@@ -176,3 +176,38 @@ class TestBm25:
             )
             assert got[d] == pytest.approx(want, rel=1e-12)
         assert 2 not in got  # no query terms -> absent
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_lower_quantile(self, spark):
+        import numpy as np
+
+        from ksj2gp_spark.operators.stats import exact_group_quantiles
+
+        rows = [("a", v) for v in [5, 1, 9, 3, 7, 7, 2]] + [
+            ("b", v) for v in [10, 20]
+        ] + [("c", 42)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            (r["g"], r["q"]): r["value"]
+            for r in exact_group_quantiles(
+                df, ["g"], "v", [0.25, 0.5, 0.9, 1.0]
+            ).collect()
+        }
+        data = {"a": [1, 2, 3, 5, 7, 7, 9], "b": [10, 20], "c": [42]}
+        import math
+
+        for g, vals in data.items():
+            n = len(vals)
+            for q in (0.25, 0.5, 0.9, 1.0):
+                want = vals[max(1, math.ceil(q * n)) - 1]
+                assert got[(g, q)] == want, (g, q)
+
+    def test_rejects_bad_q(self, spark):
+        from ksj2gp_spark.operators.stats import exact_group_quantiles
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with pytest.raises(ValueError):
+            exact_group_quantiles(df, ["g"], "v", [])
+        with pytest.raises(ValueError):
+            exact_group_quantiles(df, ["g"], "v", [1.5])
