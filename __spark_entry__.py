@@ -841,6 +841,65 @@ FROM cells c JOIN polys p
 """
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster→vector): a synthetic res-12 value
+    raster ((i*7 + j*13) % 1000 — BIGINT-exact) aggregated per admin
+    polygon through the exact-PIP zonal join
+    (operators/raster.py::zonal_stats). The oracle re-derives the grid,
+    the value arithmetic, and the center-in-rectangle assignment
+    relationally."""
+    from ksj2gp_spark.operators.raster import zonal_stats
+
+    res = 12
+    size = 360.0 / (1 << res)
+    i0 = int(np.floor((fixtures.LON0 + 180.0) / size))
+    i1 = int(np.floor((fixtures.LON1 + 180.0) / size))
+    j0 = int(np.floor((fixtures.LAT0 + 90.0) / size))
+    j1 = int(np.floor((fixtures.LAT1 + 90.0) / size))
+    raster = (
+        spark.range(i0, i1 + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(j0, j1 + 1).select(F.col("id").alias("j")))
+        .select(
+            (
+                F.lit(res) * F.lit(1 << 58)
+                + F.col("i") * F.lit(1 << 29)
+                + F.col("j")
+            ).alias("cell"),
+            ((F.col("i") * 7 + F.col("j") * 13) % 1000).alias("value"),
+        )
+    )
+    return zonal_stats(raster, fixtures.polygon_layer())
+
+
+def _zonal_sql() -> str:
+    res = 12
+    size = 360.0 / (1 << res)
+    i0 = int(np.floor((fixtures.LON0 + 180.0) / size))
+    i1 = int(np.floor((fixtures.LON1 + 180.0) / size))
+    j0 = int(np.floor((fixtures.LAT0 + 90.0) / size))
+    j1 = int(np.floor((fixtures.LAT1 + 90.0) / size))
+    return f"""
+WITH {_polys_values_sql()},
+cells AS (
+  SELECT (i.i + 0.5) * {size!r} - 180.0 AS cx,
+         (j.j + 0.5) * {size!r} - 90.0 AS cy,
+         (i.i * 7 + j.j * 13) % 1000 AS val
+  FROM generate_series({i0}, {i1}) AS i(i)
+  CROSS JOIN generate_series({j0}, {j1}) AS j(j)
+)
+SELECT p.polygon_id, p.admin_code,
+       COUNT(*) AS n_cells,
+       CAST(SUM(c.val) AS BIGINT) AS sum_val,
+       CAST(MIN(c.val) AS BIGINT) AS min_val,
+       CAST(MAX(c.val) AS BIGINT) AS max_val
+FROM cells c JOIN polys p
+  ON c.cx >= p.xmin AND c.cx <= p.xmax
+ AND c.cy >= p.ymin AND c.cy <= p.ymax
+GROUP BY p.polygon_id, p.admin_code
+"""
+
+
 def q_compact_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical cell compaction (operators/raster.py::compact_cells,
     H3-compact semantics on the grid scheme): the res-12 admin raster
@@ -2382,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "image_patches": q_image_patches,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "zonal_stats_admin": q_zonal_stats,
     }
 
 
@@ -2464,4 +2524,5 @@ GROUP BY p.admin_code
         "events_range_join": _RANGE_JOIN_SQL,
         "image_patches": _IMAGE_PATCHES_SQL,
         "doc_length_quantiles": _QUANTILES_SQL,
+        "zonal_stats_admin": _zonal_sql(),
     }

@@ -48,10 +48,15 @@ def connected_components(
     ``max_iter`` rounds (pointer jumping needs ~log2(n) + slack; 30
     covers any graph that fits on a real cluster).
     """
+    # materialized once: every round's neighbor-min joins against sym,
+    # and without the checkpoint the union+distinct (a shuffle) would
+    # re-execute from lineage EVERY round — at scale that is a full
+    # re-read of the edge table per iteration
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -59,6 +64,19 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
+    # Convergence probe: per-node labels are monotonically
+    # NON-INCREASING (every update is least(...) over a set containing
+    # the current label), so the fixpoint is reached exactly when
+    # sum(label) stops falling — one exact-decimal scan of the
+    # checkpointed frame per round, instead of a full self-join
+    # comparing old vs new labels.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # 1. min label among neighbors (map-side combinable min)
         nbr = (
@@ -72,9 +90,13 @@ def connected_components(
             .agg(F.min("nl").alias("nl"))
             .withColumnRenamed("u", "node")
         )
-        # least() skips nulls, so unmatched left rows keep their label
-        l1 = labels.join(nbr, "node", "left").select(
-            "node", F.least("label", "nl").alias("label")
+        # least() skips nulls, so unmatched left rows keep their label.
+        # l1 feeds BOTH sides of the pointer-jump self-join; checkpoint
+        # it so the labels⋈nbr join runs once per round, not twice.
+        l1 = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least("label", "nl").alias("label"))
+            .localCheckpoint()
         )
         # 2. pointer jump: follow the label one hop (labels are node
         # ids, so they resolve against the same relation)
@@ -84,19 +106,11 @@ def connected_components(
         l2 = l1.join(jump, "label", "left").select(
             "node", F.least("label", "jl").alias("label")
         )
-        l2 = l2.localCheckpoint()
-        changed = (
-            l2.join(
-                labels.select(
-                    "node", F.col("label").alias("old")
-                ),
-                "node",
-            )
-            .filter(F.col("label") != F.col("old"))
-        )
-        labels = l2
-        if changed.isEmpty():
+        labels = l2.localCheckpoint()
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -153,3 +153,78 @@ class TestCompact:
         rows += [("b", self._mk(4, 10 + dx, 20 + dy)) for dx, dy in sibs[2:]]
         comp = raster.compact_cells(self._cells(spark, rows), res=4)
         assert comp.count() == 4  # nothing promoted
+
+
+class TestZonalStats:
+    def test_concave_zone_exact_not_bbox(self, spark):
+        """An L-shaped zone with a hole: zonal counts/sums must equal a
+        per-center ray-cast oracle — a bbox assignment would overcount
+        (the L's notch and the hole fall inside its bbox)."""
+        import pandas as pd
+
+        from ksj2gp_spark.geo import wkb as W
+        from ksj2gp_spark.operators.raster import cell_centers, zonal_stats
+
+        ell = [
+            (139.0, 35.0), (141.0, 35.0), (141.0, 35.6), (139.8, 35.6),
+            (139.8, 36.4), (139.0, 36.4), (139.0, 35.0),
+        ]
+        hole = [
+            (139.2, 35.15), (139.6, 35.15), (139.6, 35.45),
+            (139.2, 35.45), (139.2, 35.15),
+        ]
+        polys = pd.DataFrame(
+            {
+                "polygon_id": ["L"],
+                "行政区域コード": ["90001"],
+                "geometry": [W.polygon(ell, hole)],
+            }
+        )
+        res = 12
+        size = 360.0 / (1 << res)
+        i0, i1 = int((139.0 + 180) / size), int((141.2 + 180) / size)
+        j0, j1 = int((35.0 + 90) / size), int((36.5 + 90) / size)
+        ii, jj = np.meshgrid(
+            np.arange(i0, i1 + 1), np.arange(j0, j1 + 1), indexing="ij"
+        )
+        ii, jj = ii.ravel(), jj.ravel()
+        cells = (res << 58) + (ii.astype(np.int64) << 29) + jj
+        vals = (ii * 3 + jj * 5) % 100
+        raster = spark.createDataFrame(
+            pd.DataFrame({"cell": cells, "value": vals})
+        )
+        got = zonal_stats(raster, polys).collect()
+
+        # oracle: ray-cast each center against outer ring minus hole
+        def inside(ring, px, py):
+            r = False
+            for k in range(len(ring) - 1):
+                x0, y0 = ring[k]
+                x1, y1 = ring[k + 1]
+                if (y0 > py) != (y1 > py) and px < (x1 - x0) * (
+                    py - y0
+                ) / (y1 - y0) + x0:
+                    r = not r
+            return r
+
+        cx = (ii + 0.5) * size - 180.0
+        cy = (jj + 0.5) * size - 90.0
+        mask = np.array(
+            [
+                inside(ell, x, y) and not inside(hole, x, y)
+                for x, y in zip(cx, cy)
+            ]
+        )
+        assert len(got) == 1
+        row = got[0]
+        assert row["admin_code"] == "90001"
+        assert row["n_cells"] == int(mask.sum())
+        assert row["sum_val"] == int(vals[mask].sum())
+        assert row["min_val"] == int(vals[mask].min())
+        assert row["max_val"] == int(vals[mask].max())
+        # bbox would also sweep the notch + hole centers — ensure the
+        # test is actually discriminating
+        bbox_mask = (
+            (cx >= 139.0) & (cx <= 141.0) & (cy >= 35.0) & (cy <= 36.4)
+        )
+        assert bbox_mask.sum() > mask.sum()
