@@ -841,6 +841,33 @@ FROM cells c JOIN polys p
 """
 
 
+def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold join (ST_DWithin's join form): every
+    (image, polygon) pair within 0.15 planar degrees —
+    operators/spatial.py::dwithin_join (bbox-expanded prefilter +
+    exact segment distance, zero shuffle). Oracle: the rectangle
+    fixtures make the exact distance the clamp formula."""
+    imgs = _images_from_customer(spark, sf_dir)
+    return spatial.dwithin_join(imgs, fixtures.polygon_layer(), 0.15)
+
+
+def _dwithin_sql() -> str:
+    return f"""
+WITH {_IMAGES_CTE.strip()},
+{_polys_values_sql()},
+j AS (
+  SELECT i.image_id, p.polygon_id, p.admin_code,
+         sqrt(
+           pow(greatest(p.xmin - i.lon, 0.0, i.lon - p.xmax), 2)
+           + pow(greatest(p.ymin - i.lat, 0.0, i.lat - p.ymax), 2)
+         ) AS dist
+  FROM images i CROSS JOIN polys p
+)
+SELECT image_id, polygon_id, admin_code, dist
+FROM j WHERE dist <= 0.15
+"""
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (raster→vector): a synthetic res-12 value
     raster ((i*7 + j*13) % 1000 — BIGINT-exact) aggregated per admin
@@ -2442,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_patches": q_image_patches,
         "doc_length_quantiles": q_doc_length_quantiles,
         "zonal_stats_admin": q_zonal_stats,
+        "dwithin_admin": q_dwithin,
     }
 
 
@@ -2525,4 +2553,5 @@ GROUP BY p.admin_code
         "image_patches": _IMAGE_PATCHES_SQL,
         "doc_length_quantiles": _QUANTILES_SQL,
         "zonal_stats_admin": _zonal_sql(),
+        "dwithin_admin": _dwithin_sql(),
     }

@@ -752,6 +752,92 @@ def fused_assign_or_knn(
     )
 
 
+def dwithin_join(
+    images: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    d: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """Distance-threshold spatial join: every (point, polygon) pair
+    with planar distance <= ``d`` (0 for covered points) —
+    ST_DWithin's join form, the buffer-less way to ask "which images
+    are near which admin areas".
+
+    One mapInPandas over the distributed point side; the polygon side
+    broadcasts with PRECOMPUTED d-expanded bboxes, so the per-batch
+    work is a vectorized bbox mask per polygon and the exact
+    segment-distance kernel runs only on the points that survive it —
+    never a dense points x polygons distance matrix. At larger
+    polygon cardinality the candidate set would first be pruned by
+    cell rings exactly like knn_join_pruned; the per-batch kernel is
+    unchanged by that.
+    """
+    if d < 0:
+        raise ValueError("d must be non-negative")
+    spark = images.sparkSession
+    polys = normalize_polygons(polygons_pdf)
+    payload = []
+    for _, row in polys.iterrows():
+        g = wkb.loads(bytes(row["geometry"]))
+        payload.append(
+            (row["polygon_id"], row[admin_col], bytes(row["geometry"]),
+             g.bounds())
+        )
+    b = spark.sparkContext.broadcast(payload)
+    images = images.select("image_id", lon_col, lat_col)
+
+    def within(batches):
+        geos = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if geos is None:
+                geos = [
+                    (pid, code, wkb.loads(buf), bb)
+                    for pid, code, buf, bb in b.value
+                ]
+            lons = pdf[lon_col].to_numpy(dtype=np.float64)
+            lats = pdf[lat_col].to_numpy(dtype=np.float64)
+            ids = pdf["image_id"].to_numpy()
+            out_id, out_pid, out_code, out_d = [], [], [], []
+            for pid, code, g, (xmin, ymin, xmax, ymax) in geos:
+                mask = (
+                    (lons >= xmin - d) & (lons <= xmax + d)
+                    & (lats >= ymin - d) & (lats <= ymax + d)
+                )
+                if not mask.any():
+                    continue
+                dist = geom.distance_to_geometry(lons[mask], lats[mask], g)
+                sel = dist <= d
+                if not sel.any():
+                    continue
+                n = int(sel.sum())
+                out_id.append(ids[mask][sel])
+                out_pid.extend([pid] * n)
+                out_code.extend([code] * n)
+                out_d.append(dist[sel])
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "image_id": np.concatenate(out_id),
+                        "polygon_id": out_pid,
+                        "admin_code": out_code,
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    return images.mapInPandas(
+        within,
+        schema=(
+            "image_id string, polygon_id string, "
+            "admin_code string, dist double"
+        ),
+    )
+
+
+
 def unmatched_images(
     images_with_cell: DataFrame, tiles: DataFrame
 ) -> DataFrame:

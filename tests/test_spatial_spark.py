@@ -650,3 +650,57 @@ def test_polygon_overlay_join_areas(spark):
     )
     with pytest.raises(geom_mod.ConvexClipError, match="convex"):
         spatial.polygon_overlay_join(left, bad)
+
+
+def test_dwithin_join_matches_brute_force(spark):
+    """dwithin_join's bbox prefilter + assembly must reproduce the
+    exact kernel evaluated on ALL pairs (no prefilter): no pair lost
+    at the expanded-bbox boundary, inclusive threshold, dist=0 for
+    covered points — checked on concave + holed geometry."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import geom as G, wkb as W
+    from ksj2gp_spark.operators import spatial as sp
+
+    ell = [
+        (139.0, 35.0), (141.0, 35.0), (141.0, 35.6), (139.8, 35.6),
+        (139.8, 36.4), (139.0, 36.4), (139.0, 35.0),
+    ]
+    hole = [
+        (139.2, 35.15), (139.6, 35.15), (139.6, 35.45),
+        (139.2, 35.45), (139.2, 35.15),
+    ]
+    tri = [(140.3, 36.0), (140.9, 36.0), (140.6, 36.5), (140.3, 36.0)]
+    polys = pd.DataFrame(
+        {
+            "polygon_id": ["L", "T"],
+            "行政区域コード": ["90001", "90002"],
+            "geometry": [W.polygon(ell, hole), W.polygon(tri)],
+        }
+    )
+    rs = np.random.default_rng(11)
+    n = 2000
+    lon = rs.uniform(138.5, 141.5, n)
+    lat = rs.uniform(34.5, 37.0, n)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": [f"p{i:05d}" for i in range(n)],
+             "lon": lon, "lat": lat}
+        )
+    )
+    d = 0.2
+    got = {
+        (r["image_id"], r["polygon_id"]): r["dist"]
+        for r in sp.dwithin_join(pts, polys, d).collect()
+    }
+    want = {}
+    for pid, buf in (("L", polys["geometry"][0]), ("T", polys["geometry"][1])):
+        g = W.loads(buf)
+        dist = G.distance_to_geometry(lon, lat, g)
+        for i in np.nonzero(dist <= d)[0]:
+            want[(f"p{i:05d}", pid)] = dist[i]
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == v  # bit-identical: same kernel, same inputs
+    assert any(v == 0.0 for v in want.values())  # covered points present
+    assert any(0 < v <= d for v in want.values())  # near-miss band present
