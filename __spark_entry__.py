@@ -841,6 +841,34 @@ FROM cells c JOIN polys p
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-100 corpus terms with support ≥ 3
+    (operators/text.py::vocab_induction — map-side-combinable counts +
+    TakeOrdered top-k, no global sort)."""
+    from ksj2gp_spark.operators.text import vocab_induction
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return vocab_induction(d, min_count=3, top_n=100)
+
+
+_VOCAB_SQL = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (
+  SELECT term, COUNT(*) AS n FROM t
+  WHERE term <> '' GROUP BY term HAVING COUNT(*) >= 3
+),
+r AS (
+  SELECT term, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+  FROM c
+)
+SELECT CAST(rank AS INT) AS rank, term, CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= 100
+"""
+
+
 def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-threshold join (ST_DWithin's join form): every
     (image, polygon) pair within 0.15 planar degrees —
@@ -2470,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "zonal_stats_admin": q_zonal_stats,
         "dwithin_admin": q_dwithin,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -2554,4 +2583,5 @@ GROUP BY p.admin_code
         "doc_length_quantiles": _QUANTILES_SQL,
         "zonal_stats_admin": _zonal_sql(),
         "dwithin_admin": _dwithin_sql(),
+        "vocab_topk": _VOCAB_SQL,
     }

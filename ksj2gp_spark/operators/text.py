@@ -193,3 +193,35 @@ def bm25_scores(
         )
     )
     return contrib.groupBy(id_col).agg(F.sum("c").alias("bm25"))
+
+
+def vocab_induction(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Vocabulary induction — the seed step of tokenizer training:
+    corpus-wide term counts with a support floor, optionally ranked
+    top-N. Returns (term, n) or (rank, term, n) with the deterministic
+    (n desc, term asc) total order.
+
+    The count is one map-side-combinable groupBy. Top-N uses
+    orderBy+limit — Spark compiles that to TakeOrderedAndProject
+    (per-partition heaps merged on the driver), NOT a global sort; the
+    rank window then runs over the already-limited ≤top_n rows, so the
+    single-partition window is bounded by construction (contrast the
+    unbounded global-sort row_number anti-pattern)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    if top_n is None:
+        return counts
+    top = counts.orderBy(F.desc("n"), "term").limit(top_n)
+    w = Window.orderBy(F.desc("n"), "term")
+    return top.select(F.row_number().over(w).alias("rank"), "term", "n")

@@ -211,3 +211,22 @@ class TestExactQuantiles:
             exact_group_quantiles(df, ["g"], "v", [])
         with pytest.raises(ValueError):
             exact_group_quantiles(df, ["g"], "v", [1.5])
+
+
+class TestVocabInduction:
+    def test_counts_rank_and_plan(self, spark):
+        from ksj2gp_spark.operators.text import vocab_induction
+
+        docs = [
+            (0, "a b a c"), (1, "a b"), (2, "c c b"), (3, "d"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        full = {
+            r["term"]: r["n"] for r in vocab_induction(df).collect()
+        }
+        assert full == {"a": 3, "b": 3, "c": 3, "d": 1}
+        top = vocab_induction(df, min_count=2, top_n=2)
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrdered" in plan  # distributed top-k, no global sort
+        rows = [(r["rank"], r["term"], r["n"]) for r in top.collect()]
+        assert rows == [(1, "a", 3), (2, "b", 3)]  # ties break on term
