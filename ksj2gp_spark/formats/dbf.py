@@ -177,7 +177,12 @@ def _decode_value(
         if jdn == 0 and ms == 0:
             return None
         base = _dt.datetime(1970, 1, 1)  # JDN 2440588
-        return base + _dt.timedelta(days=jdn - 2440588, milliseconds=ms)
+        try:
+            return base + _dt.timedelta(days=jdn - 2440588, milliseconds=ms)
+        except (OverflowError, ValueError):
+            # corrupt bytes can encode a day outside datetime's range
+            # (year 1..9999) — quarantine the cell, don't crash the file
+            return None
     raise DbfError(f"unsupported dBASE field type: {f.ftype}")
 
 

@@ -39,7 +39,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -196,6 +198,90 @@ def _file_stats(file_path: str) -> dict:
     }
 
 
+# --- partition spec (Iceberg-style, identity + hidden truncate) -----
+
+_PARTITION_TYPES = {"string", "integer", "long", "boolean", "date"}
+
+
+def _spec_of(meta: dict | None) -> list[dict]:
+    return (meta or {}).get("partition_spec") or []
+
+
+def _normalize_spec(partition_by, df: DataFrame) -> list[dict]:
+    """Accepts ["col", ("col", "truncate[2]"), ...] → spec entries
+    {name, transform, type}. Identity partitions are restricted to
+    order-safe scalar types (their values round-trip through hive
+    directory names); truncate[N] is string-only and HIDDEN — the
+    derived prefix column exists only in the directory layout, like
+    Iceberg's hidden partitioning, so readers never see it."""
+    spec = []
+    dtypes = dict(df.dtypes)
+    for p in partition_by:
+        name, transform = (p, "identity") if isinstance(p, str) else p
+        if name not in dtypes:
+            raise CommitError(f"partition column {name!r} not in schema")
+        t = dtypes[name]
+        t = {"int": "integer", "bigint": "long"}.get(t, t)
+        if transform == "identity":
+            if t not in _PARTITION_TYPES:
+                raise CommitError(
+                    f"identity partition on type {t!r} unsupported"
+                )
+        elif re.fullmatch(r"truncate\[\d+\]", transform):
+            if t != "string":
+                raise CommitError("truncate partitions require strings")
+        else:
+            raise CommitError(f"unknown partition transform {transform!r}")
+        spec.append({"name": name, "transform": transform, "type": t})
+    return spec
+
+
+def _hidden_partition_column(s: dict):
+    """Directory-column name + Spark expression for a hidden transform."""
+    from pyspark.sql import functions as F
+
+    w = int(re.fullmatch(r"truncate\[(\d+)\]", s["transform"]).group(1))
+    return f"{s['name']}_trunc{w}", F.substring(F.col(s["name"]), 1, w)
+
+
+def _partition_dir_col(s: dict) -> str:
+    if s["transform"] == "identity":
+        return s["name"]
+    return _hidden_partition_column(s)[0]
+
+
+def _coerce_partition_value(raw: str | None, s: dict):
+    if raw is None:
+        return None
+    if s["transform"] != "identity":
+        return raw  # hidden dir values stay strings
+    t = s["type"]
+    if t in ("integer", "long"):
+        return int(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    return raw  # string / date (ISO strings order correctly)
+
+
+def _decode_partition_path(rel_path: str, spec: list[dict]) -> dict:
+    """hive segments 'k=v/...' of a data-file path → {dir_col: value}
+    (typed for identity transforms; None for the hive null marker)."""
+    vals: dict[str, object] = {}
+    raw = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        k, _, v = seg.partition("=")
+        v = urllib.parse.unquote(v)
+        raw[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    for s in spec:
+        dcol = _partition_dir_col(s)
+        if dcol not in raw:
+            raise CommitError(
+                f"data file missing partition segment {dcol!r}: {rel_path}"
+            )
+        vals[dcol] = _coerce_partition_value(raw[dcol], s)
+    return vals
+
+
 class _LockLease:
     """A held commit lock: path + ownership token + heartbeat thread.
 
@@ -269,6 +355,7 @@ def _commit(
     parent_files: list[dict] | None,
     expected_version: int | None = None,
     summary_extra: dict | None = None,
+    partition_by=None,
 ) -> int:
     """Create one snapshot under the table's exclusive commit lock.
 
@@ -296,7 +383,7 @@ def _commit(
     try:
         return _commit_locked(
             path, meta_dir, df, operation, parent_files, expected_version,
-            lease, summary_extra,
+            lease, summary_extra, partition_by,
         )
     finally:
         lease.release()
@@ -311,6 +398,7 @@ def _commit_locked(
     expected_version: int | None,
     lease: "_LockLease",
     summary_extra: dict | None = None,
+    partition_by=None,
 ) -> int:
     version = current_version(path)
     if expected_version is not None and version != expected_version:
@@ -336,26 +424,69 @@ def _commit_locked(
         *(_table_fields(parent_meta) if parent_meta else (None, 0)),
         schema_json,
     )
+
+    # partition spec: fixed at table creation (or first partitioned
+    # commit on an empty table); every later commit — appends AND the
+    # COW rewrites of delete/merge/compact — writes under the same spec
+    spec = _spec_of(parent_meta)
+    if partition_by is not None:
+        want = _normalize_spec(partition_by, df)
+        if spec and want != spec:
+            raise CommitError(
+                f"partition spec mismatch at {path}: table has "
+                f"{spec}, commit requested {want}"
+            )
+        spec = want
+    identity_cols = {
+        s["name"] for s in spec if s["transform"] == "identity"
+    }
     id_of = {f["name"]: f["id"] for f in fields}
+    # identity partition columns live in the directory name, not in the
+    # parquet file — they must not appear in the file's column binding
     file_binding = {
-        str(id_of[f["name"]]): f["name"] for f in schema_json["fields"]
+        str(id_of[f["name"]]): f["name"]
+        for f in schema_json["fields"]
+        if f["name"] not in identity_cols
     }
 
     # 1. data files (immutable, snapshot-owned directory)
     data_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
-    df.write.mode("overwrite").parquet(data_dir)
+    wdf, part_dir_cols = df, []
+    for s in spec:
+        if s["transform"] == "identity":
+            part_dir_cols.append(s["name"])
+        else:  # hidden transform: derived dir column, dropped on read
+            dcol, expr = _hidden_partition_column(s)
+            if dcol in df.columns:
+                raise CommitError(
+                    f"hidden partition column name collides: {dcol}"
+                )
+            wdf = wdf.withColumn(dcol, expr)
+            part_dir_cols.append(dcol)
+    writer = wdf.write.mode("overwrite")
+    if part_dir_cols:
+        writer = writer.partitionBy(*part_dir_cols)
+    writer.parquet(data_dir)
     new_files = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        fp = os.path.join(data_dir, name)
-        new_files.append(
-            {
-                "path": os.path.relpath(fp, path),
-                "fields": file_binding,
-                **_file_stats(fp),
-            }
-        )
+    for root, _dirs, fnames in sorted(os.walk(data_dir)):
+        for name in sorted(fnames):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, name)
+            new_files.append(
+                {
+                    "path": os.path.relpath(fp, path),
+                    "fields": file_binding,
+                    **(
+                        {"partition": _decode_partition_path(
+                            os.path.relpath(fp, data_dir), spec
+                        )}
+                        if spec
+                        else {}
+                    ),
+                    **_file_stats(fp),
+                }
+            )
 
     all_files = parent_files + new_files
     # 2. snapshot manifest
@@ -397,6 +528,7 @@ def _commit_locked(
         "last_column_id": last_column_id,
         "current_snapshot_id": snapshot_id,
         "snapshots": snapshots,
+        "partition_spec": spec,
     }
     # 4. publish: metadata claim + atomic hint swap — THE commit point.
     # The lease is re-verified first so a writer whose lock was stolen
@@ -498,7 +630,10 @@ def _acquire_commit_lock(
 
 
 def append(
-    df: DataFrame, path: str, summary_extra: dict | None = None
+    df: DataFrame,
+    path: str,
+    summary_extra: dict | None = None,
+    partition_by=None,
 ) -> int:
     """Append a snapshot; returns the new snapshot id. Parent files are
     resolved inside the commit lock, so concurrent appends serialize
@@ -506,7 +641,10 @@ def append(
     ``summary_extra`` lands in the snapshot summary — used by the
     streaming sink to record (stream id, epoch) ATOMICALLY with the
     data, which is what makes replayed micro-batches detectable."""
-    return _commit(path, df, "append", None, summary_extra=summary_extra)
+    return _commit(
+        path, df, "append", None,
+        summary_extra=summary_extra, partition_by=partition_by,
+    )
 
 
 def last_streaming_epoch(path: str, stream_id: str) -> int | None:
@@ -530,9 +668,33 @@ def overwrite(df: DataFrame, path: str) -> int:
     return _commit(path, df, "overwrite", [])
 
 
-def _bounds_disjoint(f: dict, bounds: dict[str, tuple]) -> bool:
+def _bounds_disjoint(
+    f: dict, bounds: dict[str, tuple], spec: list[dict] | None = None
+) -> bool:
     """True if the file's manifest stats PROVE it holds no row the
-    delete predicate can match (conjunctive per-column value bounds)."""
+    predicate can match (conjunctive per-column value bounds).
+    Partition values prune too: identity partitions by range (the
+    column is not IN the parquet file, so stats can't), hidden
+    truncate partitions by prefix on equality bounds."""
+    part = f.get("partition") or {}
+    for s in spec or []:
+        col = s["name"]
+        if col not in bounds:
+            continue
+        lo, hi = bounds[col]
+        if s["transform"] == "identity":
+            v = part.get(s["name"])
+            if v is not None and (v < lo or v > hi):
+                return True
+        elif lo == hi and isinstance(lo, str):
+            import re as _re
+
+            w = int(
+                _re.fullmatch(r"truncate\[(\d+)\]", s["transform"]).group(1)
+            )
+            dv = part.get(_partition_dir_col(s))
+            if dv is not None and dv != lo[:w]:
+                return True
     for col, (lo, hi) in bounds.items():
         fmin, fmax = f["min"].get(col), f["max"].get(col)
         if fmin is None or fmax is None:
@@ -565,22 +727,23 @@ def delete_where(
     from pyspark.sql import functions as F
 
     ver0 = current_version(path)
+    meta = _load_metadata(path)
+    spec = _spec_of(meta)
     files = _live_files(path)
     cands, kept = [], []
     for f in files:
-        if bounds and _bounds_disjoint(f, bounds):
+        if bounds and _bounds_disjoint(f, bounds, spec):
             kept.append(f)
         else:
             cands.append(f)
     if not cands:
         return {
-            "snapshot": _load_metadata(path)["current_snapshot_id"],
+            "snapshot": meta["current_snapshot_id"],
             "files_rewritten": 0,
             "files_kept": len(kept),
             "rows_deleted": 0,
         }
-    cand_paths = [os.path.join(path, f["path"]) for f in cands]
-    df = spark.read.parquet(*cand_paths)
+    df = _read_files(spark, path, cands, meta)
     # keep rows where the predicate is FALSE or NULL
     survivors = df.filter(F.coalesce(~F.expr(condition), F.lit(True)))
     n_before = sum(f["rows"] for f in cands)
@@ -625,16 +788,17 @@ def merge_upsert(
         for c in key_cols
         if r[f"__lo_{c}"] is not None
     }
+    meta = _load_metadata(path)
+    spec = _spec_of(meta)
     cands, kept = [], []
     for f in files:
-        if bounds and _bounds_disjoint(f, bounds):
+        if bounds and _bounds_disjoint(f, bounds, spec):
             kept.append(f)
         else:
             cands.append(f)
     updates = updates.dropDuplicates(key_cols)
     if cands:
-        cand_paths = [os.path.join(path, f["path"]) for f in cands]
-        existing = spark.read.parquet(*cand_paths)
+        existing = _read_files(spark, path, cands, meta)
         survivors = existing.join(
             updates.select(*key_cols), key_cols, "left_anti"
         )
@@ -687,6 +851,55 @@ def added_files(
     return list(new.values())
 
 
+def _read_files(
+    spark: SparkSession, path: str, files: list[dict], meta: dict
+) -> DataFrame:
+    """Read manifest file entries, re-attaching identity partition
+    columns from the manifest (partitionBy moved them into directory
+    names, so the parquet bytes do not carry them; Iceberg readers do
+    exactly this — constant columns from partition metadata). Hidden
+    transform directories attach nothing. Plan size is linear in the
+    number of touched identity partitions (one constant-column branch
+    each), matching how Iceberg sources surface partition values."""
+    paths = [os.path.join(path, f["path"]) for f in files]
+    id_specs = [
+        s for s in _spec_of(meta) if s["transform"] == "identity"
+    ]
+    if not id_specs:
+        return spark.read.parquet(*paths)
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    spark_type = {
+        "integer": "int", "long": "bigint", "boolean": "boolean",
+        "string": "string", "date": "date",
+    }
+    order = [f["name"] for f in _table_fields(meta)[0]]
+    groups: dict[tuple, list[dict]] = {}
+    for f in files:
+        part = f.get("partition")
+        if part is None:
+            raise CommitError(
+                f"file lacks partition values in a partitioned table: "
+                f"{f['path']}"
+            )
+        key = tuple((s["name"], part[s["name"]]) for s in id_specs)
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for key, fs in groups.items():
+        gdf = spark.read.parquet(
+            *(os.path.join(path, f["path"]) for f in fs)
+        )
+        for s, (name, val) in zip(id_specs, key):
+            gdf = gdf.withColumn(
+                name, F.lit(val).cast(spark_type[s["type"]])
+            )
+        parts.append(gdf.select([c for c in order if c in gdf.columns]))
+    return reduce(DataFrame.unionByName, parts)
+
+
 def read(
     spark: SparkSession,
     path: str,
@@ -703,9 +916,7 @@ def read(
     if not files:
         raise FileNotFoundError(f"snapshot has no data files: {path}")
     if not merge_schema:
-        return spark.read.parquet(
-            *(os.path.join(path, f["path"]) for f in files)
-        )
+        return _read_files(spark, path, files, _load_metadata(path))
 
     from functools import reduce
 
@@ -716,17 +927,35 @@ def read(
     fields, _ = _table_fields(meta)
     table_schema = StructType.fromJson(_spark_schema_of(fields))
 
+    id_specs = [
+        s for s in _spec_of(meta) if s["transform"] == "identity"
+    ]
     groups: dict[tuple, list[str]] = {}
     for f in files:
         binding = tuple(sorted((f.get("fields") or {}).items()))
-        groups.setdefault(binding, []).append(os.path.join(path, f["path"]))
+        part = tuple(
+            (s["name"], (f.get("partition") or {}).get(s["name"]))
+            for s in id_specs
+        )
+        groups.setdefault((binding, part), []).append(
+            os.path.join(path, f["path"])
+        )
 
     parts = []
-    for binding, paths in groups.items():
+    for (binding, part), paths in groups.items():
         gdf = spark.read.parquet(*paths)
         written_by_id = {int(i): n for i, n in binding}
+        part_vals = dict(part)
         cols = []
         for fld, sf in zip(fields, table_schema.fields):
+            if fld["name"] in part_vals:
+                # identity partition value from the manifest, not the file
+                cols.append(
+                    F.lit(part_vals[fld["name"]])
+                    .cast(sf.dataType)
+                    .alias(fld["name"])
+                )
+                continue
             # legacy files (no binding) wrote current names directly
             written = (
                 written_by_id.get(fld["id"]) if binding else fld["name"]
@@ -754,28 +983,19 @@ def scan(
     (DataFrame, {"files_total", "files_read"}) so callers/tests can see
     the pruning. The residual predicate must still be applied by the
     caller (stats prune files, they don't filter rows)."""
+    meta = _load_metadata(path)
+    spec = _spec_of(meta)
     files = _live_files(path, snapshot_id)
-    selected = []
-    for fmeta in files:
-        keep = True
-        for col, (lo, hi) in (bounds or {}).items():
-            fmin = fmeta["min"].get(col)
-            fmax = fmeta["max"].get(col)
-            if fmin is None or fmax is None:
-                continue  # no stats → cannot prune
-            if fmax < lo or fmin > hi:
-                keep = False
-                break
-        if keep:
-            selected.append(fmeta)
+    selected = [
+        f
+        for f in files
+        if not (bounds and _bounds_disjoint(f, bounds, spec))
+    ]
     info = {"files_total": len(files), "files_read": len(selected)}
     if not selected:
         schema_df = read(spark, path, snapshot_id).limit(0)
         return schema_df, info
-    df = spark.read.parquet(
-        *(os.path.join(path, f["path"]) for f in selected)
-    )
-    return df, info
+    return _read_files(spark, path, selected, meta), info
 
 
 def rename_column(path: str, old: str, new: str) -> int:
@@ -906,18 +1126,30 @@ def _vacuum_locked(path: str, min_age_sec: float) -> dict:
     if os.path.isdir(data_root):
         for snap_dir in sorted(os.listdir(data_root)):
             d = os.path.join(data_root, snap_dir)
-            for name in sorted(os.listdir(d)):
-                fp = os.path.join(d, name)
-                rel = os.path.relpath(fp, path)
-                if rel in referenced:
-                    continue
-                if not name.endswith(".parquet"):
-                    continue  # _SUCCESS etc. cleaned with the last file
-                if now - os.path.getmtime(fp) < min_age_sec:
-                    continue
-                os.remove(fp)
-                deleted_files += 1
-            if not any(n.endswith(".parquet") for n in os.listdir(d)):
+            if not os.path.isdir(d):
+                continue
+            # recursive: partitioned snapshots nest files under
+            # hive key=value directories — a flat listdir would both
+            # miss orphans and (worse) judge a LIVE partitioned
+            # snapshot "empty" and rmtree it
+            for root, _dirs, names in sorted(os.walk(d)):
+                for name in sorted(names):
+                    fp = os.path.join(root, name)
+                    rel = os.path.relpath(fp, path)
+                    if rel in referenced:
+                        continue
+                    if not name.endswith(".parquet"):
+                        continue  # _SUCCESS etc. cleaned with last file
+                    if now - os.path.getmtime(fp) < min_age_sec:
+                        continue
+                    os.remove(fp)
+                    deleted_files += 1
+            has_parquet = any(
+                n.endswith(".parquet")
+                for _r, _ds, ns in os.walk(d)
+                for n in ns
+            )
+            if not has_parquet:
                 import shutil
 
                 shutil.rmtree(d)

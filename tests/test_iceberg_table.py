@@ -4,6 +4,8 @@ manifest pruning, crash-safe commits (sinks/iceberg.py)."""
 import json
 import os
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -319,8 +321,13 @@ def test_heartbeat_keeps_slow_commit_lock_fresh(tmp_path):
     lease = iceberg._acquire_commit_lock(meta_dir, stale_sec=0.4)
     try:
         os.utime(lease.lock, (1, 1))  # simulate an old mtime
-        _t.sleep(0.5)  # > stale_sec: heartbeat must have touched it
-        assert _t.time() - os.path.getmtime(lease.lock) < 10
+        # poll: under CPU contention the heartbeat thread can be
+        # scheduled late — the invariant is that it fires, not that it
+        # fires within one interval of wall time
+        deadline = _t.time() + 10.0
+        while _t.time() < deadline and os.path.getmtime(lease.lock) < 1000:
+            _t.sleep(0.05)
+        assert os.path.getmtime(lease.lock) > 1000  # heartbeat touched it
         lease.verify()  # still ours
     finally:
         lease.release()
@@ -445,3 +452,117 @@ def test_rename_interleaves_with_time_travel(spark, tmp_path):
     old = iceberg.read(spark, path, snapshot_id=s1, merge_schema=True)
     assert old.count() == 10
     assert s2 > s1
+
+
+class TestPartitionedTables:
+    """Iceberg-style partition specs: identity + hidden truncate."""
+
+    def _tiles(self, spark, n=40):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"img{i:05d}" for i in range(n)],
+                    "admin_code": [f"{13 + i % 4:02d}{101 + i:03d}"
+                                   for i in range(n)],
+                    "v": np.arange(n, dtype=np.int64),
+                }
+            )
+        )
+
+    def test_identity_partition_roundtrip_and_pruning(self, spark, tmp_path):
+        from ksj2gp_spark.sinks import iceberg as I
+
+        t = str(tmp_path / "t1")
+        df = self._tiles(spark).withColumn(
+            "pref", F.substring("admin_code", 1, 2)
+        )
+        I.append(df, t, partition_by=["pref"])
+        got = I.read(spark, t).toPandas().sort_values("image_id")
+        want = df.toPandas().sort_values("image_id")
+        assert sorted(got.columns) == sorted(want.columns)
+        for c in want.columns:
+            assert list(got[c]) == list(want[c]), c
+        # manifest carries typed partition values; files live in hive dirs
+        files = I._live_files(t)
+        assert all("pref=" in f["path"] for f in files)
+        assert all(f["partition"]["pref"] in {"13", "14", "15", "16"}
+                   for f in files)
+        # partition-value pruning: one prefecture reads < all files
+        _, info = I.scan(spark, t, bounds={"pref": ("13", "13")})
+        assert info["files_read"] < info["files_total"]
+        sdf, _ = I.scan(spark, t, bounds={"pref": ("13", "13")})
+        assert set(sdf.toPandas()["pref"]) == {"13"}
+
+    def test_hidden_truncate_partition(self, spark, tmp_path):
+        from ksj2gp_spark.sinks import iceberg as I
+
+        t = str(tmp_path / "t2")
+        df = self._tiles(spark)
+        I.append(df, t, partition_by=[("admin_code", "truncate[2]")])
+        got = I.read(spark, t)
+        # hidden: the derived dir column never surfaces to readers
+        assert sorted(got.columns) == sorted(df.columns)
+        assert got.count() == 40
+        files = I._live_files(t)
+        assert all("admin_code_trunc2=" in f["path"] for f in files)
+        # equality bounds on the SOURCE column prune via the prefix
+        _, info = I.scan(
+            spark, t, bounds={"admin_code": ("13101", "13101")}
+        )
+        assert info["files_read"] < info["files_total"]
+
+    def test_spec_is_sticky_and_enforced(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from ksj2gp_spark.sinks import iceberg as I
+
+        t = str(tmp_path / "t3")
+        df = self._tiles(spark).withColumn(
+            "pref", F.substring("admin_code", 1, 2)
+        )
+        I.append(df, t, partition_by=["pref"])
+        # plain append inherits the spec (files still partitioned)
+        I.append(df, t)
+        assert all("pref=" in f["path"] for f in I._live_files(t))
+        assert I.read(spark, t).count() == 80
+        with _pytest.raises(I.CommitError):
+            I.append(df, t, partition_by=["admin_code"])
+
+    def test_cow_delete_and_vacuum_on_partitioned_table(
+        self, spark, tmp_path
+    ):
+        from ksj2gp_spark.sinks import iceberg as I
+
+        t = str(tmp_path / "t4")
+        df = self._tiles(spark).withColumn(
+            "pref", F.substring("admin_code", 1, 2)
+        )
+        I.append(df, t, partition_by=["pref"])
+        # predicate ON the partition column: pruning keeps other prefs,
+        # survivors keep their partition values
+        r = I.delete_where(
+            spark, t, "pref = '13'", bounds={"pref": ("13", "13")}
+        )
+        assert r["files_kept"] > 0 and r["rows_deleted"] == 10
+        got = I.read(spark, t).toPandas()
+        assert len(got) == 30 and "13" not in set(got["pref"])
+        # vacuum must NOT judge live partitioned snapshots empty
+        I.expire_snapshots(t, keep_last=1)
+        I.vacuum_orphans(t, min_age_sec=0.0)
+        assert I.read(spark, t).count() == 30
+
+    def test_merge_schema_read_on_partitioned_table(self, spark, tmp_path):
+        from ksj2gp_spark.sinks import iceberg as I
+
+        t = str(tmp_path / "t5")
+        df = self._tiles(spark, 20).withColumn(
+            "pref", F.substring("admin_code", 1, 2)
+        )
+        I.append(df, t, partition_by=["pref"])
+        I.append(df.withColumn("extra", F.lit(7)), t)
+        got = I.read(spark, t, merge_schema=True).toPandas()
+        assert len(got) == 40
+        assert set(got["pref"]) == {"13", "14", "15", "16"}
+        assert got["extra"].isna().sum() == 20
