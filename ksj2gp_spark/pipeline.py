@@ -255,3 +255,77 @@ def run_tile_pipeline_incremental(
         out_path, chunk_ids, process, partition_cols=partition_cols
     )
     return summary, to_snapshot
+
+
+def committed_pipeline_chunks(table_path: str) -> set[str]:
+    """Chunk ids already committed into an Iceberg tile table (read
+    from snapshot summaries — metadata bytes only)."""
+    if not iceberg.current_version(table_path):
+        return set()
+    meta = iceberg._load_metadata(table_path)
+    return {
+        s["summary"]["pipeline_chunk"]
+        for s in meta["snapshots"]
+        if "pipeline_chunk" in s.get("summary", {})
+    }
+
+
+def run_tile_pipeline_iceberg(
+    spark: SparkSession,
+    images_path: str,
+    polygons: DataFrame | pd.DataFrame,
+    table_path: str,
+    scheme: str = "hex",
+    res: int | None = None,
+    k_ocean: int = 3,
+    n_chunks: int = 16,
+    bbox: tuple[float, float, float, float] | None = None,
+    crs: str | None = None,
+    partition_by=None,
+) -> dict:
+    """The resumable tile pipeline writing a (optionally PARTITIONED)
+    Iceberg table: each file-group chunk commits as ONE snapshot
+    carrying its chunk id in the snapshot summary — atomically with
+    the data, under the table's commit lock — so a crashed run's
+    re-invocation skips exactly the chunks the table already holds
+    (the same transactional-watermark pattern as the streaming sink;
+    north_rule: "written as partitioned Iceberg ... resumes from the
+    last committed checkpoint without reprocessing completed
+    partitions"). ``partition_by`` (e.g.
+    ``[("admin_code", "truncate[2]")]``) fixes the table's partition
+    spec on the first commit; later chunks and re-runs inherit it.
+
+    Returns {chunk_id: snapshot_id | "skipped"}.
+    """
+    polys_pdf = (
+        polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
+    )
+    res = res if res is not None else spatial.DEFAULT_RES[scheme]
+    prune_bbox = bbox
+    if bbox is not None and crs:
+        pad = 0.01  # datum-shift padding, see run_tile_pipeline
+        prune_bbox = (
+            bbox[0] - pad, bbox[1] - pad, bbox[2] + pad, bbox[3] + pad
+        )
+    chunks = _image_file_chunks(spark, images_path, n_chunks, bbox=prune_bbox)
+    if not chunks:
+        return {}
+    chunk_ids = [f"{i:05d}" for i in range(len(chunks))]
+    file_map = dict(zip(chunk_ids, chunks))
+    committed = committed_pipeline_chunks(table_path)
+    done: dict[str, object] = {}
+    for cid in chunk_ids:
+        if cid in committed:
+            done[cid] = "skipped"
+            continue
+        imgs = spark.read.parquet(*file_map[cid])
+        tiles = spatial.fused_assign_or_knn(
+            imgs, polys_pdf, scheme=scheme, res=res, k=k_ocean, crs=crs
+        )
+        done[cid] = iceberg.append(
+            tiles,
+            table_path,
+            summary_extra={"pipeline_chunk": cid},
+            partition_by=partition_by,
+        )
+    return done

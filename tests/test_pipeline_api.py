@@ -279,3 +279,74 @@ def test_incremental_pipeline_processes_only_new_files(spark, tmp_path):
         scheme="grid", res=10, n_chunks=3,
     )
     assert all(m.get("skipped") for m in s3_summary.values())
+
+
+def test_iceberg_pipeline_resumes_without_duplicates(spark, tmp_path):
+    """run_tile_pipeline_iceberg: a crash mid-run leaves committed
+    chunk snapshots; the re-run skips exactly those and the final
+    table equals a one-shot run — partitioned per the spec."""
+    from ksj2gp_spark import pipeline as P
+    from ksj2gp_spark.sinks import iceberg as I
+
+    src = str(tmp_path / "imgs")
+    fixtures.images_df(spark, 1200, with_bytes=False, partitions=4).drop(
+        "bytes"
+    ).write.parquet(src)
+    polys = fixtures.polygon_layer()
+    tbl = str(tmp_path / "tiles_tbl")
+    spec = [("admin_code", "truncate[2]")]
+
+    # crash after 2 successful chunk commits
+    real_append = I.append
+    calls = {"n": 0}
+
+    def crashing_append(df, path, **kw):
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        calls["n"] += 1
+        return real_append(df, path, **kw)
+
+    import ksj2gp_spark.pipeline as pmod
+
+    orig = pmod.iceberg.append
+    pmod.iceberg.append = crashing_append
+    try:
+        try:
+            P.run_tile_pipeline_iceberg(
+                spark, src, polys, tbl, scheme="grid", res=10,
+                n_chunks=4, partition_by=spec,
+            )
+            raise AssertionError("crash did not fire")
+        except RuntimeError:
+            pass
+    finally:
+        pmod.iceberg.append = orig
+
+    assert len(P.committed_pipeline_chunks(tbl)) == 2
+
+    # resume: remaining chunks commit, committed ones skip
+    done = P.run_tile_pipeline_iceberg(
+        spark, src, polys, tbl, scheme="grid", res=10,
+        n_chunks=4, partition_by=spec,
+    )
+    assert sum(1 for v in done.values() if v == "skipped") == 2
+
+    got = I.read(spark, tbl)
+    # one-shot reference
+    ref = P.run_tile_pipeline_iceberg(
+        spark, src, polys, str(tmp_path / "ref_tbl"), scheme="grid",
+        res=10, n_chunks=4, partition_by=spec,
+    )
+    assert len(ref) == 4
+    ref_df = I.read(spark, str(tmp_path / "ref_tbl"))
+    a = got.toPandas().sort_values(["image_id", "rank", "polygon_id"])
+    b = ref_df.toPandas().sort_values(["image_id", "rank", "polygon_id"])
+    assert len(a) == len(b)
+    assert (
+        a.reset_index(drop=True)[sorted(a.columns)]
+        .equals(b.reset_index(drop=True)[sorted(b.columns)])
+    )
+    # hive layout per the hidden spec
+    assert all(
+        "admin_code_trunc2=" in f["path"] for f in I._live_files(tbl)
+    )
