@@ -102,6 +102,21 @@ def _image_file_chunks(
     region-scoped job over a spatially-sorted 100 TB table opens only
     the region's files."""
     if iceberg.current_version(images_path):
+        meta = iceberg._load_metadata(images_path)
+        if any(
+            s["transform"] == "identity"
+            for s in iceberg._spec_of(meta)
+        ):
+            # raw-path chunk reads would silently LOSE identity
+            # partition columns (they live in directory names, not in
+            # the parquet bytes) — refuse loudly; hidden transforms
+            # are fine (nothing to re-attach)
+            raise ValueError(
+                "identity-partitioned image tables are not supported "
+                "as pipeline input: chunk file reads cannot re-attach "
+                "partition columns; use iceberg.read/scan or an "
+                "unpartitioned / hidden-partitioned image table"
+            )
         metas = iceberg._live_files(images_path)
         metas = _prune_bbox(metas, bbox)
         files = [os.path.join(images_path, f["path"]) for f in metas]

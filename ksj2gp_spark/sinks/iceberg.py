@@ -998,6 +998,16 @@ def scan(
     return _read_files(spark, path, selected, meta), info
 
 
+def _assert_not_partition_column(meta: dict, name: str) -> None:
+    for s in _spec_of(meta):
+        if s["name"] == name:
+            raise CommitError(
+                f"column {name!r} is referenced by the partition spec "
+                f"({s['transform']}); partition-spec columns cannot be "
+                "renamed or dropped (spec evolution is not supported)"
+            )
+
+
 def rename_column(path: str, old: str, new: str) -> int:
     """Metadata-only rename by FIELD ID (Iceberg rename semantics): no
     data file is touched — old files keep the old parquet column name,
@@ -1016,6 +1026,7 @@ def rename_column(path: str, old: str, new: str) -> int:
             raise CommitError(f"no column {old!r} in table schema")
         if new in names:
             raise CommitError(f"column {new!r} already exists")
+        _assert_not_partition_column(meta, old)
         for f in fields:
             if f["name"] == old:
                 f["name"] = new
@@ -1046,6 +1057,7 @@ def drop_column(path: str, name: str) -> int:
         kept = [dict(f) for f in fields if f["name"] != name]
         if len(kept) == len(fields):
             raise CommitError(f"no column {name!r} in table schema")
+        _assert_not_partition_column(meta, name)
         new_meta = dict(
             meta,
             fields=kept,

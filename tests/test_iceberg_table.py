@@ -566,3 +566,46 @@ class TestPartitionedTables:
         assert len(got) == 40
         assert set(got["pref"]) == {"13", "14", "15", "16"}
         assert got["extra"].isna().sum() == 20
+
+
+def test_partition_spec_columns_cannot_be_renamed_or_dropped(
+    spark, tmp_path
+):
+    """Spec evolution is unsupported — renaming/dropping a column the
+    partition spec references would desync directory names from the
+    schema; both must refuse."""
+    import pandas as pd
+
+    t = str(tmp_path / "guard_tbl")
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["aa", "ab"], "v": [1, 2]})
+    )
+    iceberg.append(df, t, partition_by=["k"])
+    with pytest.raises(iceberg.CommitError, match="partition spec"):
+        iceberg.rename_column(t, "k", "k2")
+    with pytest.raises(iceberg.CommitError, match="partition spec"):
+        iceberg.drop_column(t, "k")
+    # non-spec columns still evolve
+    iceberg.rename_column(t, "v", "v2")
+    assert "v2" in iceberg.read(spark, t, merge_schema=True).columns
+
+
+def test_pipeline_rejects_identity_partitioned_image_table(
+    spark, tmp_path
+):
+    import pandas as pd
+
+    from ksj2gp_spark import fixtures, pipeline as P
+
+    t = str(tmp_path / "img_tbl")
+    df = (
+        fixtures.images_df(spark, 50, with_bytes=False)
+        .drop("bytes")
+        .withColumn("pref", F.substring("image_id", 1, 3))
+    )
+    iceberg.append(df, t, partition_by=["pref"])
+    with pytest.raises(ValueError, match="identity-partitioned"):
+        P.run_tile_pipeline(
+            spark, t, fixtures.polygon_layer(), str(tmp_path / "out"),
+            scheme="grid", res=10, n_chunks=2,
+        )
