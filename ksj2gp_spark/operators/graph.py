@@ -65,18 +65,6 @@ def connected_components(
         .localCheckpoint()
     )
 
-    # Convergence probe: per-node labels are monotonically
-    # NON-INCREASING (every update is least(...) over a set containing
-    # the current label), so the fixpoint is reached exactly when
-    # sum(label) stops falling — one exact-decimal scan of the
-    # checkpointed frame per round, instead of a full self-join
-    # comparing old vs new labels.
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # 1. min label among neighbors (map-side combinable min)
         nbr = (
@@ -93,9 +81,17 @@ def connected_components(
         # least() skips nulls, so unmatched left rows keep their label.
         # l1 feeds BOTH sides of the pointer-jump self-join; checkpoint
         # it so the labels⋈nbr join runs once per round, not twice.
+        # The round's INPUT label rides along as _old so convergence is
+        # one aggregate scan of the checkpointed result — type-agnostic
+        # (string node ids work; a numeric-cast probe would NULL out
+        # and falsely converge), no old-vs-new self-join.
         l1 = (
             labels.join(nbr, "node", "left")
-            .select("node", F.least("label", "nl").alias("label"))
+            .select(
+                "node",
+                F.least("label", "nl").alias("label"),
+                F.col("label").alias("_old"),
+            )
             .localCheckpoint()
         )
         # 2. pointer jump: follow the label one hop (labels are node
@@ -104,13 +100,15 @@ def connected_components(
             F.col("node").alias("label"), F.col("label").alias("jl")
         )
         l2 = l1.join(jump, "label", "left").select(
-            "node", F.least("label", "jl").alias("label")
+            "node", F.least("label", "jl").alias("label"), "_old"
         )
-        labels = l2.localCheckpoint()
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        l2 = l2.localCheckpoint()
+        changed = l2.agg(
+            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = l2.drop("_old")
+        if not changed:
             return labels.select("node", F.col("label").alias("component"))
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

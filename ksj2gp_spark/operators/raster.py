@@ -260,14 +260,22 @@ def uncompact_cells(
     block (two ``sequence`` explodes — one per axis), so the plan is
     ONE narrow Generate chain regardless of target_res. (A per-level
     loop that unions "done" and "expanded" branches re-references its
-    own plan twice per level → 2^target_res source scans.)"""
+    own plan twice per level → 2^target_res source scans.)
+
+    Cells already at or finer than ``target_res`` pass through
+    unchanged (the compact loop's "done" semantics): the exponent is
+    clamped at 0 so their block is 1×1 and the re-encode keeps their
+    OWN resolution — an unclamped 2^(target-res) would cast to 0 and
+    Spark's sequence(0, -1) counts DOWN, emitting garbage cells."""
     gc = list(group_cols)
     cur = _decompose(df.select(*gc, cell_col), cell_col).select(
         *gc, "_res", "_i", "_j"
     )
-    side = F.pow(F.lit(2.0), (F.lit(target_res) - F.col("_res"))).cast(
-        "long"
-    )
+    side = F.pow(
+        F.lit(2.0),
+        F.greatest(F.lit(target_res) - F.col("_res"), F.lit(0)),
+    ).cast("long")
+    out_res = F.greatest(F.lit(target_res), F.col("_res"))
     return (
         cur.withColumn("_side", side)
         .withColumn(
@@ -281,7 +289,7 @@ def uncompact_cells(
         .select(
             *gc,
             _encode(
-                F.lit(target_res),
+                out_res,
                 F.col("_i") * F.col("_side") + F.col("_dx"),
                 F.col("_j") * F.col("_side") + F.col("_dy"),
             ),

@@ -134,9 +134,11 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 relevance of every document against a bag of query terms
+    """BM25 relevance of every document against a SET of query terms
     (Robertson/Sparck Jones, public formula) — the ranking step of a
-    corpus search / quality-filter lane. Returns (id_col, bm25) for
+    corpus search / quality-filter lane. Duplicate query terms are
+    deduplicated (set semantics — each term contributes once, not
+    weighted by query frequency). Returns (id_col, bm25) for
     documents containing at least one query term.
 
     Shape is the inverted-index one and every stage is JVM-side and
@@ -151,7 +153,7 @@ def bm25_scores(
     whitespace token count (size(split)), matching the SQL oracle's
     len(string_split) exactly.
     """
-    terms = [t for t in query_terms if t]
+    terms = sorted({t for t in query_terms if t})
     # dl rides through the tf groupBy as a key (functionally dependent
     # on the doc id), so there is NO per-doc dl join afterwards — a
     # (doc_id, dl) relation is O(corpus) and would either broadcast

@@ -285,6 +285,19 @@ def committed_pipeline_chunks(table_path: str) -> set[str]:
     }
 
 
+def committed_pipeline_files(table_path: str) -> set[str]:
+    """Source files (relative to the images table) whose tiles are
+    already committed — the pipeline's RESUME LEDGER. Recorded per
+    chunk in the snapshot summary, atomic with the chunk's data."""
+    if not iceberg.current_version(table_path):
+        return set()
+    meta = iceberg._load_metadata(table_path)
+    out: set[str] = set()
+    for s in meta["snapshots"]:
+        out.update(s.get("summary", {}).get("pipeline_files", []))
+    return out
+
+
 def run_tile_pipeline_iceberg(
     spark: SparkSession,
     images_path: str,
@@ -299,18 +312,20 @@ def run_tile_pipeline_iceberg(
     partition_by=None,
 ) -> dict:
     """The resumable tile pipeline writing a (optionally PARTITIONED)
-    Iceberg table: each file-group chunk commits as ONE snapshot
-    carrying its chunk id in the snapshot summary — atomically with
-    the data, under the table's commit lock — so a crashed run's
-    re-invocation skips exactly the chunks the table already holds
-    (the same transactional-watermark pattern as the streaming sink;
-    north_rule: "written as partitioned Iceberg ... resumes from the
-    last committed checkpoint without reprocessing completed
-    partitions"). ``partition_by`` (e.g.
-    ``[("admin_code", "truncate[2]")]``) fixes the table's partition
-    spec on the first commit; later chunks and re-runs inherit it.
+    Iceberg table. Each chunk commits as ONE snapshot whose summary
+    records the chunk's SOURCE FILE LIST — atomically with the data,
+    under the table's commit lock. Resume is therefore file-exact: a
+    re-run joins only files the table does not yet cover, so source
+    files that appeared between crash and resume (which re-stripe any
+    positional chunking) are neither skipped nor double-processed.
+    ``partition_by`` (e.g. ``[("admin_code", "truncate[2]")]``) fixes
+    the table's partition spec on the first commit; later chunks and
+    re-runs inherit it. (north_rule: "written as partitioned Iceberg
+    ... resumes from the last committed checkpoint without
+    reprocessing completed partitions".)
 
-    Returns {chunk_id: snapshot_id | "skipped"}.
+    Returns {chunk_id: snapshot_id} for the chunks committed by THIS
+    invocation, plus {"skipped_files": n} when the ledger skipped any.
     """
     polys_pdf = (
         polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
@@ -323,24 +338,35 @@ def run_tile_pipeline_iceberg(
             bbox[0] - pad, bbox[1] - pad, bbox[2] + pad, bbox[3] + pad
         )
     chunks = _image_file_chunks(spark, images_path, n_chunks, bbox=prune_bbox)
-    if not chunks:
-        return {}
-    chunk_ids = [f"{i:05d}" for i in range(len(chunks))]
-    file_map = dict(zip(chunk_ids, chunks))
-    committed = committed_pipeline_chunks(table_path)
+    all_files = sorted(f for c in chunks for f in c)
+    committed = committed_pipeline_files(table_path)
+    pending = [
+        f
+        for f in all_files
+        if os.path.relpath(f, images_path) not in committed
+    ]
     done: dict[str, object] = {}
-    for cid in chunk_ids:
-        if cid in committed:
-            done[cid] = "skipped"
-            continue
-        imgs = spark.read.parquet(*file_map[cid])
+    if len(pending) < len(all_files):
+        done["skipped_files"] = len(all_files) - len(pending)
+    if not pending:
+        return done
+    n = max(1, min(n_chunks, len(pending)))
+    groups = [pending[i::n] for i in range(n)]
+    for i, group in enumerate(groups):
+        cid = f"{i:05d}"
+        imgs = spark.read.parquet(*group)
         tiles = spatial.fused_assign_or_knn(
             imgs, polys_pdf, scheme=scheme, res=res, k=k_ocean, crs=crs
         )
         done[cid] = iceberg.append(
             tiles,
             table_path,
-            summary_extra={"pipeline_chunk": cid},
+            summary_extra={
+                "pipeline_chunk": cid,
+                "pipeline_files": sorted(
+                    os.path.relpath(f, images_path) for f in group
+                ),
+            },
             partition_by=partition_by,
         )
     return done

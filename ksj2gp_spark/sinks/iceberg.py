@@ -236,11 +236,17 @@ def _normalize_spec(partition_by, df: DataFrame) -> list[dict]:
     return spec
 
 
+def _truncate_width(s: dict) -> int:
+    return int(
+        re.fullmatch(r"truncate\[(\d+)\]", s["transform"]).group(1)
+    )
+
+
 def _hidden_partition_column(s: dict):
     """Directory-column name + Spark expression for a hidden transform."""
     from pyspark.sql import functions as F
 
-    w = int(re.fullmatch(r"truncate\[(\d+)\]", s["transform"]).group(1))
+    w = _truncate_width(s)
     return f"{s['name']}_trunc{w}", F.substring(F.col(s["name"]), 1, w)
 
 
@@ -260,7 +266,9 @@ def _coerce_partition_value(raw: str | None, s: dict):
         return int(raw)
     if t == "boolean":
         return raw.lower() == "true"
-    return raw  # string / date (ISO strings order correctly)
+    return raw  # string / date (dates stay ISO strings: the manifest
+    # is JSON; consumers convert — _read_files casts the lit to date,
+    # _bounds_disjoint parses before comparing)
 
 
 def _decode_partition_path(rel_path: str, spec: list[dict]) -> dict:
@@ -435,6 +443,15 @@ def _commit_locked(
             raise CommitError(
                 f"partition spec mismatch at {path}: table has "
                 f"{spec}, commit requested {want}"
+            )
+        if not spec and parent_files:
+            # legacy files carry no partition values — adopting a spec
+            # now would make them unreadable (and merge_schema would
+            # silently NULL the identity column for their rows)
+            raise CommitError(
+                f"cannot introduce a partition spec at {path}: the "
+                "table already holds unpartitioned data files "
+                "(rewrite via overwrite/compact first)"
             )
         spec = want
     identity_cols = {
@@ -684,14 +701,17 @@ def _bounds_disjoint(
         lo, hi = bounds[col]
         if s["transform"] == "identity":
             v = part.get(s["name"])
+            if v is not None and s["type"] == "date" and isinstance(v, str):
+                import datetime as _dt
+
+                # manifests keep dates as ISO strings (JSON); bounds
+                # from Spark aggregates are datetime.date — comparing
+                # mixed types would raise TypeError
+                v = _dt.date.fromisoformat(v)
             if v is not None and (v < lo or v > hi):
                 return True
         elif lo == hi and isinstance(lo, str):
-            import re as _re
-
-            w = int(
-                _re.fullmatch(r"truncate\[(\d+)\]", s["transform"]).group(1)
-            )
+            w = _truncate_width(s)
             dv = part.get(_partition_dir_col(s))
             if dv is not None and dv != lo[:w]:
                 return True

@@ -33,8 +33,20 @@ def iceberg_batch_writer(table_path: str, stream_id: str):
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         last = iceberg.last_streaming_epoch(table_path, stream_id)
-        if last is not None and epoch_id <= last:
-            return  # replay of an epoch the table already holds
+        if last is not None and epoch_id == last:
+            return  # replay of the epoch the table already holds
+        if last is not None and epoch_id < last:
+            # epochs from ONE checkpoint are strictly monotonic and a
+            # restart replays at most the last uncommitted epoch — an
+            # epoch BELOW the watermark means the stream_id is being
+            # reused with a fresh/reset checkpoint. Silently skipping
+            # would drop every batch of the new stream; fail loudly.
+            raise ValueError(
+                f"epoch {epoch_id} is below the table's committed "
+                f"watermark {last} for stream {stream_id!r}: the "
+                "checkpoint was reset or the stream_id is reused — "
+                "use a new stream_id (or table) for a new stream"
+            )
         iceberg.append(
             batch_df,
             table_path,

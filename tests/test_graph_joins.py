@@ -230,3 +230,27 @@ class TestVocabInduction:
         assert "TakeOrdered" in plan  # distributed top-k, no global sort
         rows = [(r["rank"], r["term"], r["n"]) for r in top.collect()]
         assert rows == [(1, "a", 3), (2, "b", 3)]  # ties break on term
+
+
+class TestStringNodeIds:
+    def test_components_with_string_ids(self, spark):
+        """String node ids (this repo's img/doc id style) must cluster
+        correctly — a numeric-cast convergence probe would NULL out and
+        falsely converge after one round."""
+        edges = [
+            ("img00001", "img00002"),
+            ("img00002", "img00003"),
+            ("img00003", "img00004"),
+            ("img00004", "img00005"),
+            ("docA", "docB"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == {
+            "img00001": "img00001", "img00002": "img00001",
+            "img00003": "img00001", "img00004": "img00001",
+            "img00005": "img00001", "docA": "docA", "docB": "docA",
+        }

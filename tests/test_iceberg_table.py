@@ -609,3 +609,53 @@ def test_pipeline_rejects_identity_partitioned_image_table(
             spark, t, fixtures.polygon_layer(), str(tmp_path / "out"),
             scheme="grid", res=10, n_chunks=2,
         )
+
+
+def test_spec_adoption_on_nonempty_table_refused(spark, tmp_path):
+    """Introducing a partition spec on a table that already holds
+    unpartitioned files must fail: legacy files carry no partition
+    values and would become unreadable (or silently NULL the column
+    under merge_schema)."""
+    import pandas as pd
+
+    t = str(tmp_path / "adopt_tbl")
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["aa", "ab"], "v": [1, 2]})
+    )
+    iceberg.append(df, t)  # unpartitioned
+    with pytest.raises(iceberg.CommitError, match="cannot introduce"):
+        iceberg.append(df, t, partition_by=["k"])
+    # after overwrite (fresh file set) adoption is still refused:
+    # overwrite passes parent_files=[] so it CAN establish a spec
+    iceberg.overwrite(df, t)
+    assert iceberg.read(spark, t).count() == 2
+
+
+def test_date_identity_partition_prunes_and_merges(spark, tmp_path):
+    """Date-typed identity partitions: bounds from Spark aggregates
+    are datetime.date; pruning must not TypeError against the ISO
+    strings the JSON manifest stores, and values round-trip."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t = str(tmp_path / "date_tbl")
+    rows = pd.DataFrame(
+        {
+            "d": [dt.date(2024, 1, 1)] * 3 + [dt.date(2024, 2, 1)] * 3,
+            "v": list(range(6)),
+        }
+    )
+    iceberg.append(spark.createDataFrame(rows), t, partition_by=["d"])
+    got = iceberg.read(spark, t).toPandas()
+    assert set(got["d"]) == {dt.date(2024, 1, 1), dt.date(2024, 2, 1)}
+    _, info = iceberg.scan(
+        spark, t, bounds={"d": (dt.date(2024, 2, 1), dt.date(2024, 2, 28))}
+    )
+    assert info["files_read"] < info["files_total"]
+    out = iceberg.delete_where(
+        spark, t, "d = DATE'2024-01-01'",
+        bounds={"d": (dt.date(2024, 1, 1), dt.date(2024, 1, 1))},
+    )
+    assert out["rows_deleted"] == 3 and out["files_kept"] > 0
+    assert iceberg.read(spark, t).count() == 3

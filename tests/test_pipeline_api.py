@@ -283,8 +283,10 @@ def test_incremental_pipeline_processes_only_new_files(spark, tmp_path):
 
 def test_iceberg_pipeline_resumes_without_duplicates(spark, tmp_path):
     """run_tile_pipeline_iceberg: a crash mid-run leaves committed
-    chunk snapshots; the re-run skips exactly those and the final
-    table equals a one-shot run — partitioned per the spec."""
+    chunk snapshots; files that land AFTER the crash re-stripe any
+    positional chunking, so resume must be file-exact — nothing
+    skipped, nothing double-processed — and the final table must equal
+    a one-shot run over the full file set, partitioned per the spec."""
     from ksj2gp_spark import pipeline as P
     from ksj2gp_spark.sinks import iceberg as I
 
@@ -308,7 +310,6 @@ def test_iceberg_pipeline_resumes_without_duplicates(spark, tmp_path):
 
     import ksj2gp_spark.pipeline as pmod
 
-    orig = pmod.iceberg.append
     pmod.iceberg.append = crashing_append
     try:
         try:
@@ -320,33 +321,46 @@ def test_iceberg_pipeline_resumes_without_duplicates(spark, tmp_path):
         except RuntimeError:
             pass
     finally:
-        pmod.iceberg.append = orig
+        pmod.iceberg.append = real_append
 
     assert len(P.committed_pipeline_chunks(tbl)) == 2
+    n_committed_files = len(P.committed_pipeline_files(tbl))
+    assert n_committed_files > 0
 
-    # resume: remaining chunks commit, committed ones skip
+    # a NEW source file lands between crash and resume — positional
+    # chunk ids would re-stripe and silently skip/duplicate
+    fixtures.images_df(spark, 1500, with_bytes=False, partitions=1).drop(
+        "bytes"
+    ).filter("image_id >= 'img00001200'").write.mode("append").parquet(src)
+
     done = P.run_tile_pipeline_iceberg(
         spark, src, polys, tbl, scheme="grid", res=10,
         n_chunks=4, partition_by=spec,
     )
-    assert sum(1 for v in done.values() if v == "skipped") == 2
+    assert done["skipped_files"] == n_committed_files
 
-    got = I.read(spark, tbl)
-    # one-shot reference
-    ref = P.run_tile_pipeline_iceberg(
-        spark, src, polys, str(tmp_path / "ref_tbl"), scheme="grid",
-        res=10, n_chunks=4, partition_by=spec,
+    got = I.read(spark, tbl).toPandas()
+    # reference: one-shot over the FULL final file set
+    ref_tbl = str(tmp_path / "ref_tbl")
+    P.run_tile_pipeline_iceberg(
+        spark, src, polys, ref_tbl, scheme="grid", res=10,
+        n_chunks=4, partition_by=spec,
     )
-    assert len(ref) == 4
-    ref_df = I.read(spark, str(tmp_path / "ref_tbl"))
-    a = got.toPandas().sort_values(["image_id", "rank", "polygon_id"])
-    b = ref_df.toPandas().sort_values(["image_id", "rank", "polygon_id"])
+    ref = I.read(spark, ref_tbl).toPandas()
+    key = ["image_id", "rank", "polygon_id"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b)
-    assert (
-        a.reset_index(drop=True)[sorted(a.columns)]
-        .equals(b.reset_index(drop=True)[sorted(b.columns)])
-    )
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+    assert a["image_id"].nunique() == 1500
+    assert not a.duplicated(key).any()
     # hive layout per the hidden spec
     assert all(
         "admin_code_trunc2=" in f["path"] for f in I._live_files(tbl)
     )
+    # a further re-run is a complete no-op
+    done3 = P.run_tile_pipeline_iceberg(
+        spark, src, polys, tbl, scheme="grid", res=10,
+        n_chunks=4, partition_by=spec,
+    )
+    assert set(done3) == {"skipped_files"}

@@ -228,3 +228,26 @@ class TestZonalStats:
             (cx >= 139.0) & (cx <= 141.0) & (cy >= 35.0) & (cy <= 36.4)
         )
         assert bbox_mask.sum() > mask.sum()
+
+
+def test_uncompact_keeps_finer_cells_unchanged(spark):
+    """Cells already at or finer than target_res pass through with
+    their own resolution — a res-5 cell under target 4 must come back
+    verbatim (an unclamped 2^(target-res) would emit garbage)."""
+    from ksj2gp_spark.operators.raster import uncompact_cells
+
+    res5 = (5 << 58) + (9 << 29) + 7
+    res3 = (3 << 58) + (2 << 29) + 1
+    df = spark.createDataFrame(
+        [("a", res5), ("a", res3)], "admin_code string, cell long"
+    )
+    got = sorted(
+        r["cell"] for r in uncompact_cells(df, target_res=4).collect()
+    )
+    # res-5 unchanged; res-3 expands into its 2x2 res-4 children
+    kids = sorted(
+        (4 << 58) + ((2 * 2 + dx) << 29) + (1 * 2 + dy)
+        for dx in (0, 1)
+        for dy in (0, 1)
+    )
+    assert got == sorted([res5] + kids)

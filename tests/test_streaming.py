@@ -448,3 +448,25 @@ def test_stream_to_iceberg_exactly_once(spark, tmp_path):
     got = iceberg.read(spark, table).toPandas()
     assert len(got) == 600
     assert got["image_id"].nunique() == 600
+
+
+def test_iceberg_sink_rejects_epoch_below_watermark(spark, tmp_path):
+    """Reusing a stream_id with a reset checkpoint restarts epochs at
+    0 below the committed watermark — that must raise, not silently
+    drop every batch of the new stream."""
+    import pytest as _pytest
+
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.sinks import iceberg
+    from ksj2gp_spark.streaming.iceberg_sink import iceberg_batch_writer
+
+    table = str(tmp_path / "wm_tbl")
+    df = fixtures.images_df(spark, 10, with_bytes=False).drop("bytes")
+    w = iceberg_batch_writer(table, "stream-A")
+    w(df, 0)
+    w(df, 5)
+    assert iceberg.last_streaming_epoch(table, "stream-A") == 5
+    w(df, 5)  # replay of the last epoch: no-op
+    assert iceberg.read(spark, table).count() == 20
+    with _pytest.raises(ValueError, match="below the table's committed"):
+        w(df, 1)
