@@ -841,6 +841,45 @@ FROM cells c JOIN polys p
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) with first-touch
+    attribution and exact microsecond lag sums
+    (operators/stats.py::funnel)."""
+    from ksj2gp_spark.operators.stats import funnel
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, MIN(s1.t) AS pt
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, MIN(s2.t) AS pt
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+       COUNT(*) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us
+FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), 'click', COUNT(*),
+       CAST(COALESCE(SUM(epoch_us(t) - epoch_us(pt)), 0) AS BIGINT)
+FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', COUNT(*),
+       CAST(COALESCE(SUM(epoch_us(t) - epoch_us(pt)), 0) AS BIGINT)
+FROM s3
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-100 corpus terms with support ≥ 3
     (operators/text.py::vocab_induction — map-side-combinable counts +
@@ -2499,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_admin": q_zonal_stats,
         "dwithin_admin": q_dwithin,
         "vocab_topk": q_vocab_topk,
+        "event_funnel": q_event_funnel,
     }
 
 
@@ -2584,4 +2624,5 @@ GROUP BY p.admin_code
         "zonal_stats_admin": _zonal_sql(),
         "dwithin_admin": _dwithin_sql(),
         "vocab_topk": _VOCAB_SQL,
+        "event_funnel": _FUNNEL_SQL,
     }

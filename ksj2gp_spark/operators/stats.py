@@ -78,3 +78,64 @@ def exact_group_quantiles(
         .filter(F.col("_q.t") == F.col("_rn"))
         .select(*group_cols, F.col("_q.q").alias("q"), "value")
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each step k, the users whose
+    earliest step-k event STRICTLY FOLLOWS their committed step-(k-1)
+    time (first-touch attribution — the standard funnel rule). Returns
+    one row per step: (step, event_type, n_users, sum_lag_us) where
+    sum_lag_us is the exact total microseconds between consecutive
+    committed step times (0 for step 1) — BIGINT arithmetic any SQL
+    engine reproduces.
+
+    Shape: one filtered min-aggregate per step, each joined to the
+    previous step's (user, time) frame — user-keyed shuffles that
+    co-partition after the first; per-step results are single-row
+    aggregates unioned at the end. No windows over the full event
+    stream, no per-user state."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    parts = []
+    prev: DataFrame | None = None
+    for k, step_type in enumerate(steps, 1):
+        cur = df.filter(F.col(type_col) == step_type)
+        if prev is None:
+            agg = cur.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+            lag = F.lit(0).cast("long")
+        else:
+            j = cur.join(
+                prev.select(user_col, F.col("_t").alias("_pt")), user_col
+            ).filter(F.col(ts_col) > F.col("_pt"))
+            # _pt is constant per user; min() carries it through
+            agg = j.groupBy(user_col).agg(
+                F.min(ts_col).alias("_t"), F.min("_pt").alias("_pt")
+            )
+            # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros
+            # needs TIMESTAMP — the session runs UTC, so the cast is a
+            # pure reinterpretation and matches DuckDB's epoch_us on
+            # the same naive values
+            lag = F.unix_micros(
+                F.col("_t").cast("timestamp")
+            ) - F.unix_micros(F.col("_pt").cast("timestamp"))
+        parts.append(
+            agg.agg(
+                F.lit(k).alias("step"),
+                F.lit(step_type).alias("event_type"),
+                F.count("*").alias("n_users"),
+                F.coalesce(F.sum(lag), F.lit(0)).cast("long").alias(
+                    "sum_lag_us"
+                ),
+            )
+        )
+        prev = agg.select(user_col, "_t")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

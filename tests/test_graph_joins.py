@@ -254,3 +254,48 @@ class TestStringNodeIds:
             "img00003": "img00001", "img00004": "img00001",
             "img00005": "img00001", "docA": "docA", "docB": "docA",
         }
+
+
+class TestFunnel:
+    def test_strict_ordering_and_lags(self, spark):
+        import datetime as dt
+
+        from ksj2gp_spark.operators.stats import funnel
+
+        T = dt.datetime
+        rows = [
+            # u1 completes in order: view@0, click@10s, purchase@25s
+            (1, T(2024, 1, 1, 0, 0, 0), "view"),
+            (1, T(2024, 1, 1, 0, 0, 10), "click"),
+            (1, T(2024, 1, 1, 0, 0, 25), "purchase"),
+            # u2 clicks BEFORE viewing -> stops at step 1
+            (2, T(2024, 1, 1, 0, 0, 5), "click"),
+            (2, T(2024, 1, 1, 0, 0, 9), "view"),
+            # u3 views+clicks, never purchases; first click pre-view
+            # is ignored, the later one counts (first AFTER view)
+            (3, T(2024, 1, 1, 0, 0, 0), "click"),
+            (3, T(2024, 1, 1, 0, 0, 2), "view"),
+            (3, T(2024, 1, 1, 0, 0, 8), "click"),
+            # u4 only purchases -> no steps at all
+            (4, T(2024, 1, 1, 0, 0, 1), "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r["step"]: (r["event_type"], r["n_users"], r["sum_lag_us"])
+            for r in funnel(df, ["view", "click", "purchase"]).collect()
+        }
+        assert got[1] == ("view", 3, 0)            # u1, u2, u3
+        # u1 lag 10s, u3 lag 6s -> 16s total
+        assert got[2] == ("click", 2, 16_000_000)
+        assert got[3] == ("purchase", 1, 15_000_000)  # u1: 25s-10s
+
+    def test_rejects_empty_steps(self, spark):
+        from ksj2gp_spark.operators.stats import funnel
+
+        df = spark.createDataFrame(
+            [(1,)], "user_id long"
+        )
+        with pytest.raises(ValueError):
+            funnel(df, [])
