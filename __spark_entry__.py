@@ -994,6 +994,51 @@ GROUP BY p.polygon_id, p.admin_code
 """
 
 
+def q_dissolve_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve admin polygons by prefecture prefix at res 12
+    (operators/raster.py::dissolve = exact rasterize → relabel →
+    polygonize; shared boundaries between same-pref polygons cancel).
+    The SQL-checkable invariant: Σ signed ring areas per pref = the
+    pref's distinct center-covered cell count, which the oracle
+    computes relationally from the same grid."""
+    from ksj2gp_spark.operators.raster import dissolve
+
+    rings = dissolve(
+        spark,
+        fixtures.polygon_layer(),
+        res=12,
+        group_expr=F.substring("admin_code", 1, 2),
+    )
+    return rings.groupBy(F.col("admin_code").alias("pref")).agg(
+        F.round(F.sum("area_cells")).cast("long").alias("n_cells")
+    )
+
+
+def _dissolve_sql() -> str:
+    res = 12
+    size = 360.0 / (1 << res)
+    i0 = int(np.floor((fixtures.LON0 + 180.0) / size))
+    i1 = int(np.floor((fixtures.LON1 + 180.0) / size))
+    j0 = int(np.floor((fixtures.LAT0 + 90.0) / size))
+    j1 = int(np.floor((fixtures.LAT1 + 90.0) / size))
+    return f"""
+WITH {_polys_values_sql()},
+cells AS (
+  SELECT {res} * 288230376151711744 + i.i * 536870912 + j.j AS cell,
+         (i.i + 0.5) * {size!r} - 180.0 AS cx,
+         (j.j + 0.5) * {size!r} - 90.0 AS cy
+  FROM generate_series({i0}, {i1}) AS i(i)
+  CROSS JOIN generate_series({j0}, {j1}) AS j(j)
+)
+SELECT substring(p.admin_code, 1, 2) AS pref,
+       COUNT(DISTINCT c.cell) AS n_cells
+FROM cells c JOIN polys p
+  ON c.cx >= p.xmin AND c.cx <= p.xmax
+ AND c.cy >= p.ymin AND c.cy <= p.ymax
+GROUP BY 1
+"""
+
+
 def q_compact_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical cell compaction (operators/raster.py::compact_cells,
     H3-compact semantics on the grid scheme): the res-12 admin raster
@@ -2539,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_admin": q_dwithin,
         "vocab_topk": q_vocab_topk,
         "event_funnel": q_event_funnel,
+        "dissolve_pref": q_dissolve_pref,
     }
 
 
@@ -2625,4 +2671,5 @@ GROUP BY p.admin_code
         "dwithin_admin": _dwithin_sql(),
         "vocab_topk": _VOCAB_SQL,
         "event_funnel": _FUNNEL_SQL,
+        "dissolve_pref": _dissolve_sql(),
     }

@@ -361,3 +361,78 @@ def zonal_stats(
         )
         .withColumnRenamed(admin_col, "admin_code")
     )
+
+
+def rasterize_layer(
+    spark,
+    polygons_pdf,
+    res: int,
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """Exact polygon rasterization: every grid cell (geo/grid.py ids at
+    ``res``) whose CENTER a polygon covers → (cell, polygon_id,
+    admin_code). The cell grid spans the layer's bbox and is generated
+    relationally (range × range — no driver-side cell list); center
+    assignment goes through the same candidate-join + vectorized-covers
+    refine as the tile lane, so concave/holed layers rasterize
+    exactly."""
+    from ..geo import wkb as _wkb
+    from . import spatial as sp
+    from .cells import normalize_polygons, polygon_cover_pdf, with_cell
+
+    polys = normalize_polygons(polygons_pdf)
+    size = 360.0 / (1 << res)
+    xmin = ymin = float("inf")
+    xmax = ymax = float("-inf")
+    for _, row in polys.iterrows():
+        x0, y0, x1, y1 = _wkb.loads(bytes(row["geometry"])).bounds()
+        xmin, ymin = min(xmin, x0), min(ymin, y0)
+        xmax, ymax = max(xmax, x1), max(ymax, y1)
+    i0, i1 = int((xmin + 180.0) // size), int((xmax + 180.0) // size)
+    j0, j1 = int((ymin + 90.0) // size), int((ymax + 90.0) // size)
+    cells = (
+        spark.range(i0, i1 + 1)
+        .select(F.col("id").alias("_i"))
+        .crossJoin(spark.range(j0, j1 + 1).select(F.col("id").alias("_j")))
+        .select(
+            _encode(F.lit(res), F.col("_i"), F.col("_j")).alias("_rcell"),
+            ((F.col("_i") + F.lit(0.5)) * size - 180.0).alias("lon"),
+            ((F.col("_j") + F.lit(0.5)) * size - 90.0).alias("lat"),
+        )
+    )
+    join_res = sp.DEFAULT_RES["grid"]
+    cover = spark.createDataFrame(
+        polygon_cover_pdf(polys, "grid", join_res, extra_cols=(admin_col,))
+    )
+    cand = sp.candidate_join(with_cell(cells, "grid", join_res), cover)
+    refined = sp.refine_pip(
+        cand, polys, ["_rcell", "polygon_id", admin_col]
+    )
+    return refined.select(
+        F.col("_rcell").alias("cell"),
+        "polygon_id",
+        F.col(admin_col).alias("admin_code"),
+    )
+
+
+def dissolve(
+    spark,
+    polygons_pdf,
+    res: int,
+    group_expr,
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """Dissolve (merge) polygons by a group expression at grid
+    resolution ``res``: rasterize the layer exactly (center-in), relabel
+    each cell with ``group_expr`` (a Column over ``admin_code``), and
+    polygonize per group — shared boundaries BETWEEN same-group
+    polygons cancel in the edge-cancellation pass, so adjacent members
+    fuse into one ring (the defining dissolve behavior). Returns
+    vectorize_cells' ring rows keyed by the group value in
+    ``admin_code``; Σ area_cells per group = the group's distinct cell
+    count (the SQL-checkable invariant)."""
+    ras = rasterize_layer(spark, polygons_pdf, res, admin_col=admin_col)
+    regrouped = ras.select(
+        group_expr.alias("admin_code"), "cell"
+    ).dropDuplicates(["admin_code", "cell"])
+    return vectorize_cells(regrouped, res)

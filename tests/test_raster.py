@@ -251,3 +251,46 @@ def test_uncompact_keeps_finer_cells_unchanged(spark):
         for dy in (0, 1)
     )
     assert got == sorted([res5] + kids)
+
+
+def test_dissolve_merges_adjacent_same_group_polygons(spark):
+    """Two adjacent rectangles in one group fuse into ONE outer ring
+    (their shared boundary cancels); the same pair in different groups
+    stays two rings. Cell-count invariant holds either way."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ksj2gp_spark.geo import wkb as W
+    from ksj2gp_spark.operators.raster import dissolve
+
+    res = 12
+    size = 360.0 / (1 << res)
+    # two rectangles sharing the vertical edge x = 139 + 16*size,
+    # each 16x8 cells, grid-aligned
+    x0 = 139.0
+    xm = x0 + 16 * size
+    x1 = x0 + 32 * size
+    y0, y1 = 35.0, 35.0 + 8 * size
+    def rect(a, b):
+        return W.polygon([(a, y0), (b, y0), (b, y1), (a, y1), (a, y0)])
+
+    polys = pd.DataFrame(
+        {
+            "polygon_id": ["A", "B"],
+            "行政区域コード": ["13101", "13202"],
+            "geometry": [rect(x0, xm), rect(xm, x1)],
+        }
+    )
+    merged = dissolve(
+        spark, polys, res, F.substring("admin_code", 1, 2)
+    ).toPandas()
+    assert set(merged["admin_code"]) == {"13"}
+    assert len(merged) == 1  # ONE fused ring, no hole
+    assert round(merged["area_cells"].sum()) == 16 * 8 * 2
+
+    split = dissolve(
+        spark, polys, res, F.col("admin_code")
+    ).toPandas()
+    assert len(split) == 2  # separate groups keep separate rings
+    assert sorted(round(a) for a in split["area_cells"]) == [128, 128]
