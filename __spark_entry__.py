@@ -2136,6 +2136,95 @@ QUALIFY rank <= 5
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (similarity.kmeans_lloyd) on the
+    planted 8-cluster vectors, 2 iterations from deterministic seeds
+    (vec_id 0..7). The oracle replays BOTH iterations relationally —
+    assignment argmin with (distance, cluster) tie order, per-dim AVG
+    centroid update — and the planted separation (intra ≈ 0, inter ≈
+    1.4) makes the trajectory float-robust. Output: per-cluster size +
+    the first 4 centroid dims of the final assignment."""
+    from ksj2gp_spark.operators.similarity import kmeans_lloyd
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    planted = e.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.when(i == F.col("vec_id") % 8, F.lit(1.0)).otherwise(F.lit(0.0))
+                + ((F.col("vec_id") * 31 + i * 17) % 7 - 3).cast("double") * 0.01
+            ),
+        ).alias("embedding"),
+    )
+    a = kmeans_lloyd(planted, k=8, dim=16, n_iter=2)
+    return (
+        planted.join(a, "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            # round + add 0.0: sub-1e-6 residues round to NEGATIVE zero
+            # on one engine and positive on the other; -0.0 + 0.0 is
+            # +0.0 in IEEE, so both sides canonicalize identically
+            *[
+                (F.round(F.avg(F.col("embedding")[j]), 6) + F.lit(0.0))
+                .alias(f"c{j}")
+                for j in range(4)
+            ],
+        )
+    )
+
+
+def _kmeans_sql() -> str:
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, 16), "
+            f"j -> ({v}.vec[j] - {c}.vec[j]) * ({v}.vec[j] - {c}.vec[j])))"
+        )
+
+    return f"""
+WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 200),
+v AS (
+  SELECT vec_id,
+         list_transform(
+           generate_series(0, 15),
+           i -> (CASE WHEN i = vec_id % 8 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+                + CAST((vec_id * 31 + i * 17) % 7 - 3 AS DOUBLE) * 0.01
+         ) AS vec
+  FROM ids
+),
+c0 AS (SELECT vec_id AS cl, vec FROM v WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, v.vec, c.cl, {dist("v", "c")} AS d
+  FROM v CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, vec, cl AS cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+),
+c1 AS (
+  SELECT cluster AS cl, list(m ORDER BY j) AS vec FROM (
+    SELECT a1.cluster, t.j, AVG(a1.vec[t.j]) AS m
+    FROM a1, generate_series(1, 16) t(j)
+    GROUP BY a1.cluster, t.j
+  ) GROUP BY cluster
+),
+d2 AS (
+  SELECT v.vec_id, v.vec, c.cl, {dist("v", "c")} AS d
+  FROM v CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, vec, cl AS cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+)
+SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n_members,
+       round(AVG(vec[1]), 6) + 0.0 AS c0, round(AVG(vec[2]), 6) + 0.0 AS c1,
+       round(AVG(vec[3]), 6) + 0.0 AS c2, round(AVG(vec[4]), 6) + 0.0 AS c3
+FROM a2 GROUP BY cluster
+"""
+
+
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup candidates by banded perceptual hash (LSH over
     Hamming space) verified by exact bit_count distance — all JVM-side.
@@ -2585,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "event_funnel": q_event_funnel,
         "dissolve_pref": q_dissolve_pref,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -2672,4 +2762,5 @@ GROUP BY p.admin_code
         "vocab_topk": _VOCAB_SQL,
         "event_funnel": _FUNNEL_SQL,
         "dissolve_pref": _dissolve_sql(),
+        "kmeans_clusters": _kmeans_sql(),
     }

@@ -202,3 +202,67 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, id_col: str = "vec_id") -> 
     hit = e.join(a, [id_col, "neighbor_id"]).count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_ids: list[int] | None = None,
+) -> DataFrame:
+    """Fully DISTRIBUTED Lloyd k-means over an embedding column (the
+    ivf_topk fit is driver-side on a sample; this is the whole-table
+    trainer). Deterministic: centroids initialize from the vectors
+    with ``init_ids`` (default ids 0..k-1), the assign step is a
+    codegen'd argmin over k broadcast-literal centroids (squared
+    euclidean via zip_with/aggregate; first-min ties), and the update
+    step is per-dimension AVG — one map-side-combinable aggregation.
+    Per iteration: one shuffle (the k-row centroid aggregate) + one
+    k×dim collect (the legitimate driver-side aggregate); the vector
+    table itself never moves. Empty clusters keep their previous
+    centroid. Returns the LAST iteration's assignment
+    (id_col, cluster)."""
+    init = init_ids if init_ids is not None else list(range(k))
+    rows = (
+        df.filter(F.col(id_col).isin(init))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) != k:
+        raise ValueError(f"init_ids matched {len(rows)} rows, need {k}")
+    cents = [[float(x) for x in r[0]] for r in rows]
+    assigned = None
+    for _ in range(n_iter):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(c_j) for c_j in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        assigned = df.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+        cent_rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col(vec_col)[j]).alias(f"c{j}") for j in range(dim)])
+            .collect()
+        )
+        by_cl = {
+            int(r["cluster"]): [float(r[f"c{j}"]) for j in range(dim)]
+            for r in cent_rows
+        }
+        cents = [by_cl.get(i, cents[i]) for i in range(k)]
+    return assigned.select(id_col, "cluster")

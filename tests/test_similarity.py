@@ -60,3 +60,45 @@ def test_assign_lists_partition(spark, emb):
     assert lists["list_id"].between(0, 7).all()
     sizes = lists.groupby("list_id").size()
     assert len(sizes) >= 4  # vectors actually spread across lists
+
+
+class TestKmeansLloyd:
+    def test_recovers_planted_clusters(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from ksj2gp_spark.operators.similarity import kmeans_lloyd
+
+        rng = np.random.default_rng(3)
+        k, per, dim = 4, 30, 8
+        rows = []
+        for c in range(k):
+            center = np.zeros(dim)
+            center[c] = 10.0
+            for m in range(per):
+                v = center + rng.normal(0, 0.05, dim)
+                rows.append((c * per + m, [float(x) for x in v]))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        # seeds: one vector from each planted cluster
+        got = kmeans_lloyd(
+            df, k=k, dim=dim, n_iter=3,
+            init_ids=[0, per, 2 * per, 3 * per],
+        ).toPandas()
+        got["true"] = got["vec_id"] // per
+        # cluster labels == seed order == planted order here
+        assert (got["cluster"] == got["true"]).all()
+
+    def test_bad_init_raises(self, spark):
+        import pandas as pd
+
+        from ksj2gp_spark.operators.similarity import kmeans_lloyd
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 2.0]]})
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="init_ids"):
+            kmeans_lloyd(df, k=3, dim=2)
