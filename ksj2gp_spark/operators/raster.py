@@ -382,6 +382,10 @@ def rasterize_layer(
 
     polys = normalize_polygons(polygons_pdf)
     size = 360.0 / (1 << res)
+    if len(polys) == 0:  # degenerate but legal: empty result, not inf//size
+        return spark.createDataFrame(
+            [], "cell long, polygon_id string, admin_code string"
+        )
     xmin = ymin = float("inf")
     xmax = ymax = float("-inf")
     for _, row in polys.iterrows():

@@ -228,15 +228,17 @@ def kmeans_lloyd(
     init = init_ids if init_ids is not None else list(range(k))
     rows = (
         df.filter(F.col(id_col).isin(init))
-        .orderBy(id_col)
-        .select(vec_col)
+        .select(id_col, vec_col)
         .collect()
     )
     if len(rows) != k:
         raise ValueError(f"init_ids matched {len(rows)} rows, need {k}")
-    cents = [[float(x) for x in r[0]] for r in rows]
+    # preserve the CALLER's seed order: cluster c is seeded from
+    # init_ids[c] (a sorted fetch would silently permute the labels)
+    by_id = {r[0]: [float(x) for x in r[1]] for r in rows}
+    cents = [by_id[i] for i in init]
     assigned = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         dists = F.array(
             *[
                 F.aggregate(
@@ -255,8 +257,13 @@ def kmeans_lloyd(
             "cluster",
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
         )
+        if it == n_iter - 1:
+            break  # the last update would be computed and discarded
         cent_rows = (
-            assigned.groupBy("cluster")
+            # null/short vectors assign to cluster NULL — they carry no
+            # information for the update (and int(None) would crash it)
+            assigned.filter(F.col("cluster").isNotNull())
+            .groupBy("cluster")
             .agg(*[F.avg(F.col(vec_col)[j]).alias(f"c{j}") for j in range(dim)])
             .collect()
         )

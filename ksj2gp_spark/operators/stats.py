@@ -117,13 +117,15 @@ def funnel(
             agg = j.groupBy(user_col).agg(
                 F.min(ts_col).alias("_t"), F.min("_pt").alias("_pt")
             )
-            # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros
-            # needs TIMESTAMP — the session runs UTC, so the cast is a
-            # pure reinterpretation and matches DuckDB's epoch_us on
-            # the same naive values
-            lag = F.unix_micros(
-                F.col("_t").cast("timestamp")
-            ) - F.unix_micros(F.col("_pt").cast("timestamp"))
+            # timestampdiff on the NAIVE values: pure calendar
+            # arithmetic, independent of spark.sql.session.timeZone —
+            # a cast-to-TIMESTAMP detour would re-interpret both in
+            # session local time and drift across DST transitions
+            lag = F.expr("timestampdiff(MICROSECOND, _pt, _t)")
+        # materialize: each later step joins against this frame, and
+        # an uncached lineage chain re-executes every earlier step's
+        # subplan inside every later part — O(steps²) event-table scans
+        agg = agg.localCheckpoint()
         parts.append(
             agg.agg(
                 F.lit(k).alias("step"),

@@ -299,3 +299,35 @@ class TestFunnel:
         )
         with pytest.raises(ValueError):
             funnel(df, [])
+
+
+class TestFunnelTz:
+    def test_lag_is_timezone_independent(self, spark):
+        """timestampdiff on naive values: the lag must not change with
+        spark.sql.session.timeZone (a cast-to-TIMESTAMP detour would
+        drift across DST transitions)."""
+        import datetime as dt
+
+        from ksj2gp_spark.operators.stats import funnel
+
+        # straddle the US DST spring-forward (2024-03-10 02:00 local)
+        rows = [
+            (1, dt.datetime(2024, 3, 10, 1, 30), "view"),
+            (1, dt.datetime(2024, 3, 10, 3, 30), "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, event_type string"
+        )
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            lags = {}
+            for tz in ("UTC", "America/New_York"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                r = {
+                    row["step"]: row["sum_lag_us"]
+                    for row in funnel(df, ["view", "click"]).collect()
+                }
+                lags[tz] = r[2]
+            assert lags["UTC"] == lags["America/New_York"] == 7_200_000_000
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)

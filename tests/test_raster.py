@@ -294,3 +294,16 @@ def test_dissolve_merges_adjacent_same_group_polygons(spark):
     ).toPandas()
     assert len(split) == 2  # separate groups keep separate rings
     assert sorted(round(a) for a in split["area_cells"]) == [128, 128]
+
+
+def test_rasterize_layer_empty_input(spark):
+    import pandas as pd
+
+    from ksj2gp_spark.operators.raster import rasterize_layer
+
+    empty = pd.DataFrame(
+        columns=["polygon_id", "行政区域コード", "geometry"]
+    )
+    got = rasterize_layer(spark, empty, res=12)
+    assert got.count() == 0
+    assert got.columns == ["cell", "polygon_id", "admin_code"]

@@ -102,3 +102,31 @@ class TestKmeansLloyd:
 
         with _pytest.raises(ValueError, match="init_ids"):
             kmeans_lloyd(df, k=3, dim=2)
+
+
+class TestKmeansEdgeCases:
+    def test_init_order_preserved_and_nulls_skipped(self, spark):
+        import pandas as pd
+
+        from ksj2gp_spark.operators.similarity import kmeans_lloyd
+
+        rows = pd.DataFrame(
+            {
+                "vec_id": [7, 42, 100, 101, 102],
+                "embedding": [
+                    [0.0, 10.0], [10.0, 0.0],
+                    [9.9, 0.1], [0.1, 9.9], None,
+                ],
+            }
+        )
+        df = spark.createDataFrame(rows)
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_lloyd(
+                df, k=2, dim=2, n_iter=2, init_ids=[42, 7]
+            ).collect()
+        }
+        # cluster 0 seeded from vec 42 = (10, 0): members 42, 100
+        assert got[42] == 0 and got[100] == 0
+        assert got[7] == 1 and got[101] == 1
+        assert got[102] is None  # null vector -> null cluster, no crash
