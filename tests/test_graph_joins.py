@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -331,3 +332,35 @@ class TestFunnelTz:
             assert lags["UTC"] == lags["America/New_York"] == 7_200_000_000
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
+
+
+class TestRangeJoinRandomSweep:
+    def test_500x100_random_cases_match_naive(self, spark):
+        """Seeded randomized sweep in ONE job: 500 points × 100
+        intervals with negative domains, zero-width and inverted
+        intervals, and a bin size that divides nothing."""
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        pts = rng.uniform(-50, 50, 500)
+        los = rng.uniform(-55, 45, 100)
+        widths = rng.uniform(-2, 15, 100)  # some inverted/empty
+        his = los + widths
+        p = spark.createDataFrame(
+            pd.DataFrame({"p_id": np.arange(500), "v": pts})
+        )
+        iv = spark.createDataFrame(
+            pd.DataFrame(
+                {"iv_id": np.arange(100), "lo": los, "hi": his}
+            )
+        )
+        got = sorted(
+            (r["p_id"], r["iv_id"])
+            for r in range_join(p, iv, "v", "lo", "hi", 3.7).collect()
+        )
+        mask = (pts[:, None] >= los[None, :]) & (pts[:, None] < his[None, :])
+        want = sorted(
+            (int(i), int(j)) for i, j in np.argwhere(mask)
+        )
+        assert got == want
+        assert len(want) > 1000  # the sweep actually exercises matches
