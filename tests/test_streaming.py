@@ -470,3 +470,52 @@ def test_iceberg_sink_rejects_epoch_below_watermark(spark, tmp_path):
     assert iceberg.read(spark, table).count() == 20
     with _pytest.raises(ValueError, match="below the table's committed"):
         w(df, 1)
+
+
+def test_windowed_agg_streams_into_iceberg(spark, tmp_path, event_dir):
+    """End-to-end composition: file stream → watermarked tumbling
+    window counts → exactly-once Iceberg appends. After both delivery
+    waves the table's FINALIZED windows must equal the batch
+    aggregation over the same data (append mode only emits windows the
+    watermark has closed), and re-running with the same checkpoint
+    adds nothing."""
+    from pyspark.sql import functions as F
+
+    from ksj2gp_spark.sinks import iceberg
+    from ksj2gp_spark.streaming import events as se
+    from ksj2gp_spark.streaming.iceberg_sink import run_stream_to_iceberg
+
+    src, _files, _staged = event_dir
+    table = str(tmp_path / "win_tbl")
+    ckpt = str(tmp_path / "ckpt_win")
+
+    for _ in range(2):  # two availableNow runs over the growing source
+        stream = se.read_event_stream(spark, src, max_files=1)
+        agg = se.windowed_event_counts(stream)
+        q = run_stream_to_iceberg(agg, table, ckpt)
+        q.awaitTermination(180)
+
+    got = iceberg.read(spark, table).toPandas()
+    # exactly-once: one row per (window, type)
+    assert not got.duplicated(["window_start", "event_type"]).any()
+
+    batch = (
+        se.windowed_event_counts(spark.read.parquet(src))
+        .toPandas()
+        .set_index(["window_start", "event_type"])
+    )
+    got_i = got.set_index(["window_start", "event_type"])
+    # every emitted (finalized) window matches the batch answer exactly
+    assert len(got_i) > 0
+    for idx, row in got_i.iterrows():
+        assert row["n_events"] == batch.loc[idx, "n_events"], idx
+        assert row["sum_value_cents"] == batch.loc[idx, "sum_value_cents"]
+
+    # idempotent re-run: no new snapshots of data
+    before = iceberg.read(spark, table).count()
+    stream = se.read_event_stream(spark, src, max_files=1)
+    q = run_stream_to_iceberg(
+        se.windowed_event_counts(stream), table, ckpt
+    )
+    q.awaitTermination(120)
+    assert iceberg.read(spark, table).count() == before
