@@ -28,7 +28,9 @@ Layout::
       metadata/version-hint.text      # current metadata version
       metadata/v{N}.metadata.json     # schema + snapshot log + current id
       metadata/snap-{id}.json         # manifest: data files + stats
-      data/snap-{id}/part-*.parquet   # immutable data files
+      data/snap-{id}/part-*.parquet   # immutable data files (hive
+      data/snap-{id}/k=v/part-*.parquet # key=value dirs when a
+                                        # partition spec is set)
 
 On a real cluster the same protocol works on any atomic-rename store
 (HDFS); for S3-class stores the hint swap would go through a catalog
@@ -999,7 +1001,9 @@ def scan(
     snapshot_id: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Manifest-pruned scan: ``bounds`` maps column → (lo, hi); files
-    whose stats ranges don't overlap are never opened. Returns
+    whose stats ranges don't overlap are never opened, and partition
+    values prune too (identity partitions by range, hidden truncate
+    partitions by prefix on equality bounds). Returns
     (DataFrame, {"files_total", "files_read"}) so callers/tests can see
     the pruning. The residual predicate must still be applied by the
     caller (stats prune files, they don't filter rows)."""
