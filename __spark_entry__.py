@@ -880,6 +880,64 @@ FROM s3
 """
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing with PLANTED targets: every doc_id % 5 == 0
+    gets a deterministic email appended and every doc_id % 7 == 0 a
+    URL — both engines plant identically, then scrub
+    (operators/curate.py::scrub_pii) — counts and cleaned lengths must
+    match exactly."""
+    from ksj2gp_spark.operators.curate import scrub_pii
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" https://example.org/d/"), F.col("doc_id")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(planted).select(
+        "doc_id", "n_emails", "n_urls", "clean_len"
+    )
+
+
+def _scrub_sql() -> str:
+    from ksj2gp_spark.operators.curate import EMAIL_RE, URL_RE
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' https://example.org/d/' || doc_id ELSE '' END
+           AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT)
+           AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<scrubbed>', 'g') AS t1
+  FROM planted
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '{URL_RE}')) AS INT) AS n_urls,
+       CAST(length(
+         regexp_replace(t1, '{URL_RE}', '<scrubbed>', 'g')
+       ) AS INT) AS clean_len
+FROM s1
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-100 corpus terms with support ≥ 3
     (operators/text.py::vocab_induction — map-side-combinable counts +
@@ -2675,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "dissolve_pref": q_dissolve_pref,
         "kmeans_clusters": q_kmeans_clusters,
+        "scrub_pii": q_scrub_pii,
     }
 
 
@@ -2763,4 +2822,5 @@ GROUP BY p.admin_code
         "event_funnel": _FUNNEL_SQL,
         "dissolve_pref": _dissolve_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "scrub_pii": _scrub_sql(),
     }

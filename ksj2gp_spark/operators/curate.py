@@ -202,3 +202,36 @@ def stratified_sample(
         else thresh.otherwise(int(default_fraction * _SPLIT_MOD))
     )
     return df.filter(b < thresh)
+
+
+# Conservative pattern subset: no backreferences/lookaround, so Java
+# regex (Spark) and RE2 (DuckDB) match identically — the parity the
+# oracle depends on.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9./_%+#?&=-]+"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "<scrubbed>",
+) -> DataFrame:
+    """PII/URL scrubbing — the redaction stage of a training-data
+    pipeline: replaces emails and URLs with a fixed token and reports
+    per-row counts. Pure JVM regexp expressions (whole-stage codegen,
+    no UDF); the patterns avoid every construct on which Java regex
+    and RE2 disagree, so the SQL oracle reproduces counts and cleaned
+    text bit-for-bit. Emails scrub BEFORE urls so an address inside a
+    URL query string counts once, deterministically."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    after_email = F.regexp_replace(t, EMAIL_RE, replacement)
+    n_urls = F.regexp_count(after_email, F.lit(URL_RE))
+    cleaned = F.regexp_replace(after_email, URL_RE, replacement)
+    return df.select(
+        "*",
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_len"),
+    )

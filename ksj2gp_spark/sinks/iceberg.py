@@ -873,6 +873,29 @@ def added_files(
     return list(new.values())
 
 
+def diff_snapshots(
+    spark: SparkSession,
+    path: str,
+    since_snapshot: int | None,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Changelog-style incremental read: the ROWS added between two
+    snapshots, as a DataFrame (real Iceberg's incremental append
+    scan). Reads only the added data files — a day's append on a
+    100 TB table streams as a day's bytes — and re-attaches identity
+    partition values like every other read path. Rows removed by COW
+    rewrites are not surfaced (append-scan semantics: rewritten
+    survivors in a new file DO appear; use time travel + except for a
+    full diff)."""
+    files = added_files(path, since_snapshot, to_snapshot)
+    meta = _load_metadata(path)
+    if not files:
+        return read(spark, path, to_snapshot).limit(0)
+    return _read_files(spark, path, files, meta)
+
+
+
+
 def _read_files(
     spark: SparkSession, path: str, files: list[dict], meta: dict
 ) -> DataFrame:

@@ -659,3 +659,27 @@ def test_date_identity_partition_prunes_and_merges(spark, tmp_path):
     )
     assert out["rows_deleted"] == 3 and out["files_kept"] > 0
     assert iceberg.read(spark, t).count() == 3
+
+
+def test_diff_snapshots_incremental_rows(spark, tmp_path):
+    """diff_snapshots returns exactly the rows appended between two
+    snapshots (only the added files are read), incl. identity
+    partition values; empty diff gives an empty frame."""
+    import pandas as pd
+
+    t = str(tmp_path / "diff_tbl")
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"k": ["aa"] * 3, "v": [1, 2, 3]})
+    )
+    s1 = iceberg.append(df1, t, partition_by=["k"])
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"k": ["ab"] * 2, "v": [10, 11]})
+    )
+    s2 = iceberg.append(df2, t)
+    got = iceberg.diff_snapshots(spark, t, s1, s2).toPandas()
+    assert sorted(got["v"]) == [10, 11]
+    assert set(got["k"]) == {"ab"}  # partition value re-attached
+    # full scan when since is None
+    assert iceberg.diff_snapshots(spark, t, None).count() == 5
+    # empty diff
+    assert iceberg.diff_snapshots(spark, t, s2, s2).count() == 0
