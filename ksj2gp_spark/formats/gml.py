@@ -57,16 +57,45 @@ def _gml_id(el: ET.Element) -> str | None:
     return None
 
 
-def _parse_poslist(text: str) -> np.ndarray:
-    """posList "lat lon lat lon ..." → (n, 2) array of (x=lon, y=lat)."""
+def _parse_poslist(text: str, dim: int = 2) -> np.ndarray:
+    """posList "lat lon [h] lat lon [h] ..." → (n, 2) array of
+    (x=lon, y=lat). ``dim`` is the srsDimension in force for the
+    element (JPGIS allows 3 — ellipsoidal height — which is dropped,
+    matching the 2-D output contract of every sink). Any other
+    dimension is a hard GmlError rather than a silent mis-reshape."""
     try:
         vals = np.array(text.split(), dtype=np.float64)
     except ValueError as e:
         raise GmlError(f"non-numeric coordinate in posList: {e}") from e
-    if vals.size % 2 != 0:
-        raise GmlError(f"odd coordinate count in posList ({vals.size})")
-    latlon = vals.reshape(-1, 2)
+    if dim == 2:
+        if vals.size % 2 != 0:
+            raise GmlError(
+                f"coordinate count {vals.size} not divisible by "
+                f"srsDimension=2 in posList"
+            )
+        latlon = vals.reshape(-1, 2)
+    elif dim == 3:
+        if vals.size % 3 != 0:
+            raise GmlError(
+                f"coordinate count {vals.size} not divisible by "
+                f"srsDimension=3 in posList"
+            )
+        latlon = vals.reshape(-1, 3)[:, :2]  # drop ellipsoidal height
+    else:
+        raise GmlError(f"unsupported srsDimension={dim} in posList")
     return latlon[:, ::-1].copy()  # (lat, lon) -> (x=lon, y=lat)
+
+
+def _dim_of(el: ET.Element, default: int) -> int:
+    """srsDimension in force for a pos/posList element: its own
+    attribute wins, else the document-level default."""
+    raw = el.attrib.get("srsDimension")
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError as e:
+        raise GmlError(f"non-integer srsDimension {raw!r}") from e
 
 
 def _secure_parse(buf: bytes) -> ET.Element:
@@ -114,6 +143,17 @@ class _GeometryIndex:
     def __init__(self, root: ET.Element):
         self.by_id: dict[str, ET.Element] = {}
         self.srs_name: str | None = None
+        # Document-level srsDimension: only the root element or its
+        # boundedBy/Envelope sets the default — an element-level
+        # attribute on one curve must not leak onto unrelated posLists
+        # (those read their own attribute via _dim_of).
+        self.default_dim = _dim_of(root, 2)
+        for child in root:
+            if _local(child.tag) in ("boundedBy", "Envelope"):
+                for el in child.iter():
+                    if "srsDimension" in el.attrib:
+                        self.default_dim = _dim_of(el, self.default_dim)
+                        break
         for el in root.iter():
             gid = _gml_id(el)
             if gid is not None:
@@ -167,7 +207,7 @@ class _GeometryIndex:
     def _point(self, el: ET.Element) -> wkb.Geometry:
         for c in el:
             if _local(c.tag) == "pos" and c.text:
-                xy = _parse_poslist(c.text)
+                xy = _parse_poslist(c.text, _dim_of(c, self.default_dim))
                 if len(xy) != 1:
                     raise GmlError("gml:pos with more than one coordinate")
                 return wkb.Geometry(wkb.POINT, xy[0])
@@ -179,7 +219,9 @@ class _GeometryIndex:
         parts: list[np.ndarray] = []
         for pl in el.iter():
             if _local(pl.tag) == "posList" and pl.text:
-                parts.append(_parse_poslist(pl.text))
+                parts.append(
+                    _parse_poslist(pl.text, _dim_of(pl, self.default_dim))
+                )
         if not parts:
             raise GmlError(f"<{_local(el.tag)}> contains no posList")
         out = [parts[0]]

@@ -49,16 +49,22 @@ def brute_force_topk(
     is checked against ``max_rows`` (default 100k ≈ 10¹⁰ pairs) and a
     larger table raises :class:`BruteForceScaleError` pointing at
     :func:`ivf_topk`, the scale path. Pass ``max_rows=None`` to
-    explicitly accept the O(n²) cost.
+    explicitly accept the O(n²) cost AND skip the guard's count job.
+
+    NOTE the guard runs one eager action per call — but a BOUNDED one:
+    ``limit(max_rows + 1).count()`` short-circuits the scan as soon as
+    max_rows+1 rows are found (a LocalLimit per task + GlobalLimit),
+    so its cost is capped regardless of input size, unlike a full
+    ``df.count()``.
     """
     if max_rows is not None:
-        n = df.count()
-        if n > max_rows:
+        over = df.limit(max_rows + 1).count() > max_rows
+        if over:
             raise BruteForceScaleError(
-                f"brute_force_topk over {n} rows would build ~{n * n:.2e} "
-                f"candidate pairs (max_rows={max_rows}). Use ivf_topk() "
-                "for large tables, or pass max_rows=None to force the "
-                "exact all-pairs plan."
+                f"brute_force_topk input exceeds max_rows={max_rows}: "
+                f"the all-pairs plan would build >{max_rows**2:.2e} "
+                "candidate pairs. Use ivf_topk() for large tables, or "
+                "pass max_rows=None to force the exact all-pairs plan."
             )
     a = df.select(
         F.col(id_col).alias("a_id"),

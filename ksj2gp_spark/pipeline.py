@@ -274,15 +274,19 @@ def run_tile_pipeline_incremental(
 
 def committed_pipeline_chunks(table_path: str) -> set[str]:
     """Chunk ids already committed into an Iceberg tile table (read
-    from snapshot summaries — metadata bytes only)."""
+    from snapshot summaries — metadata bytes only — plus the
+    table-level ledger expire_snapshots carries forward)."""
     if not iceberg.current_version(table_path):
         return set()
     meta = iceberg._load_metadata(table_path)
-    return {
+    out = {
         s["summary"]["pipeline_chunk"]
         for s in meta["snapshots"]
         if "pipeline_chunk" in s.get("summary", {})
     }
+    carried = iceberg._carried_summaries(meta)
+    out.update(carried.get("pipeline_chunks") or [])
+    return out
 
 
 def committed_pipeline_files(table_path: str) -> set[str]:
@@ -295,6 +299,8 @@ def committed_pipeline_files(table_path: str) -> set[str]:
     out: set[str] = set()
     for s in meta["snapshots"]:
         out.update(s.get("summary", {}).get("pipeline_files", []))
+    carried = iceberg._carried_summaries(meta)
+    out.update(carried.get("pipeline_files") or [])
     return out
 
 

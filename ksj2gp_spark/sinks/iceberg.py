@@ -80,17 +80,29 @@ def _fields_from_spark_schema(schema_json: dict, start_id: int = 0):
     return fields, next_id
 
 
+# The only type rewrites an append may apply to a known column —
+# Iceberg's safe-promotion set (v2 spec §Schema Evolution): widening
+# only, so values in already-committed files stay exactly
+# representable under the new type.
+_SAFE_PROMOTIONS = {("integer", "long"), ("float", "double")}
+
+
 def _evolve_fields(
     parent_fields: list[dict] | None,
     last_column_id: int,
     df_schema_json: dict,
 ) -> tuple[list[dict], int]:
     """Reconcile an incoming DataFrame schema with the table schema:
-    names already in the table keep their field id (type refreshed —
-    parquet handles the int→long/float→double promotions Spark emits),
-    unseen names are appended with fresh ids. Columns the frame lacks
-    stay in the table schema — files simply don't carry them and read
-    as null."""
+    names already in the table keep their field id, unseen names are
+    appended with fresh ids. Columns the frame lacks stay in the table
+    schema — files simply don't carry them and read as null.
+
+    Type changes follow Iceberg's safe-promotion rule: the table type
+    widens on int→long / float→double, a NARROWER incoming type keeps
+    the table's wider type (the file's values cast up losslessly on
+    read), and any other mismatch (string vs long, struct shape
+    change, ...) raises CommitError — silently rewriting the table
+    type would turn older files' non-castable values into NULLs."""
     if parent_fields is None:
         return _fields_from_spark_schema(df_schema_json)
     by_name = {f["name"]: f for f in parent_fields}
@@ -99,9 +111,23 @@ def _evolve_fields(
     for f in df_schema_json["fields"]:
         known = by_name.get(f["name"])
         if known is not None:
-            for out in fields:
-                if out["id"] == known["id"]:
-                    out["type"] = f["type"]
+            have, want = known["type"], f["type"]
+            if have == want:
+                continue
+            if (have, want) in _SAFE_PROMOTIONS:
+                for out in fields:
+                    if out["id"] == known["id"]:
+                        out["type"] = want
+            elif (want, have) in _SAFE_PROMOTIONS:
+                pass  # narrower write into a wider column: keep table type
+            else:
+                raise CommitError(
+                    f"incompatible type change for column "
+                    f"{f['name']!r}: table has {have!r}, incoming "
+                    f"frame has {want!r} (only int->long and "
+                    f"float->double promotions are allowed; cast the "
+                    f"frame or add a new column)"
+                )
         else:
             next_id += 1
             fields.append(
@@ -549,6 +575,10 @@ def _commit_locked(
         "snapshots": snapshots,
         "partition_spec": spec,
     }
+    # table-level exactly-once state rescued by expire_snapshots must
+    # survive every later commit, not just the expiration itself
+    if parent_meta and parent_meta.get("carried_summaries"):
+        new_meta["carried_summaries"] = parent_meta["carried_summaries"]
     # 4. publish: metadata claim + atomic hint swap — THE commit point.
     # The lease is re-verified first so a writer whose lock was stolen
     # by a (mis-firing) stale takeover aborts instead of clobbering the
@@ -668,7 +698,9 @@ def append(
 
 def last_streaming_epoch(path: str, stream_id: str) -> int | None:
     """Highest epoch id committed for ``stream_id``, or None. Reads
-    only snapshot summaries in the current metadata file."""
+    snapshot summaries in the current metadata file PLUS the
+    table-level watermark that expire_snapshots carries forward when
+    it drops summary-bearing snapshots."""
     if not current_version(path):
         return None
     meta = _load_metadata(path)
@@ -678,6 +710,9 @@ def last_streaming_epoch(path: str, stream_id: str) -> int | None:
         if s.get("summary", {}).get("streaming_query") == stream_id
         and "streaming_epoch" in s.get("summary", {})
     ]
+    carried = _carried_summaries(meta).get("streaming_epochs") or {}
+    if stream_id in carried:
+        epochs.append(carried[stream_id])
     return max(epochs) if epochs else None
 
 
@@ -896,6 +931,28 @@ def diff_snapshots(
 
 
 
+def _assert_uniform_bindings(meta: dict, files: list[dict]) -> None:
+    """Refuse a name-based (non-merge) read over files whose id→name
+    bindings disagree with the current table schema — after a
+    rename/drop the raw parquet column names differ per era, so a plain
+    union would surface inconsistent column sets or silently mix a
+    dropped column's old values under a re-added name. Callers get a
+    descriptive error instead: pass merge_schema=True, which maps every
+    file through its own binding by field id."""
+    expect = {f["id"]: f["name"] for f in _table_fields(meta)[0]}
+    for f in files:
+        for i, n in (f.get("fields") or {}).items():
+            fid = int(i)
+            if fid not in expect or expect[fid] != n:
+                raise CommitError(
+                    f"data file {f['path']!r} was written under a "
+                    f"different schema binding (field {fid} = {n!r}); "
+                    "the table schema has since been renamed/dropped. "
+                    "Read with merge_schema=True to reconcile files by "
+                    "field id."
+                )
+
+
 def _read_files(
     spark: SparkSession, path: str, files: list[dict], meta: dict
 ) -> DataFrame:
@@ -905,13 +962,28 @@ def _read_files(
     exactly this — constant columns from partition metadata). Hidden
     transform directories attach nothing. Plan size is linear in the
     number of touched identity partitions (one constant-column branch
-    each), matching how Iceberg sources surface partition values."""
+    each), matching how Iceberg sources surface partition values.
+
+    Name-based by design; files written under an older id→name binding
+    are rejected with a pointer at merge_schema=True (see
+    :func:`_assert_uniform_bindings`). The TABLE schema is always
+    passed to the parquet reader explicitly: a schema-less read of
+    mixed-era files takes whatever type/column set the first file has
+    (verified on this Spark: int32+int64 files read as int, silently
+    truncating), while an explicit schema reads deterministically,
+    widens promoted columns (int→long, float→double) in the scan, and
+    fills columns a file predates with nulls."""
+    _assert_uniform_bindings(meta, files)
+    from pyspark.sql.types import StructType
+
+    fields, _ = _table_fields(meta)
+    full = StructType.fromJson(_spark_schema_of(fields))
     paths = [os.path.join(path, f["path"]) for f in files]
     id_specs = [
         s for s in _spec_of(meta) if s["transform"] == "identity"
     ]
     if not id_specs:
-        return spark.read.parquet(*paths)
+        return spark.read.schema(full).parquet(*paths)
 
     from functools import reduce
 
@@ -921,7 +993,11 @@ def _read_files(
         "integer": "int", "long": "bigint", "boolean": "boolean",
         "string": "string", "date": "date",
     }
-    order = [f["name"] for f in _table_fields(meta)[0]]
+    id_names = {s["name"] for s in id_specs}
+    file_schema = StructType(
+        [f for f in full.fields if f.name not in id_names]
+    )
+    order = [f["name"] for f in fields]
     groups: dict[tuple, list[dict]] = {}
     for f in files:
         part = f.get("partition")
@@ -934,7 +1010,7 @@ def _read_files(
         groups.setdefault(key, []).append(f)
     parts = []
     for key, fs in groups.items():
-        gdf = spark.read.parquet(
+        gdf = spark.read.schema(file_schema).parquet(
             *(os.path.join(path, f["path"]) for f in fs)
         )
         for s, (name, val) in zip(id_specs, key):
@@ -986,11 +1062,27 @@ def read(
             os.path.join(path, f["path"])
         )
 
+    from pyspark.sql.types import StructField
+
     parts = []
     for (binding, part), paths in groups.items():
-        gdf = spark.read.parquet(*paths)
         written_by_id = {int(i): n for i, n in binding}
         part_vals = dict(part)
+        # Explicit per-group read schema under the WRITTEN names with
+        # the TABLE's (current, possibly promoted) types: a schema-less
+        # read takes whatever type the first file has — mixed
+        # int32/int64 files after an int→long promotion then fail (or
+        # silently truncate); the explicit schema widens at the scan.
+        req = []
+        for fld, sf in zip(fields, table_schema.fields):
+            if fld["name"] in part_vals:
+                continue
+            written = (
+                written_by_id.get(fld["id"]) if binding else fld["name"]
+            )
+            if written is not None:
+                req.append(StructField(written, sf.dataType, True))
+        gdf = spark.read.schema(StructType(req)).parquet(*paths)
         cols = []
         for fld, sf in zip(fields, table_schema.fields):
             if fld["name"] in part_vals:
@@ -1246,6 +1338,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         lease.release()
 
 
+def _carried_summaries(meta: dict) -> dict:
+    """Table-level state rescued from expired snapshots (see
+    _expire_locked): streaming watermarks + the pipeline file ledger
+    survive snapshot expiration here."""
+    return meta.get("carried_summaries") or {}
+
+
 def _expire_locked(path: str, keep_last: int, lease: _LockLease) -> dict:
     version = current_version(path)
     meta = _load_metadata(path, version)
@@ -1255,6 +1354,36 @@ def _expire_locked(path: str, keep_last: int, lease: _LockLease) -> dict:
     expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
     if not expired:
         return {"expired": [], "deleted_files": 0}
+
+    # Exactly-once state lives in snapshot SUMMARIES: the streaming
+    # sink's (stream_id, epoch) watermark and the tile pipeline's
+    # source-file ledger. Dropping a snapshot must not drop that state
+    # — a restarted stream/pipeline would re-append already-committed
+    # data — so it is folded forward into table-level metadata before
+    # the snapshot entries go (Iceberg keeps the analogous Delta-style
+    # txn watermark in table metadata for the same reason).
+    carried = _carried_summaries(meta)
+    epochs = dict(carried.get("streaming_epochs") or {})
+    pfiles = set(carried.get("pipeline_files") or [])
+    pchunks = set(carried.get("pipeline_chunks") or [])
+    for s in expired:
+        summ = s.get("summary") or {}
+        q = summ.get("streaming_query")
+        if q is not None and "streaming_epoch" in summ:
+            e = summ["streaming_epoch"]
+            epochs[q] = max(epochs.get(q, e), e)
+        pfiles.update(summ.get("pipeline_files") or [])
+        if "pipeline_chunk" in summ:
+            pchunks.add(summ["pipeline_chunk"])
+    new_carried = {
+        k: v
+        for k, v in (
+            ("streaming_epochs", epochs),
+            ("pipeline_files", sorted(pfiles)),
+            ("pipeline_chunks", sorted(pchunks)),
+        )
+        if v
+    }
 
     retained_files = set()
     for sid in keep_ids:
@@ -1277,6 +1406,8 @@ def _expire_locked(path: str, keep_last: int, lease: _LockLease) -> dict:
         meta,
         snapshots=[s for s in snaps if s["snapshot_id"] in keep_ids],
     )
+    if new_carried:
+        new_meta["carried_summaries"] = new_carried
     lease.verify()
     _publish_metadata(path, _meta_dir(path), new_meta, version)
     return {

@@ -181,11 +181,53 @@ class TestGmlKernel:
                     b'href="#sf_0"', b'href="#sf_missing"'
                 )
             )
-        with pytest.raises(gml.GmlError, match="odd coordinate"):
+        with pytest.raises(gml.GmlError, match="not divisible"):
             gml._parse_poslist("35.0 139.0 35.1")
         bad = np.array([[139.0, 35.0], [139.1, 35.0]])
         with pytest.raises(gml.GmlError, match="degenerate"):
             gml.read_gml(_gml_doc([("<ksj:a>1</ksj:a>", [bad])]))
+
+    def test_srs_dimension_3_drops_height(self):
+        """srsDimension=3 posLists (legal JPGIS: lat lon h) parse with
+        the ellipsoidal height dropped — previously an even 3-D count
+        was silently mis-reshaped into scrambled lon/lat pairs."""
+        # element-level attribute
+        got = gml._parse_poslist("35.0 139.0 12.5 35.1 139.1 13.0", dim=3)
+        np.testing.assert_allclose(
+            got, [[139.0, 35.0], [139.1, 35.1]]
+        )
+        # non-multiple-of-3 count errors clearly
+        with pytest.raises(gml.GmlError, match="srsDimension=3"):
+            gml._parse_poslist("35.0 139.0 12.5 35.1", dim=3)
+        with pytest.raises(gml.GmlError, match="unsupported srsDimension"):
+            gml._parse_poslist("35.0 139.0", dim=4)
+
+    def test_srs_dimension_3_document_roundtrip(self):
+        """A full document whose posLists declare srsDimension=3 yields
+        the same 2-D geometry as the plain 2-D document."""
+        sq3 = " ".join(
+            f"{y:.17g} {x:.17g} {10.0 + i}"
+            for i, (x, y) in enumerate(SQUARE)
+        )
+        doc = _gml_doc([("<ksj:a>1</ksj:a>", [SQUARE])]).replace(
+            b"<gml:posList>",
+            b'<gml:posList srsDimension="3">',
+        ).replace(_poslist(SQUARE).encode(), sq3.encode())
+        feats, _ = gml.read_gml(doc)
+        geom = feats[0][2]
+        assert geom.kind == wkb.POLYGON
+        np.testing.assert_allclose(geom.coords[0], SQUARE)
+
+    def test_srs_dimension_document_level_default(self):
+        """srsDimension declared once at document level (on the root)
+        applies to posLists that don't repeat it."""
+        sq3 = " ".join(f"{y:.17g} {x:.17g} 0" for x, y in SQUARE)
+        doc = _gml_doc([("<ksj:a>1</ksj:a>", [SQUARE])]).replace(
+            b'<ksj:Dataset gml:id="DS0"',
+            b'<ksj:Dataset gml:id="DS0" srsDimension="3"',
+        ).replace(_poslist(SQUARE).encode(), sq3.encode())
+        feats, _ = gml.read_gml(doc)
+        np.testing.assert_allclose(feats[0][2].coords[0], SQUARE)
 
     def test_codespace_bridge(self):
         m = gml.codelist_for_codespace("LandUseCd-09.xml")

@@ -683,3 +683,118 @@ def test_diff_snapshots_incremental_rows(spark, tmp_path):
     assert iceberg.diff_snapshots(spark, t, None).count() == 5
     # empty diff
     assert iceberg.diff_snapshots(spark, t, s2, s2).count() == 0
+
+
+# -- round-4 advisor findings: schema-evolution safety + exactly-once
+# state surviving snapshot expiration ---------------------------------
+
+
+def test_evolve_rejects_incompatible_type_change(spark, tmp_path):
+    """A frame carrying a non-promotable type for a known column must
+    fail the COMMIT, not silently rewrite the table schema (which
+    would NULL older files' values on merge reads)."""
+    t = str(tmp_path / "evolve_bad")
+    iceberg.append(
+        spark.range(0, 10).select(F.col("id"), F.col("id").alias("v")), t
+    )
+    with pytest.raises(iceberg.CommitError, match="incompatible type"):
+        iceberg.append(
+            spark.range(10, 20).select(
+                F.col("id"), F.col("id").cast("string").alias("v")
+            ),
+            t,
+        )
+    # the failed commit left no snapshot and no schema change
+    assert iceberg.read(spark, t).count() == 10
+    assert dict(iceberg.read(spark, t).dtypes)["v"] == "bigint"
+
+
+def test_evolve_promotes_int_to_long_and_keeps_wider_type(spark, tmp_path):
+    """int→long is a safe promotion: the table widens, and BOTH read
+    paths surface one consistent bigint column across mixed-era files.
+    A later narrower (int) write keeps the table's wider type."""
+    t = str(tmp_path / "evolve_ok")
+    iceberg.append(
+        spark.range(0, 5).select(
+            F.col("id"), F.col("id").cast("int").alias("v")
+        ),
+        t,
+    )
+    iceberg.append(
+        spark.range(5, 8).select(
+            F.col("id"), F.col("id").cast("bigint").alias("v")
+        ),
+        t,
+    )
+    for merge in (False, True):
+        df = iceberg.read(spark, t, merge_schema=merge)
+        assert dict(df.dtypes)["v"] == "bigint", merge
+        assert sorted(r.v for r in df.collect()) == list(range(8)), merge
+    # narrower write after promotion: values land, type stays bigint
+    iceberg.append(
+        spark.range(8, 9).select(
+            F.col("id"), F.col("id").cast("int").alias("v")
+        ),
+        t,
+    )
+    df = iceberg.read(spark, t)
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert df.count() == 9
+
+
+def test_plain_read_after_rename_raises_with_pointer(spark, tmp_path):
+    """Non-merge reads over files written under an older id→name
+    binding must raise a descriptive error (not surface mixed column
+    sets); merge_schema=True is the documented escape hatch."""
+    t = str(tmp_path / "ren_plain")
+    iceberg.append(
+        spark.range(0, 10).select(F.col("id"), F.col("id").alias("a")), t
+    )
+    iceberg.rename_column(t, "a", "b")
+    with pytest.raises(iceberg.CommitError, match="merge_schema=True"):
+        iceberg.read(spark, t).collect()
+    assert iceberg.read(spark, t, merge_schema=True).count() == 10
+
+
+def test_expire_carries_streaming_watermark_forward(spark, tmp_path):
+    """expire_snapshots must not drop the (stream_id, epoch) watermark
+    with the snapshot entries — a restarted stream would re-append its
+    already-committed micro-batches."""
+    t = str(tmp_path / "exp_stream")
+    df = spark.range(0, 4).select(F.col("id"))
+    iceberg.append(
+        df, t,
+        summary_extra={"streaming_query": "q1", "streaming_epoch": 7},
+    )
+    iceberg.append(df, t)  # later non-streaming snapshot
+    assert iceberg.last_streaming_epoch(t, "q1") == 7
+    out = iceberg.expire_snapshots(t, keep_last=1)
+    assert out["expired"]  # the epoch-bearing snapshot is gone...
+    assert iceberg.last_streaming_epoch(t, "q1") == 7  # ...watermark isn't
+    # idempotent across further expirations and appends
+    iceberg.append(df, t)
+    iceberg.expire_snapshots(t, keep_last=1)
+    assert iceberg.last_streaming_epoch(t, "q1") == 7
+
+
+def test_expire_carries_pipeline_ledger_forward(spark, tmp_path):
+    """The tile pipeline's source-file ledger lives in snapshot
+    summaries; expiration folds it into table metadata so resume never
+    reprocesses files whose snapshot was expired."""
+    from ksj2gp_spark import pipeline as pmod
+
+    t = str(tmp_path / "exp_pipe")
+    df = spark.range(0, 4).select(F.col("id"))
+    iceberg.append(
+        df, t,
+        summary_extra={
+            "pipeline_chunk": "c0",
+            "pipeline_files": ["data/f1.parquet", "data/f2.parquet"],
+        },
+    )
+    iceberg.append(df, t)
+    iceberg.expire_snapshots(t, keep_last=1)
+    assert pmod.committed_pipeline_chunks(t) == {"c0"}
+    assert pmod.committed_pipeline_files(t) == {
+        "data/f1.parquet", "data/f2.parquet"
+    }
