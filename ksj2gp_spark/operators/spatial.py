@@ -277,6 +277,109 @@ def spatial_join_tiles(
     return refined.withColumnRenamed(admin_col, "admin_code")
 
 
+def _reproject_points(df: DataFrame, crs_name: str) -> DataFrame:
+    """Rewrite lon/lat to WGS84 in one Arrow pass (schema unchanged)."""
+    from ..geo import transform as _tf
+
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            lo, la = _tf.to_wgs84(
+                pdf["lon"].to_numpy(dtype=np.float64),
+                pdf["lat"].to_numpy(dtype=np.float64),
+                crs_name,
+            )
+            yield pdf.assign(lon=lo, lat=la)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def spatial_join_tiles_dist(
+    images: DataFrame,
+    polygons: DataFrame,
+    scheme: str = "hex",
+    res: int | None = None,
+    n_salt: int = 8,
+    hot_cells: list[int] | None = None,
+    crs: str | None = None,
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """Tile assignment for polygon layers too large to hold on the
+    driver: the layer stays a DataFrame end-to-end — NOTHING is
+    collected or broadcast.
+
+    Plan shape (the honest big-layer cost, all key-sized rows):
+
+    1. distributed CRS normalization + cell cover
+       (:func:`cells.polygon_cover_df`, one ``mapInPandas`` pass over
+       the layer, parallel by polygon),
+    2. shuffle candidate equi-join on ``cell`` (optional hot-cell
+       salting; AQE skew-join as backstop),
+    3. exact PIP refine via ``groupBy(polygon_id).cogroup(layer)`` —
+       each polygon's geometry bytes cross the Arrow boundary ONCE per
+       polygon (not once per candidate row, which a geometry re-join
+       would replicate), and its candidate points arrive as one
+       vectorized batch.
+
+    Same output contract as :func:`spatial_join_tiles`
+    ``(image_id, cell, polygon_id, admin_code)``; row-set equality with
+    the broadcast path is pinned in tests/test_pipeline_api.py. A
+    single hot polygon concentrates its candidates in one group — at
+    metro skew, raise ``res`` (smaller cells shrink cover fan-out, the
+    group is bounded by points actually inside the polygon's cells).
+    """
+    res = res if res is not None else DEFAULT_RES[scheme]
+    from .cells import polygon_cover_df
+
+    polys = _normalize_layer_df(polygons).select(
+        "polygon_id", "geometry", F.col(admin_col).alias("_admin")
+    )
+    cover = polygon_cover_df(
+        polys.select("polygon_id", "geometry"), scheme, res
+    )
+    probe = images.select("image_id", "lon", "lat")
+    if crs:
+        probe = _reproject_points(probe, crs)
+    pts = with_cell(probe, scheme, res)
+    cand = candidate_join(pts, cover, "shuffle", n_salt, hot_cells)
+
+    out_schema = (
+        "image_id string, cell long, polygon_id string, admin_code string"
+    )
+
+    def refine(key, cand_pdf, geo_pdf):
+        if cand_pdf.empty or geo_pdf.empty:
+            return pd.DataFrame(
+                {"image_id": [], "cell": [], "polygon_id": [],
+                 "admin_code": []}
+            )
+        g = wkb.loads(bytes(geo_pdf["geometry"].iloc[0]))
+        keep = geom.geometry_contains(
+            cand_pdf["lon"].to_numpy(dtype=np.float64),
+            cand_pdf["lat"].to_numpy(dtype=np.float64),
+            g,
+        )
+        hit = cand_pdf.loc[keep]
+        return pd.DataFrame(
+            {
+                "image_id": hit["image_id"].to_numpy(),
+                "cell": hit["cell"].to_numpy(),
+                "polygon_id": key[0],
+                "admin_code": geo_pdf["_admin"].iloc[0],
+            }
+        )
+
+    return (
+        cand.groupBy("polygon_id")
+        .cogroup(polys.groupBy("polygon_id"))
+        .applyInPandas(refine, schema=out_schema)
+    )
+
+
 def knn_join(
     images: DataFrame,
     polygons_pdf: pd.DataFrame,

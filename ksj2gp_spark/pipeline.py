@@ -45,17 +45,78 @@ def index_images(
     return cells.with_cell(images, scheme, res)
 
 
+# Polygon layers up to this count are collected to the driver and
+# broadcast (the fast KSJ-scale path: the national admin layer is
+# ~10^5 polygons); above it, the join auto-routes to the fully
+# distributed cover + shuffle-candidate + cogroup-refine plan and the
+# layer never touches the driver. Override per call via
+# ``max_broadcast_polygons``.
+MAX_BROADCAST_POLYGONS = 250_000
+
+
+def _layer_over_threshold(polygons: DataFrame, limit: int) -> bool:
+    """Bounded count probe: limit(n+1).count() short-circuits the scan
+    as soon as n+1 rows exist — never a full pass over a huge layer."""
+    return polygons.limit(limit + 1).count() > limit
+
+
 def spatial_join(
     images: DataFrame,
     polygons: DataFrame | pd.DataFrame,
+    max_broadcast_polygons: int = MAX_BROADCAST_POLYGONS,
     **opts,
 ) -> DataFrame:
-    """Tile assignment join; ``polygons`` may be a (broadcastable)
-    Spark or pandas polygon layer."""
+    """Tile assignment join. ``polygons`` may be a pandas layer, a
+    broadcastable Spark layer (collected to the driver below
+    ``max_broadcast_polygons`` rows — the KSJ-scale fast path), or a
+    LARGE Spark layer: above the threshold the join switches to
+    :func:`spatial.spatial_join_tiles_dist`, which keeps the layer
+    distributed end-to-end (cover via mapInPandas, shuffle candidate
+    join, cogroup PIP refine) — a parcel-scale layer never lands on
+    the driver."""
+    if isinstance(polygons, DataFrame) and _layer_over_threshold(
+        polygons, max_broadcast_polygons
+    ):
+        dist_opts = dict(opts)
+        dist_opts.pop("strategy", None)  # always shuffle when distributed
+        for k in ("extra_cols", "simplify_tol"):
+            if k in dist_opts:
+                raise ValueError(
+                    f"{k!r} is not supported on the distributed "
+                    f"large-layer path (layer exceeds "
+                    f"max_broadcast_polygons={max_broadcast_polygons}); "
+                    "raise the threshold if the layer fits the driver"
+                )
+        return spatial.spatial_join_tiles_dist(
+            images, polygons, **dist_opts
+        )
     polys_pdf = (
         polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
     )
     return spatial.spatial_join_tiles(images, polys_pdf, **opts)
+
+
+def _polygons_for_fused(
+    polygons: DataFrame | pd.DataFrame, max_broadcast_polygons: int
+) -> pd.DataFrame:
+    """Driver-side layer for the fused assignment+ocean-kNN lane, with
+    the size guard: a layer above ``max_broadcast_polygons`` refuses
+    loudly (naming the knob) instead of OOMing the driver — the
+    distributed assignment path is pipeline.spatial_join /
+    spatial.spatial_join_tiles_dist."""
+    if isinstance(polygons, DataFrame):
+        if _layer_over_threshold(polygons, max_broadcast_polygons):
+            raise ValueError(
+                "polygon layer exceeds max_broadcast_polygons="
+                f"{max_broadcast_polygons}: the fused assignment + "
+                "ocean-kNN pipeline holds the layer on the driver. For "
+                "parcel-scale layers use pipeline.spatial_join (auto-"
+                "routes to the distributed cover + shuffle candidate "
+                "join) and handle the ocean lane separately, or raise "
+                "max_broadcast_polygons if the layer fits driver memory."
+            )
+        return polygons.toPandas()
+    return polygons
 
 
 def write_tiles(tiles: DataFrame, path: str, chunk: str = "all") -> dict:
@@ -170,6 +231,7 @@ def run_tile_pipeline(
     bbox: tuple[float, float, float, float] | None = None,
     crs: str | None = None,
     partition_cols: tuple[str, ...] = (),
+    max_broadcast_polygons: int = MAX_BROADCAST_POLYGONS,
 ) -> dict:
     """End-to-end resumable job: image table (Iceberg-style or parquet
     dir) × polygon layer → ``(image_id, cell, polygon_id, admin_code,
@@ -183,9 +245,7 @@ def run_tile_pipeline(
     table's *source* datum; when ``crs`` is set the pruning bbox is
     padded by the maximum datum-shift magnitude so a file within the
     shift of the bbox edge is never wrongly pruned."""
-    polys_pdf = (
-        polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
-    )
+    polys_pdf = _polygons_for_fused(polygons, max_broadcast_polygons)
     res = res if res is not None else spatial.DEFAULT_RES[scheme]
     prune_bbox = bbox
     if bbox is not None and crs:
@@ -223,6 +283,7 @@ def run_tile_pipeline_incremental(
     bbox: tuple[float, float, float, float] | None = None,
     crs: str | None = None,
     partition_cols: tuple[str, ...] = (),
+    max_broadcast_polygons: int = MAX_BROADCAST_POLYGONS,
 ) -> tuple[dict, int]:
     """Incremental tile maintenance over an Iceberg-style image table.
 
@@ -240,9 +301,7 @@ def run_tile_pipeline_incremental(
     id this run processed up to — persist it as the cursor for the next
     increment.
     """
-    polys_pdf = (
-        polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
-    )
+    polys_pdf = _polygons_for_fused(polygons, max_broadcast_polygons)
     res = res if res is not None else spatial.DEFAULT_RES[scheme]
     meta = iceberg._load_metadata(images_path)
     to_snapshot = meta["current_snapshot_id"]
@@ -316,6 +375,7 @@ def run_tile_pipeline_iceberg(
     bbox: tuple[float, float, float, float] | None = None,
     crs: str | None = None,
     partition_by=None,
+    max_broadcast_polygons: int = MAX_BROADCAST_POLYGONS,
 ) -> dict:
     """The resumable tile pipeline writing a (optionally PARTITIONED)
     Iceberg table. Each chunk commits as ONE snapshot whose summary
@@ -333,9 +393,7 @@ def run_tile_pipeline_iceberg(
     Returns {chunk_id: snapshot_id} for the chunks committed by THIS
     invocation, plus {"skipped_files": n} when the ledger skipped any.
     """
-    polys_pdf = (
-        polygons.toPandas() if isinstance(polygons, DataFrame) else polygons
-    )
+    polys_pdf = _polygons_for_fused(polygons, max_broadcast_polygons)
     res = res if res is not None else spatial.DEFAULT_RES[scheme]
     prune_bbox = bbox
     if bbox is not None and crs:
