@@ -1180,14 +1180,45 @@ def polygon_overlap_join_shuffle(
     )
 
     def refine(batches):
+        # Per batch: parse each DISTINCT geometry once (pairs replicate
+        # the same polygon across many rows — re-parsing per pair was
+        # the slowest loop in the repo at big×big candidate counts),
+        # then a vectorized bbox prefilter across ALL pairs so the
+        # exact segment kernel runs only on bbox-overlapping pairs.
         for pdf in batches:
-            keep = []
-            for _, row in pdf.iterrows():
-                keep.append(
-                    geom.geometry_intersects(
-                        wkb.loads(bytes(row["_lg"])),
-                        wkb.loads(bytes(row["_rg"])),
-                    )
+            if pdf.empty:
+                continue
+            lids = pdf[left_id].to_numpy()
+            rids = pdf["_rid"].to_numpy()
+            lgv = pdf["_lg"].to_numpy()
+            rgv = pdf["_rg"].to_numpy()
+            lgeo: dict = {}
+            rgeo: dict = {}
+            lb: dict = {}
+            rb: dict = {}
+            for i in range(len(pdf)):
+                k = lids[i]
+                if k not in lgeo:
+                    g = wkb.loads(bytes(lgv[i]))
+                    lgeo[k] = g
+                    lb[k] = g.bounds()
+                k = rids[i]
+                if k not in rgeo:
+                    g = wkb.loads(bytes(rgv[i]))
+                    rgeo[k] = g
+                    rb[k] = g.bounds()
+            lbb = np.array([lb[k] for k in lids], dtype=np.float64)
+            rbb = np.array([rb[k] for k in rids], dtype=np.float64)
+            cand = ~(
+                (lbb[:, 2] < rbb[:, 0])
+                | (rbb[:, 2] < lbb[:, 0])
+                | (lbb[:, 3] < rbb[:, 1])
+                | (rbb[:, 3] < lbb[:, 1])
+            )
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i in np.nonzero(cand)[0]:
+                keep[i] = geom.geometry_intersects(
+                    lgeo[lids[i]], rgeo[rids[i]]
                 )
             yield pdf.loc[keep, [left_id, "_rid"]]
 
