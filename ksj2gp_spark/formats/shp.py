@@ -28,6 +28,10 @@ SHAPE_POINT_Z = 11
 SHAPE_POLYLINE_Z = 13
 SHAPE_POLYGON_Z = 15
 SHAPE_MULTIPOINT_Z = 18
+SHAPE_POINT_M = 21
+SHAPE_POLYLINE_M = 23
+SHAPE_POLYGON_M = 25
+SHAPE_MULTIPOINT_M = 28
 SHAPE_MULTIPATCH = 31
 
 
@@ -72,15 +76,24 @@ def _parse_record(rec: bytes) -> wkb.Geometry | None:
     if stype == SHAPE_MULTIPATCH:
         raise ShpError("Multipatch is not supported")
     has_z = stype in (SHAPE_POINT_Z, SHAPE_POLYLINE_Z, SHAPE_POLYGON_Z, SHAPE_MULTIPOINT_Z)
+    # M-typed shapes (21/23/25/28) map to the same base geometry classes
+    # as the reference's GPKG lane (gpkg_writer.rs:93-111). The spec's
+    # trailing M block is optional on Z- and M-typed records; presence is
+    # detected from the record length.
+    is_m = stype in (SHAPE_POINT_M, SHAPE_POLYLINE_M, SHAPE_POLYGON_M, SHAPE_MULTIPOINT_M)
     base = {
         SHAPE_POINT: SHAPE_POINT,
         SHAPE_POINT_Z: SHAPE_POINT,
+        SHAPE_POINT_M: SHAPE_POINT,
         SHAPE_POLYLINE: SHAPE_POLYLINE,
         SHAPE_POLYLINE_Z: SHAPE_POLYLINE,
+        SHAPE_POLYLINE_M: SHAPE_POLYLINE,
         SHAPE_POLYGON: SHAPE_POLYGON,
         SHAPE_POLYGON_Z: SHAPE_POLYGON,
+        SHAPE_POLYGON_M: SHAPE_POLYGON,
         SHAPE_MULTIPOINT: SHAPE_MULTIPOINT,
         SHAPE_MULTIPOINT_Z: SHAPE_MULTIPOINT,
+        SHAPE_MULTIPOINT_M: SHAPE_MULTIPOINT,
     }.get(stype)
     if base is None:
         raise ShpError(f"unsupported shape type: {stype}")
@@ -89,7 +102,15 @@ def _parse_record(rec: bytes) -> wkb.Geometry | None:
         x, y = struct.unpack_from("<dd", rec, 4)
         if has_z:
             (z,) = struct.unpack_from("<d", rec, 20)
+            if len(rec) >= 36:  # optional trailing M on PointZ
+                (m,) = struct.unpack_from("<d", rec, 28)
+                return wkb.Geometry(
+                    wkb.POINT, np.array([x, y, z, m]), True, True
+                )
             return wkb.Geometry(wkb.POINT, np.array([x, y, z]), True)
+        if is_m:
+            (m,) = struct.unpack_from("<d", rec, 20)
+            return wkb.Geometry(wkb.POINT, np.array([x, y, m]), False, True)
         return wkb.Geometry(wkb.POINT, np.array([x, y]))
 
     if base == SHAPE_MULTIPOINT:
@@ -97,11 +118,16 @@ def _parse_record(rec: bytes) -> wkb.Geometry | None:
         pts = np.frombuffer(rec, dtype="<f8", count=n * 2, offset=40).reshape(
             n, 2
         )
+        end = 40 + n * 16
         if has_z:
-            zoff = 40 + n * 16 + 16
-            zs = np.frombuffer(rec, dtype="<f8", count=n, offset=zoff)
+            zs = np.frombuffer(rec, dtype="<f8", count=n, offset=end + 16)
             pts = np.column_stack([pts, zs])
-        return wkb.Geometry(wkb.MULTIPOINT, pts.copy(), has_z)
+            end += 16 + n * 8
+        has_m = (is_m or has_z) and len(rec) >= end + 16 + n * 8
+        if has_m:
+            ms = np.frombuffer(rec, dtype="<f8", count=n, offset=end + 16)
+            pts = np.column_stack([pts, ms])
+        return wkb.Geometry(wkb.MULTIPOINT, pts.copy(), has_z, has_m)
 
     # Polyline / Polygon: bbox(32) + numparts + numpoints + parts[] + pts
     nparts, npoints = struct.unpack_from("<ii", rec, 36)
@@ -112,37 +138,70 @@ def _parse_record(rec: bytes) -> wkb.Geometry | None:
     pts = np.frombuffer(
         rec, dtype="<f8", count=npoints * 2, offset=pts_off
     ).reshape(npoints, 2)
+    end = pts_off + npoints * 16
     if has_z:
-        zoff = pts_off + npoints * 16 + 16
-        zs = np.frombuffer(rec, dtype="<f8", count=npoints, offset=zoff)
+        zs = np.frombuffer(rec, dtype="<f8", count=npoints, offset=end + 16)
         pts = np.column_stack([pts, zs])
-    else:
+        end += 16 + npoints * 8
+    has_m = (is_m or has_z) and len(rec) >= end + 16 + npoints * 8
+    if has_m:
+        ms = np.frombuffer(rec, dtype="<f8", count=npoints, offset=end + 16)
+        pts = np.column_stack([pts, ms])
+    if not (has_z or has_m):
         pts = pts.copy()
     rings = [
         pts[parts[i] : parts[i + 1]].copy() for i in range(nparts)
     ]
     if base == SHAPE_POLYLINE:
         # Polyline → MultiLineString (transform_coord.rs:37-48)
-        return wkb.Geometry(wkb.MULTILINESTRING, rings, has_z)
+        return wkb.Geometry(wkb.MULTILINESTRING, rings, has_z, has_m)
     # Polygon: all rings become one Polygon (transform_coord.rs:60-71)
-    return wkb.Geometry(wkb.POLYGON, rings, has_z)
+    return wkb.Geometry(wkb.POLYGON, rings, has_z, has_m)
 
 
 def write_shp(geoms: list[wkb.Geometry]) -> tuple[bytes, bytes]:
     """Serialize geometries to (.shp bytes, .shx bytes) — fixtures only.
-    Supports Point and Polygon."""
+    Supports Point, Polygon, MultiPoint, MultiLineString, each in base
+    and M variants (M column is the last coordinate column)."""
     records = []
     offsets = []
     pos = 100
     stype_file = None
     for i, g in enumerate(geoms):
+        if g.has_z:
+            raise ShpError("fixture writer does not emit Z shapefiles")
         if g.kind == wkb.POINT:
-            stype = SHAPE_POINT
+            c = np.asarray(g.coords, dtype=np.float64)
+            if g.has_m:
+                content = struct.pack(
+                    "<iddd", SHAPE_POINT_M, c[0], c[1], c[2]
+                )
+                stype = SHAPE_POINT_M
+            else:
+                stype = SHAPE_POINT
+                content = struct.pack("<idd", stype, c[0], c[1])
+        elif g.kind == wkb.MULTIPOINT:
+            pts = np.asarray(g.coords, dtype=np.float64)
+            stype = SHAPE_MULTIPOINT_M if g.has_m else SHAPE_MULTIPOINT
             content = struct.pack(
-                "<idd", stype, float(g.coords[0]), float(g.coords[1])
+                "<idddd",
+                stype,
+                pts[:, 0].min(),
+                pts[:, 1].min(),
+                pts[:, 0].max(),
+                pts[:, 1].max(),
             )
-        elif g.kind == wkb.POLYGON:
-            stype = SHAPE_POLYGON
+            content += struct.pack("<i", len(pts))
+            content += np.ascontiguousarray(pts[:, :2], dtype="<f8").tobytes()
+            if g.has_m:
+                ms = pts[:, 2]
+                content += struct.pack("<dd", ms.min(), ms.max())
+                content += np.ascontiguousarray(ms, dtype="<f8").tobytes()
+        elif g.kind in (wkb.POLYGON, wkb.MULTILINESTRING):
+            if g.kind == wkb.POLYGON:
+                stype = SHAPE_POLYGON_M if g.has_m else SHAPE_POLYGON
+            else:
+                stype = SHAPE_POLYLINE_M if g.has_m else SHAPE_POLYLINE
             rings = g.coords
             npoints = sum(len(r) for r in rings)
             allpts = np.concatenate(rings)
@@ -161,8 +220,15 @@ def write_shp(geoms: list[wkb.Geometry]) -> tuple[bytes, bytes]:
             content += np.ascontiguousarray(
                 allpts[:, :2], dtype="<f8"
             ).tobytes()
+            if g.has_m:
+                ms = allpts[:, 2]
+                content += struct.pack("<dd", ms.min(), ms.max())
+                content += np.ascontiguousarray(ms, dtype="<f8").tobytes()
         else:
-            raise ShpError(f"fixture writer supports Point/Polygon, not {g.name}")
+            raise ShpError(
+                f"fixture writer supports Point/Polygon/MultiPoint/"
+                f"MultiLineString, not {g.name}"
+            )
         stype_file = stype if stype_file is None else stype_file
         header = struct.pack(">ii", i + 1, len(content) // 2)
         records.append(header + content)

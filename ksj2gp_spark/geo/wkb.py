@@ -6,9 +6,16 @@ GeoArrow-WKB physical layout (/root/reference/rust/src/builder.rs:237-240,
 MultiLineString, MultiPolygon in 2D and Z variants (ISO +1000 codes and
 the 0x80000000 EWKB flag, both accepted on read; ISO written).
 
-Coordinates are numpy float64 arrays of shape (n, 2) or (n, 3); a
-Polygon is a list of rings (first exterior, rest holes); Multi* are
-lists of parts. This is the exchange format all geo kernels share.
+Coordinates are numpy float64 arrays of shape (n, 2+has_z+has_m) with
+column order x, y, [z], [m]; a Polygon is a list of rings (first
+exterior, rest holes); Multi* are lists of parts. This is the exchange
+format all geo kernels share.
+
+M (measure) ordinates mirror the reference's GPKG lane, which accepts
+M-typed shapefiles and declares Dimension::Xym / Xyzm
+(/root/reference/rust/src/writer/gpkg_writer.rs:93-127). ISO codes
++2000 (XYM) and +3000 (XYZM) plus the EWKB 0x40000000 flag are read;
+ISO is written.
 """
 
 from __future__ import annotations
@@ -42,12 +49,36 @@ class Geometry:
     """Parsed geometry: ``kind`` is the base WKB code, ``coords`` layout
     depends on kind (see module docstring)."""
 
-    __slots__ = ("kind", "coords", "has_z")
+    __slots__ = ("kind", "coords", "has_z", "has_m")
 
-    def __init__(self, kind: int, coords, has_z: bool = False):
+    def __init__(
+        self, kind: int, coords, has_z: bool = False, has_m: bool = False
+    ):
         self.kind = kind
         self.coords = coords
         self.has_z = has_z
+        self.has_m = has_m
+
+    def drop_m(self) -> "Geometry":
+        """Strip the M ordinate (reference's GeoParquet/GeoJSON transform
+        path carries XY/XYZ only, transform_coord.rs:21-107)."""
+        if not self.has_m:
+            return self
+        keep = 3 if self.has_z else 2
+
+        def cut(a):
+            return np.ascontiguousarray(np.asarray(a)[..., :keep])
+
+        k = self.kind
+        if k == POINT:
+            coords = np.asarray(self.coords)[:keep].copy()
+        elif k in (LINESTRING, MULTIPOINT):
+            coords = cut(self.coords)
+        elif k in (POLYGON, MULTILINESTRING):
+            coords = [cut(r) for r in self.coords]
+        else:  # MULTIPOLYGON
+            coords = [[cut(r) for r in poly] for poly in self.coords]
+        return Geometry(k, coords, self.has_z, False)
 
     @property
     def name(self) -> str:
@@ -106,17 +137,24 @@ class _Reader:
         (code,) = struct.unpack_from(self.end + "I", self.buf, self.pos)
         self.pos += 4
         has_z = False
+        has_m = False
         if code & 0x80000000:  # EWKB Z flag
             has_z = True
-            code &= 0x0FFFFFFF
-        if code >= 3000:
-            raise WkbError(f"ZM/M geometries unsupported: {code}")
-        if code >= 1000:  # ISO Z
+        if code & 0x40000000:  # EWKB M flag
+            has_m = True
+        code &= 0x0FFFFFFF
+        if code >= 3000:  # ISO ZM
+            has_z = has_m = True
+            code -= 3000
+        elif code >= 2000:  # ISO M
+            has_m = True
+            code -= 2000
+        elif code >= 1000:  # ISO Z
             has_z = True
             code -= 1000
-        dims = 3 if has_z else 2
+        dims = 2 + has_z + has_m
         if code == POINT:
-            return Geometry(POINT, self._coords(1, dims)[0], has_z)
+            return Geometry(POINT, self._coords(1, dims)[0], has_z, has_m)
         if code in (LINESTRING, MULTIPOINT):
             if code == MULTIPOINT:
                 n = self._u32()
@@ -129,10 +167,12 @@ class _Reader:
                 arr = (
                     np.vstack(pts) if pts else np.empty((0, dims))
                 )
-                return Geometry(MULTIPOINT, arr, has_z)
-            return Geometry(code, self._coords(self._u32(), dims), has_z)
+                return Geometry(MULTIPOINT, arr, has_z, has_m)
+            return Geometry(
+                code, self._coords(self._u32(), dims), has_z, has_m
+            )
         if code == POLYGON:
-            return Geometry(POLYGON, self._rings(dims), has_z)
+            return Geometry(POLYGON, self._rings(dims), has_z, has_m)
         if code in (MULTILINESTRING, MULTIPOLYGON):
             n = self._u32()
             parts = []
@@ -140,7 +180,8 @@ class _Reader:
                 g = self.geometry()
                 parts.append(g.coords)
                 has_z = has_z or g.has_z
-            return Geometry(code, parts, has_z)
+                has_m = has_m or g.has_m
+            return Geometry(code, parts, has_z, has_m)
         raise WkbError(f"Unsupported WKB geometry code: {code}")
 
     def _u32(self) -> int:
@@ -172,8 +213,8 @@ def loads(buf: bytes) -> Geometry:
         raise WkbError(f"truncated or malformed WKB: {e}") from e
 
 
-def _code(kind: int, has_z: bool) -> int:
-    return kind + (1000 if has_z else 0)
+def _code(kind: int, has_z: bool, has_m: bool = False) -> int:
+    return kind + (1000 if has_z else 0) + (2000 if has_m else 0)
 
 
 def _write_coords(out: list[bytes], arr: np.ndarray) -> None:
@@ -182,7 +223,10 @@ def _write_coords(out: list[bytes], arr: np.ndarray) -> None:
 
 def dumps(geom: Geometry) -> bytes:
     """Serialize a Geometry to little-endian ISO WKB."""
-    out: list[bytes] = [b"\x01", struct.pack("<I", _code(geom.kind, geom.has_z))]
+    out: list[bytes] = [
+        b"\x01",
+        struct.pack("<I", _code(geom.kind, geom.has_z, geom.has_m)),
+    ]
     k = geom.kind
     if k == POINT:
         _write_coords(out, np.asarray(geom.coords, dtype=np.float64))
@@ -194,7 +238,7 @@ def dumps(geom: Geometry) -> bytes:
         out.append(struct.pack("<I", len(pts)))
         for p in pts:
             out.append(b"\x01")
-            out.append(struct.pack("<I", _code(POINT, geom.has_z)))
+            out.append(struct.pack("<I", _code(POINT, geom.has_z, geom.has_m)))
             _write_coords(out, p)
     elif k == POLYGON:
         out.append(struct.pack("<I", len(geom.coords)))
@@ -205,7 +249,7 @@ def dumps(geom: Geometry) -> bytes:
         child = LINESTRING if k == MULTILINESTRING else POLYGON
         out.append(struct.pack("<I", len(geom.coords)))
         for part in geom.coords:
-            out.append(dumps(Geometry(child, part, geom.has_z)))
+            out.append(dumps(Geometry(child, part, geom.has_z, geom.has_m)))
     else:
         raise WkbError(f"Unsupported geometry kind: {k}")
     return b"".join(out)

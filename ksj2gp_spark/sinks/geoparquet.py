@@ -28,7 +28,11 @@ GEO_METADATA_VERSION = "1.1.0"
 def with_bbox_covering(
     df: DataFrame, geometry_col: str = "geometry"
 ) -> DataFrame:
-    """Add bbox covering columns from WKB (vectorized per Arrow batch)."""
+    """Add bbox covering columns from WKB (vectorized per Arrow batch).
+
+    M ordinates are stripped here: the reference's GeoParquet/GeoJSON
+    lane carries XY/XYZ only (transform_coord.rs:21-107; M survives only
+    on the GPKG lane, gpkg_writer.rs:116-127)."""
 
     def add_bbox(batches):
         for pdf in batches:
@@ -37,9 +41,17 @@ def with_bbox_covering(
             ymin = np.empty(n)
             xmax = np.empty(n)
             ymax = np.empty(n)
+            geo_out = None
             for i, buf in enumerate(pdf[geometry_col]):
-                xmin[i], ymin[i], xmax[i], ymax[i] = wkb.loads(buf).bounds()
+                g = wkb.loads(buf)
+                if g.has_m:
+                    if geo_out is None:
+                        geo_out = list(pdf[geometry_col])
+                    geo_out[i] = wkb.dumps(g.drop_m())
+                xmin[i], ymin[i], xmax[i], ymax[i] = g.bounds()
             out = pdf.copy()
+            if geo_out is not None:
+                out[geometry_col] = geo_out
             out["bbox_xmin"] = xmin
             out["bbox_ymin"] = ymin
             out["bbox_xmax"] = xmax

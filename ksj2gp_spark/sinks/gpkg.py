@@ -67,9 +67,11 @@ _PROMOTE = {
 def _promote(g: wkb.Geometry, declared: str) -> wkb.Geometry:
     """Promote a single-part geometry to the declared multi-class."""
     if declared == "MULTIPOLYGON" and g.kind == wkb.POLYGON:
-        return wkb.Geometry(wkb.MULTIPOLYGON, [list(g.coords)], g.has_z)
+        return wkb.Geometry(
+            wkb.MULTIPOLYGON, [list(g.coords)], g.has_z, g.has_m
+        )
     if declared == "MULTILINESTRING" and g.kind == wkb.LINESTRING:
-        return wkb.Geometry(wkb.MULTILINESTRING, [g.coords], g.has_z)
+        return wkb.Geometry(wkb.MULTILINESTRING, [g.coords], g.has_z, g.has_m)
     return g
 
 
@@ -201,6 +203,9 @@ def write_gpkg(
         raise wkb.WkbError(f"unsupported/mixed geometry classes for GPKG: {kinds}")
     gtype = declared.pop()
     has_z = any(g.has_z for g in geoms)
+    # M-typed shapefiles declare dimension Xym in gpkg_geometry_columns,
+    # matching gpkg_writer.rs:116-127 (Dimension::Xym for *M shapes).
+    has_m = any(g.has_m for g in geoms)
 
     attr_cols = [c for c in pdf.columns if c != geometry_col]
     if os.path.exists(path):
@@ -221,7 +226,14 @@ def write_gpkg(
         )
         cur.execute(
             "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,?,?)",
-            (layer, geometry_col, gtype, srs_id, 1 if has_z else 0, 0),
+            (
+                layer,
+                geometry_col,
+                gtype,
+                srs_id,
+                1 if has_z else 0,
+                1 if has_m else 0,
+            ),
         )
 
         blobs = [
