@@ -61,7 +61,11 @@ edges = chains.union(star)
 n_edges = edges.count()  # materialize input cost outside the timer
 
 t0 = time.time()
-comp = connected_components(edges, max_iter=20)
+# num_partitions pinned so BOTH core counts run the IDENTICAL algorithm
+# (same kernel partitioning → same local contraction → same rounds and
+# shuffle volumes); the core count then changes only execution
+# resources, which is what a scaling efficiency is supposed to measure.
+comp = connected_components(edges, max_iter=20, num_partitions=64)
 census = (
     comp.groupBy("component").count()
     .groupBy("count").agg(F.count("*").alias("n_comps"))

@@ -102,12 +102,100 @@ def _batch_shingle_hashes(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(h1, h2, doc_offsets) for one Arrow batch: all shingles of all
     docs hashed in one vectorized pass; offsets delimit each doc's
-    segment for np.minimum/add.reduceat."""
-    per_doc = [_shingles(t or "", n_shingle) for t in texts]
-    offsets = np.cumsum([0] + [len(s) for s in per_doc])[:-1]
-    flat = [s for doc in per_doc for s in doc]
-    h1, h2 = _poly_hashes(flat)
-    return h1, h2, offsets
+    segment for np.minimum/add.reduceat.
+
+    Shingle boundaries are computed as (start, end) index pairs into
+    ONE codepoint array of the whole batch — no per-shingle Python
+    string is ever built. The earlier ``_shingles``-per-doc version
+    allocated ~40 small strings per document (≈400k PyObjects per 10k-
+    row Arrow batch), and that allocator churn was the dominant
+    repeat-to-repeat variance on the 100k-doc bench lane. Hash VALUES
+    are bit-identical to ``_poly_hashes(_shingles(text))`` — the
+    property the golden tests and DuckDB oracles pin — because a
+    shingle " ".join(toks[i:i+n]) is exactly a substring of the
+    whitespace-normalized document.
+    """
+    n_docs = len(texts)
+    if n_docs == 0:
+        z = np.empty(0, np.uint64)
+        return z, z, np.empty(0, np.int64)
+    # NUL carries no dedup signal and is the document separator below —
+    # strip it up front (same rule _shingles applies).
+    norm = [
+        " ".join(t.replace("\x00", "").split()) if t else "" for t in texts
+    ]
+    big = "\x00".join(norm)
+    arr = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    n_chars = len(arr)
+    is_nul = arr == 0
+    if n_chars == 0 or is_nul.all() and n_chars == n_docs - 1:
+        # every doc empty → one empty shingle (hash 0) per doc
+        z = np.zeros(n_docs, np.uint64)
+        return z, z.copy(), np.arange(n_docs, dtype=np.int64)
+
+    is_sep = is_nul | (arr == 32)
+    not_sep = ~is_sep
+    tok_start = not_sep & np.concatenate(([True], is_sep[:-1]))
+    tok_end = not_sep & np.concatenate((is_sep[1:], [True]))
+    ts = np.where(tok_start)[0]
+    te = np.where(tok_end)[0] + 1  # exclusive
+    doc_of_tok = np.cumsum(is_nul)[ts]  # nuls before a token = its doc
+    tok_counts = np.bincount(doc_of_tok, minlength=n_docs)
+
+    # docs with ≥ n tokens emit k-n+1 shingles; shorter docs emit ONE
+    # whole-doc shingle (possibly empty), matching _shingles exactly
+    sh_counts = np.maximum(tok_counts - n_shingle + 1, 1)
+    off = np.concatenate(([0], np.cumsum(sh_counts)))
+    starts = np.zeros(off[-1], np.int64)
+    ends = np.zeros(off[-1], np.int64)
+
+    tok_off = np.concatenate(([0], np.cumsum(tok_counts)))[:-1]
+    full = tok_counts >= n_shingle
+    d_full = np.where(full)[0]
+    if len(d_full):
+        reps = tok_counts[d_full] - n_shingle + 1
+        j = np.arange(int(reps.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)))[:-1], reps
+        )
+        g = np.repeat(off[d_full], reps) + j
+        t0 = np.repeat(tok_off[d_full], reps) + j
+        starts[g] = ts[t0]
+        ends[g] = te[t0 + n_shingle - 1]
+    d_small = np.where(~full)[0]
+    if len(d_small):
+        nul_pos = np.where(is_nul)[0]
+        doc_start = np.concatenate(([0], nul_pos + 1))
+        doc_end = np.concatenate((nul_pos, [n_chars]))
+        starts[off[d_small]] = doc_start[d_small]
+        ends[off[d_small]] = doc_end[d_small]
+
+    h1, h2 = _hash_segments(arr, starts, ends - starts)
+    return h1, h2, off[:-1].astype(np.int64)
+
+
+def _hash_segments(
+    arr: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dual polynomial hash of arr[start:start+len) segments, column
+    at a time (right-aligned, so leading zeros don't change the hash —
+    the same O(maxlen) gather loop _poly_hashes uses)."""
+    n = len(starts)
+    h1 = np.zeros(n, np.uint64)
+    h2 = np.zeros(n, np.uint64)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return h1, h2
+    pad = maxlen - lens
+    last = len(arr) - 1
+    for j in range(maxlen):
+        rel = j - pad
+        ok = rel >= 0
+        c = arr[np.minimum(starts + np.where(ok, rel, 0), last)] * ok
+        h1 = (h1 * _B1 + c) % _M31
+        h2 = (h2 * _B2 + c) % _M31
+    return h1, h2
 
 
 def _cap_buckets(

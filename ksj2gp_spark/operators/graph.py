@@ -6,30 +6,121 @@ The reference has no graph step (its dedup story ends at file-level
 conversion); this is part of the training-data-pipeline lane the graft
 mandates: pairs → components → keep-one-per-component.
 
-Algorithm: min-label propagation with pointer jumping ("path
-doubling"), the standard MapReduce-era formulation (Rastogi et al.,
-"Finding Connected Components in Map-Reduce in Logarithmic Rounds",
-public). Each round does
+Algorithm: filtering / graph contraction (the MPC scheme of Lattanzi
+et al. "Filtering: a method for solving graph problems in MapReduce"
+and Kiveris et al. "Connected Components in MapReduce and Beyond" —
+both public), with a vectorized numpy union kernel per partition:
 
-  1. neighbor-min: L(v) <- min(L(v), min_{u in N(v)} L(u))
-  2. pointer jump: L(v) <- min(L(v), L(L(v)))
+  round k (input: quotient edge list E_k):
+    1. hash-partition E_k by src, so each node's out-edges co-locate;
+    2. per-partition numpy min-label union → emit (value, local_root)
+       for every endpoint value in the partition — the partition's
+       local components collapse in ONE pass (a whole chain that lands
+       together contracts immediately, where per-hop label propagation
+       needs diameter rounds);
+    3. groupBy(node): m_k(v) = min local root, plus the set of v's
+       distinct local roots across partitions. Since every class
+       {v : m_k(v)=r} is connected through r inside G, contracting by
+       m_k preserves component structure; cross-partition connectivity
+       is exactly captured by ROOT-LINK edges (min_root, other_root)
+       per multi-rooted node — these form E_{k+1}, the quotient graph.
+    4. E_{k+1} is empty  ⇔  every node has one root  ⇔  classes are
+       full components: termination is an exact count, not a
+       fingerprint. Otherwise recurse on E_{k+1} (≤ one edge per
+       (node, extra root) — the quotient SHRINKS geometrically).
+  backward pass: comp_k(v) = comp_{k+1}(m_k(v)), defaulting to m_k(v)
+  for roots already final — one left-join per round over shrinking
+  mapping tables.
 
-Step 2 squares the distance a label travels per round, so convergence
-is O(log n) rounds even on a path graph — a plain neighbor-min loop
-would need O(diameter) rounds, which on a 10^9-node chain is the
-difference between ~30 shuffles and 10^9. Every round is two shuffles
-(one groupBy, one self-join) over data that only shrinks; labels are
-``localCheckpoint``-ed each round so the plan does not grow with the
-iteration count (Spark re-executes unbounded lineage otherwise).
+Component minima survive every round (min(v ∪ local comps of v) = v
+when v is its component's minimum), so the final representative is the
+component's global minimum — deterministic and reproducible by the
+DuckDB recursive-CTE oracle.
 
-The per-round convergence probe is a driver-side ``isEmpty()`` on the
-changed-label set — inherent to any iterative fixpoint on Spark and
-O(1) data back to the driver.
+Scale shape: round 1 touches the edge list ONCE (one hash repartition
++ one Arrow kernel pass + one combinable groupBy of ~2|E| mapping
+rows); later rounds run on quotient graphs that shrink by the local
+contraction factor (~#partition-locality), so total shuffle volume is
+O(|E|) + a geometric tail — vs O(|E|) per round for label
+propagation. Every per-round frame is ``localCheckpoint``-ed so plans
+do not grow with iteration count. Known skew caveat: a node of degree
+d puts d rows in one kernel partition; upstream LSH pair generation
+caps bucket sizes (operators/dedup.py max_bucket), which bounds d.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+
+def _local_components(n_values: int, ea: np.ndarray, eb: np.ndarray):
+    """Min-label union of a partition subgraph over value indices
+    0..n_values-1 (indices of SORTED distinct values, so min-index ==
+    min-value — type-agnostic: lexicographic on strings, numeric on
+    ids, matching F.least semantics). Returns per-value root index."""
+    lbl = np.arange(n_values, dtype=np.int64)
+    while True:
+        prev = lbl.copy()
+        m = np.minimum(lbl[ea], lbl[eb])
+        np.minimum.at(lbl, ea, m)
+        np.minimum.at(lbl, eb, m)
+        lbl = lbl[lbl]  # pointer jump: halves chain depth per sweep
+        # fixpoint must cover BOTH passes: the jump can be a no-op
+        # while the edge-min pass still lowered labels this sweep
+        if np.array_equal(lbl, prev):
+            return lbl
+
+
+def _contract_kernel(batches):
+    """mapInPandas kernel: partition edge rows (src, dst) → one
+    (node, root) mapping row per distinct endpoint value present,
+    pointing at its partition-local component minimum."""
+    pdfs = [pdf for pdf in batches if len(pdf)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    a = pdf["src"].to_numpy()
+    b = pdf["dst"].to_numpy()
+    values, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(a)
+    lbl = _local_components(len(values), codes[:n], codes[n:])
+    yield pd.DataFrame({"node": values, "root": values[lbl]})
+
+
+def _minlink_kernel(batches):
+    """mapInPandas kernel over (node, root) mapping rows co-located by
+    node: per node emit its min root (kind=0 mapping row) plus one
+    root-link row (min, other) per additional distinct root (kind=1).
+    A numpy sort-reduceat pass — replaces a JVM collect_set aggregate
+    whose per-group array buffers (and the localCheckpoint of array
+    columns) dominated the round wall at 8M nodes."""
+    pdfs = [pdf for pdf in batches if len(pdf)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    node = pdf["node"].to_numpy()
+    root = pdf["root"].to_numpy()
+    order = np.argsort(node, kind="stable")
+    ns, rs = node[order], root[order]
+    starts = np.concatenate(([True], ns[1:] != ns[:-1]))
+    start_idx = np.where(starts)[0]
+    gmin = np.minimum.reduceat(rs, start_idx)
+    rmin_per_row = gmin[np.cumsum(starts) - 1]
+    link_mask = rs != rmin_per_row
+    yield pd.DataFrame(
+        {
+            "node": np.concatenate([ns[starts], rmin_per_row[link_mask]]),
+            "root": np.concatenate([gmin, rs[link_mask]]),
+            "kind": np.concatenate(
+                [
+                    np.zeros(len(start_idx), np.int8),
+                    np.ones(int(link_mask.sum()), np.int8),
+                ]
+            ),
+        }
+    )
 
 
 def connected_components(
@@ -37,6 +128,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``
     (undirected; direction of the input rows is ignored). ``component``
@@ -45,13 +137,104 @@ def connected_components(
     (the DuckDB oracle computes it with a recursive CTE).
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iter`` rounds (pointer jumping needs ~log2(n) + slack; 30
-    covers any graph that fits on a real cluster).
+    ``max_iter`` rounds (contraction shrinks the quotient by the
+    partition-locality factor per round; 30 covers any graph that fits
+    on a real cluster).
     """
-    # materialized once: every round's neighbor-min joins against sym,
-    # and without the checkpoint the union+distinct (a shuffle) would
-    # re-execute from lineage EVERY round — at scale that is a full
-    # re-read of the edge table per iteration
+    spark = edges.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    id_t = edges.schema[src].dataType
+    simple = id_t.simpleString()
+    map_schema = f"node {simple}, root {simple}"
+
+    # No distinct() on the input: duplicate edges are free extra rows
+    # in the kernel, and skipping the dedup saves a full edge shuffle.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).cast(id_t).alias("dst")
+    )
+    mappings: list[DataFrame] = []
+
+    for it in range(max_iter):
+        # Rounds ≥2 symmetrize so EVERY node sees all its incident
+        # edges in its own partition (not just out-edges) — this is
+        # what lets a node's min cross fragment boundaries every round;
+        # without it a path quotient shrinks by only
+        # (1 - 1/partitions) per round. Round 1 skips the symmetrize:
+        # it halves the dominant shuffle+Arrow volume (the full edge
+        # list), costs at most extra rounds over the ALREADY-contracted
+        # quotient, and correctness never depends on it (root links tie
+        # every node's roots regardless).
+        # Range partitioning (vs hash) exploits id locality: edge lists
+        # whose components live in contiguous id ranges (LSH buckets,
+        # chained ids) collapse whole components in round 1; for
+        # permuted ids it degrades to hash-equivalent mixing.
+        sym = (
+            e
+            if it == 0
+            else e.union(
+                e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+        )
+        contracted = sym.repartitionByRange(nparts, "src").mapInPandas(
+            _contract_kernel, schema=map_schema
+        )
+        # second numpy pass, co-located by node: per-node min root +
+        # root links in one compact 3-column frame (ONE checkpoint of
+        # fixed-width rows per round; the groupBy collect_set + explode
+        # formulation measured ~3× this round's wall at 8M nodes —
+        # per-group JVM array buffers plus an array-column checkpoint)
+        combined = (
+            contracted.repartition(nparts, "node")
+            .mapInPandas(
+                _minlink_kernel, schema=f"{map_schema}, kind tinyint"
+            )
+            .localCheckpoint()
+        )
+        mappings.append(
+            combined.filter(F.col("kind") == 0).select("node", "root")
+        )
+        e = combined.filter(F.col("kind") == 1).select(
+            F.col("node").alias("src"), F.col("root").alias("dst")
+        )
+        if e.isEmpty():
+            # backward composition: comp_k(v) = comp_{k+1}(m_k(v)),
+            # falling back to m_k(v) for roots that were already final
+            comp = mappings[-1]
+            for m_k in reversed(mappings[:-1]):
+                comp = (
+                    m_k.join(
+                        comp.select(
+                            F.col("node").alias("_r"),
+                            F.col("root").alias("_c"),
+                        ),
+                        m_k["root"] == F.col("_r"),
+                        "left",
+                    )
+                    .select(
+                        "node",
+                        F.coalesce("_c", "root").alias("root"),
+                    )
+                )
+            return comp.select("node", F.col("root").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def connected_components_labelprop(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Baseline kept for A/B equality tests and the scaling sweep:
+    min-label propagation with pointer jumping (Rastogi et al.,
+    "Finding Connected Components in Map-Reduce in Logarithmic
+    Rounds"). Two SQL joins + two checkpoints per round over the full
+    edge list; ``connected_components`` (contraction) is the
+    production path."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -66,7 +249,6 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # 1. min label among neighbors (map-side combinable min)
         nbr = (
             sym.join(
                 labels.select(
@@ -79,12 +261,6 @@ def connected_components(
             .withColumnRenamed("u", "node")
         )
         # least() skips nulls, so unmatched left rows keep their label.
-        # l1 feeds BOTH sides of the pointer-jump self-join; checkpoint
-        # it so the labels⋈nbr join runs once per round, not twice.
-        # The round's INPUT label rides along as _old so convergence is
-        # one aggregate scan of the checkpointed result — type-agnostic
-        # (string node ids work; a numeric-cast probe would NULL out
-        # and falsely converge), no old-vs-new self-join.
         l1 = (
             labels.join(nbr, "node", "left")
             .select(
@@ -94,8 +270,6 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        # 2. pointer jump: follow the label one hop (labels are node
-        # ids, so they resolve against the same relation)
         jump = l1.select(
             F.col("node").alias("label"), F.col("label").alias("jl")
         )

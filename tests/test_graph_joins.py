@@ -77,6 +77,37 @@ class TestConnectedComponents:
         }
         assert got == {1: 1, 2: 1, 5: 5}
 
+    def test_random_graphs_match_baseline_and_oracle(self, spark):
+        # local contraction vs the label-propagation baseline vs a
+        # driver-side union-find, on random sparse graphs (the shapes
+        # LSH pair lists produce: many small comps + a few big ones)
+        from ksj2gp_spark.operators.graph import (
+            connected_components_labelprop,
+        )
+
+        rng = np.random.default_rng(7)
+        for trial, (n, m) in enumerate([(50, 30), (200, 180), (500, 700)]):
+            edges = [
+                (int(a), int(b))
+                for a, b in rng.integers(0, n, size=(m, 2))
+            ]
+            df = spark.createDataFrame(edges, "src long, dst long")
+            fast = {
+                r["node"]: r["component"]
+                for r in connected_components(df).collect()
+            }
+            base = {
+                r["node"]: r["component"]
+                for r in connected_components_labelprop(df).collect()
+            }
+            oracle = _union_find(edges)
+            assert fast == oracle, f"trial {trial}: contraction != oracle"
+            assert base == oracle, f"trial {trial}: labelprop != oracle"
+
+    def test_empty_edges(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        assert connected_components(df).count() == 0
+
     def test_dedup_components_sizes(self, spark):
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"

@@ -158,6 +158,35 @@ _SHINGLE_TEXT = st.text(
 )
 
 
+@given(
+    st.lists(st.one_of(_SHINGLE_TEXT, st.none()), min_size=0, max_size=20),
+    st.sampled_from([2, 3, 5]),
+)
+@settings(max_examples=80, deadline=None)
+def test_batch_shingle_hashes_match_per_doc_path(texts, n_shingle):
+    """The index-arithmetic batch shingler (no per-shingle strings)
+    must be bit-identical to the straightforward _shingles +
+    _poly_hashes composition for ANY input — that identity is what the
+    golden signatures and DuckDB minhash oracles rest on."""
+    import pandas as pd
+
+    from ksj2gp_spark.operators.dedup import (
+        _batch_shingle_hashes,
+        _poly_hashes,
+        _shingles,
+    )
+
+    per_doc = [_shingles(t or "", n_shingle) for t in texts]
+    offsets = np.cumsum([0] + [len(s) for s in per_doc])[:-1]
+    r1, r2 = _poly_hashes([s for doc in per_doc for s in doc])
+    g1, g2, go = _batch_shingle_hashes(
+        pd.Series(texts, dtype=object), n_shingle
+    )
+    assert np.array_equal(go, np.asarray(offsets))
+    assert np.array_equal(g1, r1)
+    assert np.array_equal(g2, r2)
+
+
 @given(st.lists(_SHINGLE_TEXT, min_size=1, max_size=15))
 @settings(max_examples=60, deadline=None)
 def test_poly_hash_matches_duckdb(shingles):
