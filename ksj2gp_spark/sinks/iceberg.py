@@ -1008,6 +1008,34 @@ def _read_files(
             )
         key = tuple((s["name"], part[s["name"]]) for s in id_specs)
         groups.setdefault(key, []).append(f)
+    if len(groups) > 32:
+        # Many-partition path: ONE scan over every file, identity
+        # columns re-derived from the hive directory segment with
+        # input_file_name() + regexp (all JVM, O(1) plan size). The
+        # per-group constant-column union below builds one plan branch
+        # per partition VALUE — at O(10k) partitions that is an O(10k)-
+        # child Union whose analysis alone takes minutes (measured by
+        # bench/iceberg_planning.py; this path keeps full-scan plan
+        # construction flat).
+        gdf = spark.read.schema(file_schema).parquet(
+            *(os.path.join(path, f["path"]) for f in files)
+        )
+        import re as _re
+
+        fname = F.input_file_name()
+        for s in id_specs:
+            raw = F.regexp_extract(
+                fname, f".*/{_re.escape(s['name'])}=([^/]*)/.*", 1
+            )
+            gdf = gdf.withColumn(
+                s["name"],
+                F.when(
+                    raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+                )
+                .otherwise(F.url_decode(raw))
+                .cast(spark_type[s["type"]]),
+            )
+        return gdf.select([c for c in order if c in gdf.columns])
     parts = []
     for key, fs in groups.items():
         gdf = spark.read.schema(file_schema).parquet(
@@ -1051,23 +1079,26 @@ def read(
     id_specs = [
         s for s in _spec_of(meta) if s["transform"] == "identity"
     ]
-    groups: dict[tuple, list[str]] = {}
+    id_names = {s["name"] for s in id_specs}
+    bind_groups: dict[tuple, list[dict]] = {}
     for f in files:
         binding = tuple(sorted((f.get("fields") or {}).items()))
-        part = tuple(
-            (s["name"], (f.get("partition") or {}).get(s["name"]))
-            for s in id_specs
-        )
-        groups.setdefault((binding, part), []).append(
-            os.path.join(path, f["path"])
-        )
+        bind_groups.setdefault(binding, []).append(f)
 
     from pyspark.sql.types import StructField
 
+    def identity_expr(s, raw):
+        return (
+            F.when(raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+            .otherwise(F.url_decode(raw))
+        )
+
     parts = []
-    for (binding, part), paths in groups.items():
+    # outer grouping by field binding only (one group per schema epoch
+    # — small); partition handling nests inside so a 10k-partition
+    # table never becomes a 10k-child Union (see _read_files)
+    for binding, fs in bind_groups.items():
         written_by_id = {int(i): n for i, n in binding}
-        part_vals = dict(part)
         # Explicit per-group read schema under the WRITTEN names with
         # the TABLE's (current, possibly promoted) types: a schema-less
         # read takes whatever type the first file has — mixed
@@ -1075,37 +1106,71 @@ def read(
         # silently truncate); the explicit schema widens at the scan.
         req = []
         for fld, sf in zip(fields, table_schema.fields):
-            if fld["name"] in part_vals:
+            if fld["name"] in id_names:
                 continue
             written = (
                 written_by_id.get(fld["id"]) if binding else fld["name"]
             )
             if written is not None:
                 req.append(StructField(written, sf.dataType, True))
-        gdf = spark.read.schema(StructType(req)).parquet(*paths)
-        cols = []
-        for fld, sf in zip(fields, table_schema.fields):
-            if fld["name"] in part_vals:
-                # identity partition value from the manifest, not the file
-                cols.append(
-                    F.lit(part_vals[fld["name"]])
-                    .cast(sf.dataType)
-                    .alias(fld["name"])
+        req_schema = StructType(req)
+
+        def project(gdf, part_vals, fname):
+            cols = []
+            for fld, sf in zip(fields, table_schema.fields):
+                if fld["name"] in id_names:
+                    if fname is not None:
+                        import re as _re
+
+                        raw = F.regexp_extract(
+                            fname,
+                            f".*/{_re.escape(fld['name'])}=([^/]*)/.*",
+                            1,
+                        )
+                        cols.append(
+                            identity_expr(fld, raw)
+                            .cast(sf.dataType)
+                            .alias(fld["name"])
+                        )
+                    else:
+                        cols.append(
+                            F.lit(part_vals[fld["name"]])
+                            .cast(sf.dataType)
+                            .alias(fld["name"])
+                        )
+                    continue
+                # legacy files (no binding) wrote current names directly
+                written = (
+                    written_by_id.get(fld["id"]) if binding else fld["name"]
                 )
-                continue
-            # legacy files (no binding) wrote current names directly
-            written = (
-                written_by_id.get(fld["id"]) if binding else fld["name"]
+                if written is not None and written in gdf.columns:
+                    cols.append(
+                        F.col(written).cast(sf.dataType).alias(fld["name"])
+                    )
+                else:
+                    cols.append(
+                        F.lit(None).cast(sf.dataType).alias(fld["name"])
+                    )
+            return gdf.select(cols)
+
+        part_groups: dict[tuple, list[dict]] = {}
+        for f in fs:
+            part = tuple(
+                (s["name"], (f.get("partition") or {}).get(s["name"]))
+                for s in id_specs
             )
-            if written is not None and written in gdf.columns:
-                cols.append(
-                    F.col(written).cast(sf.dataType).alias(fld["name"])
+            part_groups.setdefault(part, []).append(f)
+        if len(part_groups) > 32:
+            gdf = spark.read.schema(req_schema).parquet(
+                *(os.path.join(path, f["path"]) for f in fs)
+            )
+            parts.append(project(gdf, {}, F.input_file_name()))
+        else:
+            for part, pfs in part_groups.items():
+                gdf = spark.read.schema(req_schema).parquet(
+                    *(os.path.join(path, f["path"]) for f in pfs)
                 )
-            else:
-                cols.append(
-                    F.lit(None).cast(sf.dataType).alias(fld["name"])
-                )
-        parts.append(gdf.select(cols))
+                parts.append(project(gdf, dict(part), None))
     return reduce(DataFrame.unionByName, parts)
 
 

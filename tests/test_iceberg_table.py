@@ -495,6 +495,52 @@ class TestPartitionedTables:
         sdf, _ = I.scan(spark, t, bounds={"pref": ("13", "13")})
         assert set(sdf.toPandas()["pref"]) == {"13"}
 
+    def test_many_partition_read_path_matches_group_path(
+        self, spark, tmp_path
+    ):
+        """>32 identity partitions flips _read_files to the single-scan
+        input_file_name() path (O(1) plan size); values, types, and
+        null partitions must match the constant-column group path."""
+        import pandas as pd
+
+        from ksj2gp_spark.sinks import iceberg as I
+
+        t = str(tmp_path / "tmany")
+        n = 120  # 40 distinct buckets > the 32-group threshold
+        df = spark.createDataFrame(
+            [
+                (
+                    f"img{i:05d}",
+                    None if i % 40 == 7 else (i % 40),
+                    i,
+                )
+                for i in range(n)
+            ],
+            "image_id string, bucket long, v long",
+        )
+        I.append(df, t, partition_by=["bucket"])
+        assert len({
+            tuple(f["partition"].items()) for f in I._live_files(t)
+        }) == 40
+        got = I.read(spark, t).toPandas().sort_values("image_id")
+        want = df.toPandas().sort_values("image_id")
+        assert sorted(got.columns) == sorted(want.columns)
+        for c in want.columns:
+            a, b = list(got[c]), list(want[c])
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                assert (pd.isna(x) and pd.isna(y)) or x == y, c
+        assert got["bucket"].dtype == want["bucket"].dtype
+        # merge-schema read takes the same many-partition path
+        gm = I.read(spark, t, merge_schema=True).toPandas()
+        gm = gm.sort_values("image_id")
+        for c in want.columns:
+            for x, y in zip(list(gm[c]), list(want[c])):
+                assert (pd.isna(x) and pd.isna(y)) or x == y, c
+        # narrow scan still takes the group path and prunes
+        _, info = I.scan(spark, t, bounds={"bucket": (3, 3)})
+        assert info["files_read"] < info["files_total"]
+
     def test_hidden_truncate_partition(self, spark, tmp_path):
         from ksj2gp_spark.sinks import iceberg as I
 
