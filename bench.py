@@ -433,9 +433,15 @@ def main() -> None:
         .repartition(cpus * 2)
     )
     dedup_ops.minhash_lsh_pairs(warm_docs, threshold=0.5).count()
+    # 5 repeats on the two dedup lanes: their walls are GC-bimodal
+    # (single-JVM full-GC pauses land on ~1 in 3 repeats), so a
+    # 3-repeat median still flips between the modes run-to-run; the
+    # 5-repeat median sits in the dominant mode. Raw spreads stay in
+    # the JSON; bench/minhash_kernel.py is the load-independent signal.
     timed(
         "minhash_lsh_100k",
         lambda: dedup_ops.minhash_lsh_pairs(docs100k, threshold=0.5).count(),
+        repeats=5,
     )
 
     # Composed curation pipeline (exact dedup → minhash near-dup →
@@ -446,7 +452,7 @@ def main() -> None:
         kept, _ = curate_corpus(docs100k, langs=("en", "unknown"))
         return kept.count()
 
-    timed("corpus_curation_100k", curation_lane)
+    timed("corpus_curation_100k", curation_lane, repeats=5)
 
     # Fused assignment at 20k-polygon cardinality: the ocean lane runs
     # the ring-pruned kNN kernel (no dense points×polygons matrix).
