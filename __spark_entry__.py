@@ -2576,6 +2576,57 @@ FROM comp
 """
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-based keep-one-per-cluster curation decision
+    (operators/curate.py::dedup_keep_best): minhash pairs → connected
+    components → keep the longest member per cluster (ties: min
+    doc_id); singletons keep themselves."""
+    from ksj2gp_spark.operators.curate import dedup_keep_best
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept = dedup_keep_best(
+        d, num_hashes=64, bands=16, minhash_threshold=0.2
+    )
+    return kept.select("doc_id", "component", "csize")
+
+
+def _dedup_keep_sql() -> str:
+    return f"""WITH RECURSIVE {_minhash_pairs_ctes("documents")},
+pairs AS ({_minhash_pairs_select(0.2)}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+sized AS (
+  SELECT node, component,
+         COUNT(*) OVER (PARTITION BY component) AS csize
+  FROM comp
+),
+joined AS (
+  SELECT d.doc_id, d.text,
+         COALESCE(s.component, d.doc_id) AS component,
+         CAST(COALESCE(s.csize, 1) AS BIGINT) AS csize
+  FROM documents d LEFT JOIN sized s ON s.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, component, csize,
+         ROW_NUMBER() OVER (
+           PARTITION BY component
+           ORDER BY length(text) DESC, doc_id ASC
+         ) AS rk
+  FROM joined
+)
+SELECT doc_id, component, csize FROM ranked WHERE rk = 1
+"""
+
+
 _BM25_TERMS = ("hash", "join", "scan", "shuffle")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -2723,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "similarity_ivf": q_similarity_ivf,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "bm25_rank": q_bm25_rank,
         "events_range_join": q_events_range_join,
         "image_patches": q_image_patches,
@@ -2812,6 +2864,7 @@ GROUP BY p.admin_code
         "media_features": _MEDIA_FEATURES_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "dedup_components": _dedup_components_sql(),
+        "dedup_keep": _dedup_keep_sql(),
         "bm25_rank": _bm25_sql(),
         "events_range_join": _RANGE_JOIN_SQL,
         "image_patches": _IMAGE_PATCHES_SQL,

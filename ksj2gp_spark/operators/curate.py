@@ -104,6 +104,65 @@ def curate_corpus(
     return s4, ledger
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+    minhash_threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Component-based keep-one-per-cluster: MinHash+LSH pairs →
+    connected components → keep exactly ONE document per near-dup
+    cluster — the highest ``score_col`` (default: text length), ties
+    broken by min id — while documents in no cluster keep themselves.
+
+    This is the curation decision ``curate_corpus``'s pairwise drop
+    approximates: pairwise drops discard every ``id_b``, which in a
+    chain a−b, b−c keeps only ``a`` even when ``b`` is the best copy;
+    the component formulation ranks WITHIN the whole transitive
+    cluster. Returns the kept rows of ``df`` with ``component``
+    (cluster id = min member id; singletons: own id) and ``csize``
+    attached.
+
+    Scale shape: pairs and components are the bucketed/capped LSH and
+    contraction lanes; the keep rank is ONE window over components
+    (clusters are small by construction — the window partition is
+    bounded by cluster size, not corpus size).
+    """
+    from .dedup import minhash_lsh_pairs
+    from .graph import dedup_components
+
+    score = (
+        F.col(score_col) if score_col else F.length(F.col(text_col))
+    )
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        n_shingle=n_shingle,
+        threshold=minhash_threshold,
+    )
+    comp = dedup_components(pairs).withColumnRenamed("doc_id", id_col)
+    joined = (
+        df.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("csize", F.coalesce("csize", F.lit(1).cast("long")))
+    )
+    w = Window.partitionBy("component").orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 # --- deterministic splits & stratified sampling -----------------------
 #
 # Train/valid/test assignment and per-stratum downsampling for a 100 TB

@@ -354,6 +354,31 @@ class TestCuration:
         ids = sorted(kept.toPandas()["doc_id"])
         assert ids == [0, 5]
 
+    def test_dedup_keep_best_keeps_best_of_transitive_cluster(self, spark):
+        """A chain cluster a−b, b−c must keep its single BEST member —
+        here the middle doc, which the pairwise drop in curate_corpus
+        would discard — and singletons pass through with csize 1."""
+        base = "the quick brown fox jumps over the lazy dog and runs"
+        rows = [
+            (10, base + " far away"),                   # cluster, short
+            (11, base + " far away tonight and then some more words"),  # BEST
+            (12, base + " far away tonight"),           # cluster, mid
+            (20, "a completely different unrelated sentence about spark plans"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        from ksj2gp_spark.operators.curate import dedup_keep_best
+
+        kept = dedup_keep_best(df, minhash_threshold=0.3).toPandas()
+        got = {
+            int(r["doc_id"]): (int(r["component"]), int(r["csize"]))
+            for _, r in kept.iterrows()
+        }
+        assert set(got) == {11, 20}
+        assert got[11] == (10, 3)   # cluster id = min member, size 3
+        assert got[20] == (20, 1)   # singleton keeps itself
+
     def test_curate_corpus_leaves_no_cached_frames(self, spark):
         """Cache hygiene: running the composed pipeline must not leak
         persisted DataFrames into the session (a long-running curation
