@@ -277,13 +277,23 @@ def test_dbf_mutated_bytes_no_foreign_exceptions(seed, n_flips):
         pass
 
 
-@given(st.integers(0, 10**9), st.integers(1, 16))
+@given(st.integers(0, 10**9), st.integers(1, 16), st.booleans())
 @settings(max_examples=120, deadline=None)
-def test_shp_mutated_bytes_no_foreign_exceptions(seed, n_flips):
+def test_shp_mutated_bytes_no_foreign_exceptions(seed, n_flips, m_typed):
+    """Bit-flipped valid files (base AND M-typed, whose records carry
+    the optional trailing measure block) must parse or raise ShpError —
+    never a raw struct/numpy/index error."""
     from ksj2gp_spark.formats import shp as shp_mod
     from ksj2gp_spark.geo import wkb as W
 
-    geoms = [W.loads(W.polygon([(0, 0), (1, 0), (1, 1), (0, 0)]))]
+    if m_typed:
+        ring = np.array(
+            [[0.0, 0.0, 1.0], [1.0, 0.0, 2.0], [1.0, 1.0, 3.0],
+             [0.0, 0.0, 1.0]]
+        )
+        geoms = [W.Geometry(W.POLYGON, [ring], False, True)]
+    else:
+        geoms = [W.loads(W.polygon([(0, 0), (1, 0), (1, 1), (0, 0)]))]
     shp_buf, _ = shp_mod.write_shp(geoms)
     buf = bytearray(shp_buf)
     rng = np.random.default_rng(seed)
