@@ -103,6 +103,16 @@ class TestConnectedComponents:
             oracle = _union_find(edges)
             assert fast == oracle, f"trial {trial}: contraction != oracle"
             assert base == oracle, f"trial {trial}: labelprop != oracle"
+        # kernel partitioning must not change the answer (the SURVEY §7
+        # determinism-across-parallelism requirement)
+        for nparts in (1, 2, 16):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    df, num_partitions=nparts
+                ).collect()
+            }
+            assert got == oracle, f"num_partitions={nparts}"
 
     def test_empty_edges(self, spark):
         df = spark.createDataFrame([], "src long, dst long")
