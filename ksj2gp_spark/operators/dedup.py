@@ -346,28 +346,31 @@ def minhash_lsh_pairs(
     )
     for c in bucket_cols:
         join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), join_cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # est_jaccard is a function of the two signatures alone, so it is
+    # IDENTICAL for every (band-)duplicate of a pair: compute it (and
+    # apply the threshold) BEFORE dropDuplicates, so the dedup shuffle
+    # moves 3 scalar columns instead of two 64-long signature arrays
+    # (~1 KB/row → ~24 B/row; the array-laden dedup exchange was the
+    # dominant shuffle payload and GC source of the 100k-doc lane).
     matches = F.aggregate(
         F.zip_with(
-            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
         ),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        pairs.withColumn("est_jaccard", matches / F.lit(num_hashes))
+        banded.alias("a")
+        .join(banded.alias("b"), join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (matches / F.lit(num_hashes)).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
