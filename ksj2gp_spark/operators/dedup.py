@@ -443,17 +443,17 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            # hamming is identical for every band-duplicate of a pair:
+            # compute + threshold BEFORE the dedup shuffle so it moves
+            # only surviving 3-scalar rows
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 def ngram_jaccard_pairs(
@@ -566,7 +566,11 @@ def embedding_near_dups(
             lambda acc, v: acc + v,
         )
 
-    cands = (
+    # cosine is a function of the two vectors alone, so it is identical
+    # for every bucket-duplicate of a pair: compute + threshold BEFORE
+    # dropDuplicates, so the dedup shuffle moves 3 scalars per
+    # surviving pair instead of two full embedding arrays
+    return (
         withb.alias("a")
         .join(
             withb.alias("b"),
@@ -577,20 +581,14 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (
+                    F.sqrt(dot(F.col("a.vec"), F.col("a.vec")))
+                    * F.sqrt(dot(F.col("b.vec"), F.col("b.vec")))
+                )
+            ).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = cands.select(
-        "id_a",
-        "id_b",
-        (
-            dot(F.col("vec_a"), F.col("vec_b"))
-            / (
-                F.sqrt(dot(F.col("vec_a"), F.col("vec_a")))
-                * F.sqrt(dot(F.col("vec_b"), F.col("vec_b")))
-            )
-        ).alias("cosine"),
-    )
-    return pairs.filter(F.col("cosine") >= threshold)

@@ -146,13 +146,17 @@ def phash_near_dups(df: DataFrame, band_bits: int = 16) -> DataFrame:
         .select(
             F.col("a.image_id").alias("image_a"),
             F.col("b.image_id").alias("image_b"),
-            F.col("a.phash").alias("phash_a"),
-            F.col("b.phash").alias("phash_b"),
+            # hamming is identical for every band-duplicate of a pair:
+            # threshold BEFORE dropDuplicates so the dedup shuffle
+            # carries only surviving rows
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= 4)
         .dropDuplicates(["image_a", "image_b"])
     )
-    hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
-    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= 4)
+    return pairs
 
 
 def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:

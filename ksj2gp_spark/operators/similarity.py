@@ -188,7 +188,10 @@ def ivf_topk(
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.col("b_id"))
     return (
-        pairs.withColumn("sim", sim)
+        # project the vectors away before the dedup shuffle — sim is
+        # identical for every multi-probe duplicate of a pair, and the
+        # embedding arrays are the dominant row payload
+        pairs.select("a_id", "b_id", sim.alias("sim"))
         .dropDuplicates(["a_id", "b_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
