@@ -1925,7 +1925,11 @@ def _minhash_pairs_sql(source: str = "documents", threshold: float = 0.2) -> str
     return f"WITH {_minhash_pairs_ctes(source)}\n" + _minhash_pairs_select(threshold)
 
 
-def _minhash_pairs_ctes(source: str) -> str:
+def _minhash_sig_ctes(source: str) -> str:
+    """Shingle → signature → packed-band CTEs (toks/sh/hs/params/sig/
+    bands) over any (doc_id, text) source — the shared prefix of every
+    minhash oracle (same-set pairs, incremental pairs, curation,
+    keep-best)."""
     from ksj2gp_spark.operators.dedup import minhash_params
 
     params = ",\n".join(
@@ -1952,7 +1956,11 @@ bands AS (
          max(CASE WHEN h % 4 = 2 THEN minh END) * 2147483648
            + max(CASE WHEN h % 4 = 3 THEN minh END) AS bk1
   FROM sig GROUP BY doc_id, 2
-),
+)"""
+
+
+def _minhash_pairs_ctes(source: str) -> str:
+    return f"""{_minhash_sig_ctes(source)},
 pairs0 AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -1974,6 +1982,44 @@ def _minhash_pairs_select(threshold: float) -> str:
         "SELECT id_a, id_b, est_jaccard FROM est "
         f"WHERE est_jaccard >= {threshold}"
     )
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup pairs of a NEW ingest batch
+    (doc_id % 5 == 0) against the EXISTING corpus (the rest) —
+    signatures computed only for new rows, corpus probed via a
+    broadcast semi-join of the new batch's band keys (the corpus index
+    side never shuffles; operators/dedup.py::
+    minhash_lsh_pairs_incremental). Same exact BIGINT arithmetic as
+    minhash_pairs, so the full cross-set pipeline has a DuckDB
+    oracle."""
+    from ksj2gp_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    new_batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return minhash_lsh_pairs_incremental(
+        new_batch, corpus, num_hashes=64, bands=16, threshold=0.2
+    )
+
+
+def _minhash_incremental_sql() -> str:
+    return f"""WITH {_minhash_sig_ctes("documents")},
+pairs0 AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c
+    ON n.band = c.band AND n.bk0 = c.bk0 AND n.bk1 = c.bk1
+   AND n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+est AS (
+  SELECT p.new_id, p.corpus_id,
+         sum(CASE WHEN sn.minh = sc.minh THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM pairs0 p
+  JOIN sig sn ON sn.doc_id = p.new_id
+  JOIN sig sc ON sc.doc_id = p.corpus_id AND sc.h = sn.h
+  GROUP BY p.new_id, p.corpus_id
+)
+SELECT new_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= 0.2"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2755,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
+        "minhash_incremental": q_minhash_incremental,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -2841,6 +2888,7 @@ GROUP BY p.admin_code
         "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),
+        "minhash_incremental": _minhash_incremental_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "phash_near_dups": _PHASH_SQL,
         "lang_id": _lang_id_sql(),

@@ -374,6 +374,82 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_shingle: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an EXISTING corpus —
+    the daily-ingest shape of dedup at corpus scale: signatures are
+    computed only for the new rows, and the corpus is probed, never
+    re-hashed and never shuffled.
+
+    ``corpus`` is either a raw (id, text) frame or — the production
+    path — a PREBUILT banded index (the output of
+    :func:`minhash_banded`, e.g. persisted in the Iceberg table and
+    appended to on every ingest): detected by its (sig, band) columns.
+
+    Emits (new_id, corpus_id, est_jaccard) for cross-set pairs whose
+    estimated Jaccard ≥ ``threshold``. Intra-batch duplicates are a
+    separate (small) concern — compose with
+    :func:`minhash_lsh_pairs` over the new batch alone.
+
+    Scale shape: the new batch's distinct band keys are BROADCAST as a
+    semi-join probe, so only corpus index rows in probed buckets leave
+    the scan — the 10^12-row index side sees a partition-pruned,
+    stats-pruned columnar read plus one broadcast hash join, zero
+    Exchange. The ``max_bucket`` cap is evaluated on the probed subset
+    only (O(new batch), not O(corpus)); audit via
+    :func:`dropped_bucket_stats` on that subset.
+    """
+    new_banded, bucket_cols = minhash_banded(
+        new_df, id_col, text_col, num_hashes, bands, n_shingle
+    )
+    if "sig" in corpus.columns and "band" in corpus.columns:
+        corpus_banded = corpus
+    else:
+        corpus_banded, _ = minhash_banded(
+            corpus, id_col, text_col, num_hashes, bands, n_shingle
+        )
+    keys = ["band", *bucket_cols]
+    probe = new_banded.select(*keys).distinct()
+    hit = corpus_banded.join(F.broadcast(probe), keys, "left_semi")
+    hit = _cap_buckets(hit, keys, max_bucket)
+
+    join_cond = F.col("c.band") == F.col("n.band")
+    for c in bucket_cols:
+        join_cond = join_cond & (F.col(f"c.{c}") == F.col(f"n.{c}"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("n.sig"),
+            F.col("c.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    # same reorder as minhash_lsh_pairs: est_jaccard is identical for
+    # every band-duplicate of a pair, so threshold BEFORE the dedup
+    # shuffle — it moves 3 scalars per surviving cross-set pair
+    return (
+        hit.alias("c")
+        .join(F.broadcast(new_banded.alias("n")), join_cond)
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            (matches / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+
 def simhash_udf(n_shingle: int = 2):
     """pandas UDF: text → 62-bit SimHash (weighted bit voting).
 

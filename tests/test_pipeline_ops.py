@@ -45,6 +45,64 @@ class TestDedup:
         # unrelated docs are not paired
         assert (0, 1) not in found and (3, 4) not in found
 
+    def test_incremental_equals_cross_set_subset(self, spark, docs):
+        # new-vs-corpus pairs must be exactly the cross-set subset of
+        # the full same-set run, with identical est_jaccard values
+        new = docs.filter(F.col("doc_id") >= 100)
+        corpus = docs.filter(F.col("doc_id") < 100)
+        inc = dedup.minhash_lsh_pairs_incremental(
+            new, corpus, threshold=0.3
+        ).toPandas()
+        full = dedup.minhash_lsh_pairs(docs, threshold=0.3).toPandas()
+        expect = {}
+        for a, b, ej in zip(full.id_a, full.id_b, full.est_jaccard):
+            if (a >= 100) != (b >= 100):
+                n, c = (a, b) if a >= 100 else (b, a)
+                expect[(n, c)] = ej
+        got = {
+            (n, c): ej
+            for n, c, ej in zip(inc.new_id, inc.corpus_id, inc.est_jaccard)
+        }
+        assert got == expect
+        assert len(got) > 0  # fixture plants cross-set near-dups
+
+    def test_incremental_accepts_prebuilt_banded_index(self, spark, docs):
+        # production path: the corpus banded index is persisted once
+        # (e.g. in the Iceberg table) and probed on every ingest
+        new = docs.filter(F.col("doc_id") >= 100)
+        corpus = docs.filter(F.col("doc_id") < 100)
+        banded, _ = dedup.minhash_banded(corpus)
+        via_raw = (
+            dedup.minhash_lsh_pairs_incremental(new, corpus, threshold=0.3)
+            .toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        via_index = (
+            dedup.minhash_lsh_pairs_incremental(new, banded, threshold=0.3)
+            .toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(via_raw, via_index)
+
+    def test_incremental_corpus_side_never_shuffles_for_the_join(
+        self, spark, docs
+    ):
+        # the scale contract: the corpus index is probed via broadcast
+        # joins only — no SortMergeJoin (which would shuffle the
+        # 10^12-row index side on the bucket keys)
+        new = docs.filter(F.col("doc_id") >= 100)
+        corpus = docs.filter(F.col("doc_id") < 100)
+        plan = (
+            dedup.minhash_lsh_pairs_incremental(new, corpus, threshold=0.3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_nul_in_token_does_not_corrupt_signatures(self, spark):
         # _poly_hashes separates shingles with NUL; a NUL embedded in a
         # token (str.split preserves it) must not shift the batch's
