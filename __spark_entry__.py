@@ -1720,6 +1720,143 @@ FROM f
 """
 
 
+def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed image+caption curation (operators/curate.py::
+    curate_image_captions) over a deterministically planted table in
+    the input_hint schema: caption exact-dedup → phash-LSH connected
+    components with keep-best-resolution → caption length →
+    resolution/aspect geometry. All four stages are exact integer/
+    string arithmetic, so the WHOLE pipeline (including the transitive
+    phash components) has a DuckDB oracle."""
+    from ksj2gp_spark.operators.curate import curate_image_captions
+
+    ids = spark.range(2000)
+    base = ids.select(
+        F.concat(
+            F.lit("img"), F.lpad(F.col("id").cast("string"), 8, "0")
+        ).alias("image_id"),
+        (F.lit(8) + (F.col("id") * 7) % 13).cast("int").alias("w"),
+        (F.lit(8) + (F.col("id") * 5) % 11).cast("int").alias("h"),
+        (F.col("id") * F.lit(2654435761)).alias("phash"),
+        F.concat(
+            F.lit("photo "),
+            (F.col("id") % 1600).cast("string"),
+            F.expr("repeat(' word', CAST(id % 4 AS INT))"),
+        ).alias("caption"),
+    )
+    # planted structure: ids ≥ 1600 repeat the caption of id−1600
+    # (exact caption dups); ids < 150 get a 'v' twin with phash⊕3
+    # (hamming 2 → near-dup), higher resolution (w+10: keep-best must
+    # prefer the twin), and a distinct caption (survives stage 1)
+    variants = ids.filter(F.col("id") < 150).select(
+        F.concat(
+            F.lit("img"),
+            F.lpad(F.col("id").cast("string"), 8, "0"),
+            F.lit("v"),
+        ).alias("image_id"),
+        (F.lit(18) + (F.col("id") * 7) % 13).cast("int").alias("w"),
+        (F.lit(8) + (F.col("id") * 5) % 11).cast("int").alias("h"),
+        (F.col("id") * F.lit(2654435761))
+        .bitwiseXOR(F.lit(3))
+        .alias("phash"),
+        F.concat(
+            F.lit("photo "),
+            (F.col("id") % 1600).cast("string"),
+            F.expr("repeat(' word', CAST(id % 4 AS INT))"),
+            F.lit(" variant"),
+        ).alias("caption"),
+    )
+    kept, _ = curate_image_captions(
+        base.unionByName(variants),
+        min_caption_tokens=3,
+        min_dim=9,
+        max_aspect=1.8,
+    )
+    return kept.select(
+        "image_id",
+        "w",
+        "h",
+        F.col("n_caption_tokens").cast("int").alias("n_tokens"),
+        "component",
+        F.col("csize").cast("long").alias("csize"),
+    )
+
+
+def _curate_images_sql() -> str:
+    return """
+WITH RECURSIVE base AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+         CAST(8 + (i * 7) % 13 AS INT) AS w,
+         CAST(8 + (i * 5) % 11 AS INT) AS h,
+         i * 2654435761 AS phash,
+         'photo ' || CAST(i % 1600 AS VARCHAR)
+           || repeat(' word', CAST(i % 4 AS INT)) AS caption
+  FROM range(0, 2000) t(i)
+),
+variants AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') || 'v' AS image_id,
+         CAST(18 + (i * 7) % 13 AS INT) AS w,
+         CAST(8 + (i * 5) % 11 AS INT) AS h,
+         xor(i * 2654435761, 3) AS phash,
+         'photo ' || CAST(i % 1600 AS VARCHAR)
+           || repeat(' word', CAST(i % 4 AS INT)) || ' variant' AS caption
+  FROM range(0, 150) t(i)
+),
+allimg AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+s1 AS (
+  SELECT a.* FROM allimg a
+  JOIN (SELECT caption, min(image_id) AS keep FROM allimg GROUP BY caption) k
+    ON a.image_id = k.keep
+),
+bands AS (
+  SELECT image_id, phash, band, (phash >> (band * 16)) & 65535 AS band_val
+  FROM s1 CROSS JOIN UNNEST(generate_series(0, 3)) AS t(band)
+),
+pairs AS (
+  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+sized AS (
+  SELECT node, component,
+         COUNT(*) OVER (PARTITION BY component) AS csize
+  FROM comp
+),
+joined AS (
+  SELECT s1.*, COALESCE(sz.component, s1.image_id) AS component,
+         CAST(COALESCE(sz.csize, 1) AS BIGINT) AS csize
+  FROM s1 LEFT JOIN sized sz ON sz.node = s1.image_id
+),
+s2 AS (
+  SELECT * FROM joined
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY component
+    ORDER BY CAST(w AS BIGINT) * h DESC, image_id ASC
+  ) = 1
+),
+s3 AS (
+  SELECT *, CAST(len(string_split(caption, ' ')) AS INT) AS n_tokens
+  FROM s2 WHERE len(string_split(caption, ' ')) >= 3
+)
+SELECT image_id, w, h, n_tokens, component, csize
+FROM s3
+WHERE least(w, h) >= 9 AND greatest(w, h) * 1.0 / least(w, h) <= 1.8
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-data pipeline: exact dedup → MinHash
     near-dup dedup → language filter → quality filter, end-to-end in
@@ -2799,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "sessionize_batch": q_sessionize_batch,
         "corpus_curation": q_corpus_curation,
+        "curate_images": q_curate_images,
         "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
         "minhash_incremental": q_minhash_incremental,
@@ -2885,6 +3023,7 @@ GROUP BY p.admin_code
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
         "corpus_curation": _curation_sql(),
+        "curate_images": _curate_images_sql(),
         "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),

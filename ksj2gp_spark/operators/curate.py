@@ -163,6 +163,116 @@ def dedup_keep_best(
     )
 
 
+def curate_image_captions(
+    df: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    min_caption_tokens: int = 3,
+    min_dim: int = 9,
+    max_aspect: float = 1.8,
+    phash_band_bits: int = 16,
+    max_hamming: int = 4,
+    with_ledger: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Composed curation over the image+caption table (the input_hint
+    schema: image_id, w, h, caption, phash) — the multimodal twin of
+    :func:`curate_corpus`:
+
+    1. **exact caption dedup** — canonical (min image_id) per caption.
+    2. **visual near-dup keep-best** — banded-phash LSH pairs →
+       connected components → keep ONE image per cluster: the highest
+       resolution (w·h), ties min id. Component-based, so a chain
+       a−b, b−c keeps its best member, not just the pairwise survivor.
+    3. **caption length filter** — ≥ ``min_caption_tokens`` whitespace
+       tokens (JVM split/size, no UDF).
+    4. **geometry filter** — min(w, h) ≥ ``min_dim`` and aspect ratio
+       max(w, h)/min(w, h) ≤ ``max_aspect``.
+
+    Returns ``(kept, ledger)`` like :func:`curate_corpus`: ``kept``
+    carries ``component``, ``csize`` and ``n_caption_tokens``; the
+    ledger (``with_ledger=True``) is one (stage, n_in, n_out) row per
+    stage — no silent drops.
+
+    Scale shape: stage 1 is one window over captions; stage 2 rides
+    the bucketed/capped phash LSH + contraction components lanes (the
+    keep window partitions by component — bounded by cluster size);
+    stages 3–4 are whole-stage-codegen expressions. Image ``bytes``
+    are never touched: every stage reads metadata columns only, so the
+    binary payload stays pruned out of every shuffle.
+    """
+    from .graph import dedup_components
+    from .images import phash_near_dups
+
+    spark = df.sparkSession
+    s0 = df
+
+    # 1. exact caption dedup
+    w_cap = Window.partitionBy(caption_col)
+    s1 = (
+        s0.withColumn("__min_id", F.min(id_col).over(w_cap))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
+
+    # 2. phash near-dup components → keep best resolution per cluster
+    pairs = phash_near_dups(
+        s1.select(F.col(id_col).alias("image_id"), "phash"),
+        band_bits=phash_band_bits,
+        max_hamming=max_hamming,
+    )
+    comp = dedup_components(
+        pairs, id_a="image_a", id_b="image_b"
+    ).withColumnRenamed("doc_id", id_col)
+    joined = (
+        s1.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("csize", F.coalesce("csize", F.lit(1).cast("long")))
+    )
+    w_keep = Window.partitionBy("component").orderBy(
+        (F.col("w").cast("long") * F.col("h")).desc(), F.col(id_col).asc()
+    )
+    s2 = (
+        joined.withColumn("__rk", F.row_number().over(w_keep))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+    # 3. caption token count
+    s3 = s2.withColumn(
+        "n_caption_tokens", F.size(F.split(F.col(caption_col), " "))
+    ).filter(F.col("n_caption_tokens") >= min_caption_tokens)
+
+    # 4. resolution + aspect ratio
+    s4 = s3.filter(
+        (F.least("w", "h") >= min_dim)
+        & (
+            F.greatest("w", "h").cast("double")
+            / F.least("w", "h").cast("double")
+            <= max_aspect
+        )
+    )
+
+    if not with_ledger:
+        return s4, None
+    counts = [
+        ("0_input", s0),
+        ("1_caption_dedup", s1),
+        ("2_phash_keep_best", s2),
+        ("3_caption_length", s3),
+        ("4_geometry", s4),
+    ]
+    ledger_rows = []
+    prev = None
+    for stage, frame in counts:
+        n = frame.count()
+        ledger_rows.append((stage, prev if prev is not None else n, n))
+        prev = n
+    ledger = spark.createDataFrame(
+        ledger_rows, "stage string, n_in long, n_out long"
+    )
+    return s4, ledger
+
+
 # --- deterministic splits & stratified sampling -----------------------
 #
 # Train/valid/test assignment and per-stratum downsampling for a 100 TB

@@ -109,10 +109,13 @@ def phash_exact_dups(df: DataFrame) -> DataFrame:
     )
 
 
-def phash_near_dups(df: DataFrame, band_bits: int = 16) -> DataFrame:
+def phash_near_dups(
+    df: DataFrame, band_bits: int = 16, max_hamming: int = 4
+) -> DataFrame:
     """Near-dup candidates by banded phash (LSH on Hamming space): the
     64-bit hash is split into 64/band_bits bands; rows sharing any band
-    value are candidates, verified by exact Hamming distance ≤ 4.
+    value are candidates, verified by exact Hamming distance ≤
+    ``max_hamming``.
 
     Banding is JVM bit arithmetic; verification joins only within
     buckets (the standard LSH candidate-pruning shape)."""
@@ -153,7 +156,7 @@ def phash_near_dups(df: DataFrame, band_bits: int = 16) -> DataFrame:
                 F.col("a.phash").bitwiseXOR(F.col("b.phash"))
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 4)
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["image_a", "image_b"])
     )
     return pairs

@@ -412,6 +412,59 @@ class TestCuration:
         ids = sorted(kept.toPandas()["doc_id"])
         assert ids == [0, 5]
 
+    def test_curate_image_captions_stages_and_keep_best(self, spark):
+        """Every stage drops exactly its planted rows, the ledger
+        chains, and the phash keep-best keeps the highest-resolution
+        member of a TRANSITIVE hamming chain a−b, b−c."""
+        rows = [
+            # (image_id, w, h, phash, caption) — non-cluster phashes are
+            # pairwise ≥24 bits apart (single-bit values like 1<<40 would
+            # all sit within hamming 4 of each other and merge everything)
+            ("a", 10, 10, 0x0123456789ABCDEF, "a tall ship photo"),
+            ("b", 10, 10, 0x7654321089ABCDEF, "a tall ship photo"),  # exact caption dup of a
+            # hamming chain: c−d (2 bits), d−e (2 bits), c−e (2 bits);
+            # d has the largest area and must be the cluster's keeper
+            ("c", 10, 10, 0, "small harbor at dawn"),
+            ("d", 12, 12, 3, "boats in the harbor"),
+            ("e", 11, 11, 5, "harbor in the evening"),
+            ("f", 10, 10, 0x0F0F0F0F0F0F0F0F, "short one"),          # 2 tokens → stage 3
+            ("g", 4, 10, 0x00FF00FF00FF00FF, "a narrow strip image"),  # min dim → stage 4
+            ("h", 20, 10, 0x3C3C3C3C3C3C3C3C, "a very wide banner image"),  # aspect → stage 4
+            ("i", 10, 10, 0x5A5A5A5A5A5A5A5A, "a perfectly fine survivor"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "phash", "caption"]
+            )
+        )
+        from ksj2gp_spark.operators.curate import curate_image_captions
+
+        kept, ledger = curate_image_captions(
+            df,
+            min_caption_tokens=3,
+            min_dim=5,
+            max_aspect=1.5,
+            with_ledger=True,
+        )
+        led = ledger.toPandas().set_index("stage")
+        assert led.loc["0_input", "n_out"] == 9
+        assert led.loc["1_caption_dedup", "n_out"] == 8   # b dropped
+        assert led.loc["2_phash_keep_best", "n_out"] == 6  # c, e dropped
+        assert led.loc["3_caption_length", "n_out"] == 5   # f dropped
+        assert led.loc["4_geometry", "n_out"] == 3         # g, h dropped
+        stages = [
+            "0_input", "1_caption_dedup", "2_phash_keep_best",
+            "3_caption_length", "4_geometry",
+        ]
+        for s_a, s_b in zip(stages, stages[1:]):
+            assert led.loc[s_a, "n_out"] == led.loc[s_b, "n_in"]
+        out = kept.toPandas().set_index("image_id")
+        assert sorted(out.index) == ["a", "d", "i"]
+        # d kept as the best of the transitive cluster {c, d, e}
+        assert out.loc["d", "component"] == "c"
+        assert out.loc["d", "csize"] == 3
+        assert out.loc["i", "csize"] == 1  # singleton passes through
+
     def test_dedup_keep_best_keeps_best_of_transitive_cluster(self, spark):
         """A chain cluster a−b, b−c must keep its single BEST member —
         here the middle doc, which the pairwise drop in curate_corpus
