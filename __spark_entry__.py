@@ -1857,6 +1857,116 @@ WHERE least(w, h) >= 9 AND greatest(w, h) * 1.0 / least(w, h) <= 1.8
 """
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/pack.py::
+    pack_sequences): global exclusive prefix sum of per-doc token
+    counts via range partition + per-partition window + broadcast
+    offsets — the distributed layout pass that turns a curated corpus
+    into fixed-budget training sequences. Exact integer arithmetic,
+    so seq assignment is oracle-checkable end-to-end."""
+    from ksj2gp_spark.operators.pack import pack_sequences
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        toks, budget=512, num_partitions=8
+    )
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "start_pos",
+        "seq_id",
+        F.col("seq_off").cast("long").alias("seq_off"),
+    )
+
+
+_SEQ_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_pos
+  FROM t
+)
+SELECT doc_id, n_tokens, start_pos,
+       CAST(start_pos // 512 AS BIGINT) AS seq_id,
+       CAST(start_pos % 512 AS BIGINT) AS seq_off
+FROM c
+"""
+
+
+def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketed training-batch assignment
+    (operators/pack.py::bucket_batches) over a deterministically
+    planted image-metadata table: integer cross-multiplied
+    portrait/square/landscape buckets, engine-portable hash shards
+    (so one hot bucket never serializes into one window task), and
+    fixed-size batch numbering per (bucket, shard)."""
+    from ksj2gp_spark.operators.curate import mix_bucket
+    from ksj2gp_spark.operators.pack import bucket_batches
+
+    ids = spark.range(5000)
+    imgs = ids.select(
+        F.concat(
+            F.lit("img"), F.lpad(F.col("id").cast("string"), 8, "0")
+        ).alias("image_id"),
+        (F.lit(8) + (F.col("id") * 7) % 23).cast("int").alias("w"),
+        (F.lit(8) + (F.col("id") * 5) % 19).cast("int").alias("h"),
+        F.col("id").alias("seq"),
+    )
+    out = bucket_batches(
+        imgs,
+        batch_size=16,
+        n_shards=4,
+        shard_key=F.pmod(mix_bucket(F.col("seq")), F.lit(4)),
+    )
+    return out.select(
+        "image_id", "w", "h", "bucket", "shard", "batch_idx",
+        F.col("batch_n").cast("int").alias("batch_n"),
+    )
+
+
+def _batch_pack_sql() -> str:
+    from ksj2gp_spark.operators.curate import mix_bucket_sql
+
+    mix = mix_bucket_sql("seq")
+    return f"""
+WITH imgs AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+         CAST(8 + (i * 7) % 23 AS INT) AS w,
+         CAST(8 + (i * 5) % 19 AS INT) AS h,
+         i AS seq
+  FROM range(0, 5000) t(i)
+),
+tagged AS (
+  SELECT image_id, w, h,
+         CASE WHEN CAST(w AS BIGINT) * 4 < CAST(h AS BIGINT) * 3 THEN 'portrait'
+              WHEN CAST(w AS BIGINT) * 3 > CAST(h AS BIGINT) * 4 THEN 'landscape'
+              ELSE 'square' END AS bucket,
+         CAST((({mix}) % 4 + 4) % 4 AS INT) AS shard
+  FROM imgs
+),
+numbered AS (
+  SELECT *,
+         CAST((ROW_NUMBER() OVER (
+           PARTITION BY bucket, shard ORDER BY image_id
+         ) - 1) // 16 AS BIGINT) AS batch_idx
+  FROM tagged
+)
+SELECT image_id, w, h, bucket, shard, batch_idx,
+       CAST(COUNT(*) OVER (
+         PARTITION BY bucket, shard, batch_idx
+       ) AS INT) AS batch_n
+FROM numbered
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-data pipeline: exact dedup → MinHash
     near-dup dedup → language filter → quality filter, end-to-end in
@@ -2937,6 +3047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": q_sessionize_batch,
         "corpus_curation": q_corpus_curation,
         "curate_images": q_curate_images,
+        "seq_pack": q_seq_pack,
+        "batch_pack": q_batch_pack,
         "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
         "minhash_incremental": q_minhash_incremental,
@@ -3024,6 +3136,8 @@ GROUP BY p.admin_code
         "sessionize_batch": _SESSIONIZE_SQL,
         "corpus_curation": _curation_sql(),
         "curate_images": _curate_images_sql(),
+        "seq_pack": _SEQ_PACK_SQL,
+        "batch_pack": _batch_pack_sql(),
         "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),

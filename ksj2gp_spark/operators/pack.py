@@ -1,0 +1,192 @@
+"""Training-batch packing — the last mile of a pretraining data
+pipeline, after curation and dedup have decided WHAT to train on:
+
+1. :func:`pack_sequences` — concat-and-chunk sequence packing for LLM
+   pretraining: lay every document's tokens end-to-end in a
+   deterministic global order and cut the stream into fixed ``budget``
+   chunks; each doc is assigned the chunk where it STARTS. Implemented
+   as a distributed prefix sum (range partition → vectorized
+   per-partition Arrow cumsum → per-partition offsets), so the
+   10^12-row table sees exactly ONE wide shuffle and no single-task
+   global window.
+
+2. :func:`bucket_batches` — aspect-ratio bucketed batch assignment for
+   image training (the diffusion-training "aspect bucketing" shape):
+   images are binned portrait/square/landscape by exact integer cross-
+   multiplication (no float boundary drift between engines), sharded by
+   a deterministic hash so one giant bucket cannot serialize into one
+   window task, and numbered into fixed-size batches per (bucket,
+   shard).
+
+Both are pure integer arithmetic end-to-end, so both have exact DuckDB
+oracles (contract queries ``seq_pack`` and ``batch_pack``).
+
+Scale notes (100 TB posture):
+- The prefix sum's only driver-side materialization is one row per
+  partition (bounded by the partition count, never by data size).
+- ``repartitionByRange`` boundaries come from Spark's deterministic
+  reservoir sketch, and the per-partition cumsum orders by the id
+  column explicitly, so the two passes over the same input (totals,
+  then assignment) see identical partition contents — no cache needed.
+- ``bucket_batches`` shuffles once on (bucket, shard); with B buckets
+  and S shards the sort parallelism is B×S tasks, independent of how
+  skewed the bucket sizes are. Incomplete trailing batches appear per
+  shard (S-1 extra partials worst-case per bucket) — the documented
+  price of not serializing the bucket through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .curate import mix_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ascending ``id_col`` order and the token stream is cut every
+    ``budget`` tokens. Adds:
+
+    - ``start_pos`` — the doc's first token's position in the global
+      stream (exclusive prefix sum of ``token_col``),
+    - ``seq_id``  — ``floor(start_pos / budget)``: the training
+      sequence in which the doc starts (docs may span chunks, exactly
+      like the standard concat-and-chunk pretraining layout),
+    - ``seq_off`` — offset of the doc's first token inside that
+      sequence (``start_pos % budget``).
+
+    Distributed prefix sum: range-partition on the id, locally sort,
+    cumsum inside each partition (vectorized numpy over Arrow batches,
+    carry across batches), shifted by the total of the partitions
+    before it (one bounded collect: one row per partition, shipped in
+    the task closure). One wide shuffle total; no single-task window.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # ONE wide shuffle (the range partition), then a LOCAL sort. A
+    # Window.partitionBy(spark_partition_id()) would re-shuffle the
+    # whole table a second time (Catalyst can't prove range
+    # partitioning satisfies a hash-partition requirement on the
+    # partition id), so the per-partition cumsum runs as a vectorized
+    # Arrow pass with a running carry instead — no per-row Python.
+    part = df.repartitionByRange(n, F.col(id_col)).sortWithinPartitions(
+        id_col
+    )
+    totals = (
+        part.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__tot"))
+        .collect()
+    )
+    acc = 0
+    offmap: dict[int, int] = {}
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offmap[row["__pid"]] = acc
+        acc += row["__tot"]
+
+    out_schema = StructType(
+        list(part.schema.fields)
+        + [
+            StructField("start_pos", LongType()),
+            StructField("seq_id", LongType()),
+            StructField("seq_off", LongType()),
+        ]
+    )
+    tok = token_col
+    b = int(budget)
+
+    def assign(iterator):
+        from pyspark import TaskContext
+
+        # repartitionByRange samples with a fixed seed and rows are
+        # sorted by the id column, so this pass sees exactly the
+        # partition contents the totals pass measured.
+        run = offmap.get(TaskContext.get().partitionId(), 0)
+        for pdf in iterator:
+            toks = pdf[tok].to_numpy().astype(np.int64, copy=False)
+            ends = np.cumsum(toks) + run
+            start = ends - toks
+            pdf = pdf.copy()
+            pdf["start_pos"] = start
+            pdf["seq_id"] = start // b
+            pdf["seq_off"] = start % b
+            if len(ends):
+                run = int(ends[-1])
+            yield pdf
+
+    return part.mapInPandas(assign, out_schema)
+
+
+def bucket_batches(
+    df: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    batch_size: int = 32,
+    n_shards: int = 8,
+    shard_key=None,
+    portrait_num: int = 3,
+    portrait_den: int = 4,
+    landscape_num: int = 4,
+    landscape_den: int = 3,
+    drop_incomplete: bool = False,
+) -> DataFrame:
+    """Aspect-ratio bucketed batch assignment. Adds:
+
+    - ``bucket`` — ``portrait`` (w/h < portrait_num/portrait_den),
+      ``landscape`` (w/h > landscape_num/landscape_den), else
+      ``square``; decided by integer cross-multiplication
+      (``w*den < h*num``) so the boundary is exact in every engine,
+    - ``shard``  — deterministic hash shard in [0, n_shards): keeps
+      batch numbering parallel even when one bucket holds 90% of the
+      corpus (Tokyo-skew analogue for aspect distribution),
+    - ``batch_idx`` — 0-based fixed-size batch number within
+      (bucket, shard), ordered by ``id_col``,
+    - ``batch_n``  — rows in that batch (== batch_size except the
+      trailing partial per shard).
+
+    ``shard_key`` overrides the shard expression (default:
+    engine-portable :func:`~.curate.mix_bucket` of ``id_col`` — pass
+    ``F.xxhash64(...)``-based for pure-Spark runs).
+    ``drop_incomplete=True`` keeps only full batches (the usual
+    training-loader behavior of dropping the remainder).
+    """
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError("batch_size and n_shards must be positive")
+    w_, h_ = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    bucket = (
+        F.when(w_ * portrait_den < h_ * portrait_num, "portrait")
+        .when(w_ * landscape_den > h_ * landscape_num, "landscape")
+        .otherwise("square")
+    )
+    shard = (
+        shard_key
+        if shard_key is not None
+        else F.pmod(mix_bucket(id_col), F.lit(n_shards))
+    )
+    tagged = df.withColumn("bucket", bucket).withColumn(
+        "shard", shard.cast("int")
+    )
+    win = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    out = (
+        tagged.withColumn(
+            "__rn0", (F.row_number().over(win) - F.lit(1)).cast("long")
+        )
+        .withColumn("batch_idx", F.expr(f"__rn0 div {int(batch_size)}"))
+        .drop("__rn0")
+    )
+    cnt = Window.partitionBy("bucket", "shard", "batch_idx")
+    out = out.withColumn("batch_n", F.count(F.lit(1)).over(cnt).cast("int"))
+    if drop_incomplete:
+        out = out.filter(F.col("batch_n") == batch_size)
+    return out

@@ -507,6 +507,148 @@ class TestCuration:
         assert after - before == set(), "curate_corpus leaked cached RDDs"
 
 
+class TestPacking:
+    """pack.py: sequence packing prefix sum + aspect-bucketed batches."""
+
+    def test_pack_sequences_matches_serial_prefix_sum(self, spark):
+        """The distributed (range-partition + offsets) prefix sum must
+        equal the serial exclusive cumsum for every row, across a
+        partition count that forces multiple offset shifts."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        n = 2_000
+        toks = rng.randint(1, 900, size=n)
+        pdf = pd.DataFrame({"doc_id": np.arange(n), "n_tokens": toks})
+        df = spark.createDataFrame(pdf)
+        from ksj2gp_spark.operators.pack import pack_sequences
+
+        out = (
+            pack_sequences(df, budget=4096, num_partitions=7)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        expected_start = np.concatenate([[0], np.cumsum(toks)[:-1]])
+        assert (out["start_pos"].to_numpy() == expected_start).all()
+        assert (out["seq_id"].to_numpy() == expected_start // 4096).all()
+        assert (out["seq_off"].to_numpy() == expected_start % 4096).all()
+        # stream is gapless: last doc's start + tokens == total
+        assert out["start_pos"].iloc[-1] + toks[-1] == toks.sum()
+        # scale contract: exactly ONE wide exchange (the range
+        # partition) — no window re-shuffle of the full table
+        plan = (
+            pack_sequences(df, budget=4096, num_partitions=7)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange rangepartitioning") == 1
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_pack_sequences_doc_spans_chunks(self, spark):
+        """A doc longer than the budget belongs to the chunk where it
+        STARTS (concat-and-chunk semantics), and later docs land after
+        it, not inside it."""
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "n_tokens": [10, 250, 10]}
+            )
+        )
+        from ksj2gp_spark.operators.pack import pack_sequences
+
+        out = (
+            pack_sequences(df, budget=100, num_partitions=2)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "seq_id"] == 0
+        assert out.loc[2, "seq_id"] == 0 and out.loc[2, "seq_off"] == 10
+        # doc 2 occupies the stream through position 259
+        assert out.loc[3, "start_pos"] == 260 and out.loc[3, "seq_id"] == 2
+
+    def test_pack_sequences_rejects_bad_budget(self, spark):
+        from ksj2gp_spark.operators.pack import pack_sequences
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "n_tokens": [5]})
+        )
+        with pytest.raises(ValueError):
+            pack_sequences(df, budget=0)
+
+    def test_bucket_batches_boundaries_and_sizes(self, spark):
+        """Exact-ratio images (w/h == 3/4 or 4/3) are square (strict
+        inequalities); every batch is full except at most one trailing
+        partial per (bucket, shard); drop_incomplete keeps only full
+        batches."""
+        rows = []
+        for i in range(400):
+            if i % 3 == 0:
+                w, h = 30, 40  # exactly 3/4 -> square (boundary)
+            elif i % 3 == 1:
+                w, h = 20, 41  # portrait
+            else:
+                w, h = 41, 20  # landscape
+            rows.append((f"im{i:05d}", w, h, i))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["image_id", "w", "h", "seq"])
+        )
+        from ksj2gp_spark.operators.curate import mix_bucket
+        from ksj2gp_spark.operators.pack import bucket_batches
+
+        out = bucket_batches(
+            df,
+            batch_size=8,
+            n_shards=3,
+            shard_key=F.pmod(mix_bucket(F.col("seq")), F.lit(3)),
+        ).toPandas()
+        assert set(out["bucket"]) == {"square", "portrait", "landscape"}
+        assert (out[out["w"] == 30]["bucket"] == "square").all()
+        # per (bucket, shard): all batches full except possibly the last
+        for (_, _), g in out.groupby(["bucket", "shard"]):
+            sizes = g.groupby("batch_idx")["image_id"].count().sort_index()
+            assert (sizes.iloc[:-1] == 8).all()
+            assert sizes.iloc[-1] <= 8
+            # batch indices are contiguous from 0
+            assert list(sizes.index) == list(range(len(sizes)))
+        full_only = bucket_batches(
+            df,
+            batch_size=8,
+            n_shards=3,
+            shard_key=F.pmod(mix_bucket(F.col("seq")), F.lit(3)),
+            drop_incomplete=True,
+        ).toPandas()
+        assert (full_only["batch_n"] == 8).all()
+
+    def test_bucket_batches_shard_numbering_is_independent(self, spark):
+        """Batch ids restart per shard — the property that keeps the
+        window parallel when one bucket dominates the corpus."""
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"i{i:04d}" for i in range(100)],
+                    "w": [10] * 100,
+                    "h": [10] * 100,
+                    "seq": list(range(100)),
+                }
+            )
+        )
+        from ksj2gp_spark.operators.curate import mix_bucket
+        from ksj2gp_spark.operators.pack import bucket_batches
+
+        out = bucket_batches(
+            df,
+            batch_size=4,
+            n_shards=5,
+            shard_key=F.pmod(mix_bucket(F.col("seq")), F.lit(5)),
+        ).toPandas()
+        assert (out["bucket"] == "square").all()
+        assert out["shard"].nunique() == 5
+        for _, g in out.groupby("shard"):
+            assert g["batch_idx"].min() == 0
+
+
 class TestHashSplit:
     """Deterministic splits: stable under repartitioning/rerun, weights
     validated, per-stratum sampling honors thresholds exactly."""
