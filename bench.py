@@ -95,24 +95,31 @@ def main() -> None:
         cache noise on short lanes; a median with visible raw spread
         distinguishes a code regression from box weather (best-of-N
         hid outliers; a single run WAS an outlier, round-2 lesson).
-        A Python GC followed by a JVM GC runs before each lane:
-        Python-side DataFrame wrappers pin their JVM plans (and thus
-        shuffle/broadcast state) through py4j until finalized, so
-        without the Python pass the ContextCleaner can't reclaim the
-        previous lanes' shuffle files — measured as monotonically
-        growing repeats on late lanes (knn_ocean 5.3→16.7s in a full
-        run vs a stable 4.3s in isolation)."""
-        try:
-            import gc as _gc
+        A Python GC followed by a JVM GC runs before EVERY repeat (not
+        just the lane): Python-side DataFrame wrappers pin their JVM
+        plans (and thus shuffle/broadcast state) through py4j until
+        finalized, so without the Python pass the ContextCleaner can't
+        reclaim the previous repeats' shuffle files — measured as
+        monotonically growing repeats on late lanes (knn_ocean
+        5.3→16.7s in a full run vs a stable 4.3s in isolation), and as
+        4× repeat swings on the shuffle-heavy dedup lanes when GC debt
+        from repeat k lands in repeat k+1. Per-repeat GC measures each
+        repeat's own work; the raw spread stays in the JSON."""
 
-            _gc.collect()
-            spark._jvm.System.gc()
-            time.sleep(0.5)  # ContextCleaner cleanup is async
-        except Exception:
-            pass
+        def _gc_settle():
+            try:
+                import gc as _gc
+
+                _gc.collect()
+                spark._jvm.System.gc()
+                time.sleep(0.5)  # ContextCleaner cleanup is async
+            except Exception:
+                pass
+
         times = []
         out = None
         for _ in range(repeats):
+            _gc_settle()
             t0 = time.time()
             out = fn()
             times.append(round(time.time() - t0, 3))
@@ -433,6 +440,11 @@ def main() -> None:
         .repartition(cpus * 2)
     )
     dedup_ops.minhash_lsh_pairs(warm_docs, threshold=0.5).count()
+    # ...and one untimed FULL-SIZE pass: the 64k-doc warmup above warms
+    # the Python workers but not the 100k-scale shuffle/heap shape —
+    # measured: without this, the first timed repeat runs 4-6× the
+    # steady state (64s vs ~10.5s) while repeats 2-5 are stable.
+    dedup_ops.minhash_lsh_pairs(docs100k, threshold=0.5).count()
     # 5 repeats on the two dedup lanes: their walls are GC-bimodal
     # (single-JVM full-GC pauses land on ~1 in 3 repeats), so a
     # 3-repeat median still flips between the modes run-to-run; the
@@ -453,6 +465,23 @@ def main() -> None:
         return kept.count()
 
     timed("corpus_curation_100k", curation_lane, repeats=5)
+
+    # Sequence packing at 5M docs (metadata-only): the distributed
+    # prefix sum — one range shuffle + a vectorized Arrow cumsum pass.
+    def seq_pack_lane():
+        from ksj2gp_spark.operators.pack import pack_sequences
+
+        docs5m = spark.range(5_000_000).select(
+            F.col("id").alias("doc_id"),
+            (F.lit(16) + (F.col("id") * 7) % 1000).alias("n_tokens"),
+        )
+        return (
+            pack_sequences(docs5m, budget=4096, num_partitions=cpus * 2)
+            .agg(F.max("seq_id"))
+            .collect()
+        )
+
+    timed("seq_pack_5m", seq_pack_lane)
 
     # Fused assignment at 20k-polygon cardinality: the ocean lane runs
     # the ring-pruned kNN kernel (no dense points×polygons matrix).

@@ -45,9 +45,10 @@ def curate_corpus(
     ``kept``: the surviving rows with ``lang_guess`` and the quality
     feature columns attached — a lazy plan, nothing runs until acted
     on. ``ledger`` (only when ``with_ledger=True``): one row per stage
-    with (stage, n_in, n_out), materialized by running each stage's
-    count — the per-stage audit a production curation job logs once
-    per run.
+    with (stage, n_in, n_out) — the per-stage audit a production
+    curation job logs once per run. Stages 3-4 are row-wise filters,
+    so their counts fold into one aggregation over stage 2's output:
+    the expensive near-dup stage executes once for the whole ledger.
     """
     spark = df.sparkSession
     s0 = df.select(id_col, text_col)
@@ -85,19 +86,30 @@ def curate_corpus(
 
     if not with_ledger:
         return s4, None
-    counts = [
-        ("0_input", s0),
-        ("1_exact_dedup", s1),
-        ("2_near_dedup", s2),
-        ("3_lang", s3),
-        ("4_quality", s4),
+    # Stages 3-4 are row-wise filters over stage 2's output, so their
+    # counts come from ONE aggregation over one run of stages 1-2 —
+    # the expensive near-dup join runs once for the whole ledger, not
+    # once per downstream stage count.
+    n0 = s0.count()
+    n1 = s1.count()
+    feats = quality_score(
+        with_lang_id(s2, text_col=text_col), text_col=text_col
+    )
+    lang_ok = F.col("lang_guess").isin(*langs)
+    qual_ok = lang_ok & (F.col("quality_score") >= min_quality)
+    row = feats.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.coalesce(F.sum(lang_ok.cast("long")), F.lit(0)).alias("n3"),
+        F.coalesce(F.sum(qual_ok.cast("long")), F.lit(0)).alias("n4"),
+    ).collect()[0]
+    n2, n3, n4 = row["n2"], row["n3"], row["n4"]
+    ledger_rows = [
+        ("0_input", n0, n0),
+        ("1_exact_dedup", n0, n1),
+        ("2_near_dedup", n1, n2),
+        ("3_lang", n2, n3),
+        ("4_quality", n3, n4),
     ]
-    ledger_rows = []
-    prev = None
-    for stage, frame in counts:
-        n = frame.count()
-        ledger_rows.append((stage, prev if prev is not None else n, n))
-        prev = n
     ledger = spark.createDataFrame(
         ledger_rows, "stage string, n_in long, n_out long"
     )
@@ -254,19 +266,35 @@ def curate_image_captions(
 
     if not with_ledger:
         return s4, None
-    counts = [
-        ("0_input", s0),
-        ("1_caption_dedup", s1),
-        ("2_phash_keep_best", s2),
-        ("3_caption_length", s3),
-        ("4_geometry", s4),
+    # Stages 3-4 are row-wise filters over stage 2's output, so their
+    # counts come from ONE aggregation over one run of stages 1-2 —
+    # the phash-LSH components pass runs once for the whole ledger.
+    n0 = s0.count()
+    n1 = s1.count()
+    cap_ok = (
+        F.size(F.split(F.col(caption_col), " ")) >= min_caption_tokens
+    )
+    geo_ok = (
+        cap_ok
+        & (F.least("w", "h") >= min_dim)
+        & (
+            F.greatest("w", "h").cast("double")
+            / F.least("w", "h").cast("double")
+            <= max_aspect
+        )
+    )
+    row = s2.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.coalesce(F.sum(cap_ok.cast("long")), F.lit(0)).alias("n3"),
+        F.coalesce(F.sum(geo_ok.cast("long")), F.lit(0)).alias("n4"),
+    ).collect()[0]
+    ledger_rows = [
+        ("0_input", n0, n0),
+        ("1_caption_dedup", n0, n1),
+        ("2_phash_keep_best", n1, row["n2"]),
+        ("3_caption_length", row["n2"], row["n3"]),
+        ("4_geometry", row["n3"], row["n4"]),
     ]
-    ledger_rows = []
-    prev = None
-    for stage, frame in counts:
-        n = frame.count()
-        ledger_rows.append((stage, prev if prev is not None else n, n))
-        prev = n
     ledger = spark.createDataFrame(
         ledger_rows, "stage string, n_in long, n_out long"
     )

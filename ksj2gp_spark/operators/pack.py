@@ -39,8 +39,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .curate import mix_bucket
-
 
 def pack_sequences(
     df: DataFrame,
@@ -156,10 +154,11 @@ def bucket_batches(
       trailing partial per shard).
 
     ``shard_key`` overrides the shard expression (default:
-    engine-portable :func:`~.curate.mix_bucket` of ``id_col`` — pass
-    ``F.xxhash64(...)``-based for pure-Spark runs).
-    ``drop_incomplete=True`` keeps only full batches (the usual
-    training-loader behavior of dropping the remainder).
+    ``xxhash64(id_col) % n_shards`` — JVM, any key type; pass an
+    engine-portable :func:`~.curate.mix_bucket`-based expression when
+    an external oracle must reproduce the assignment, as the contract
+    query does). ``drop_incomplete=True`` keeps only full batches (the
+    usual training-loader behavior of dropping the remainder).
     """
     if batch_size <= 0 or n_shards <= 0:
         raise ValueError("batch_size and n_shards must be positive")
@@ -169,10 +168,13 @@ def bucket_batches(
         .when(w_ * landscape_den > h_ * landscape_num, "landscape")
         .otherwise("square")
     )
+    # default shard: xxhash64 (JVM, any key type). Pass an engine-
+    # portable mix_bucket-based shard_key when an external oracle must
+    # reproduce the assignment (the contract query does).
     shard = (
         shard_key
         if shard_key is not None
-        else F.pmod(mix_bucket(id_col), F.lit(n_shards))
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     )
     tagged = df.withColumn("bucket", bucket).withColumn(
         "shard", shard.cast("int")

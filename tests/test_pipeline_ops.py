@@ -621,6 +621,27 @@ class TestPacking:
         ).toPandas()
         assert (full_only["batch_n"] == 8).all()
 
+    def test_bucket_batches_default_shard_handles_string_ids(self, spark):
+        """Without an explicit shard_key the shard comes from xxhash64,
+        which accepts any key type (mix_bucket needs numeric keys)."""
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"s{i:03d}" for i in range(60)],
+                    "w": [10] * 60,
+                    "h": [10] * 60,
+                }
+            )
+        )
+        from ksj2gp_spark.operators.pack import bucket_batches
+
+        out = bucket_batches(df, batch_size=4, n_shards=4).toPandas()
+        assert out["shard"].between(0, 3).all()
+        assert len(out) == 60
+        for _, g in out.groupby(["bucket", "shard"]):
+            sizes = g.groupby("batch_idx")["image_id"].count().sort_index()
+            assert (sizes.iloc[:-1] == 4).all()
+
     def test_bucket_batches_shard_numbering_is_independent(self, spark):
         """Batch ids restart per shard — the property that keeps the
         window parallel when one bucket dominates the corpus."""
