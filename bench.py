@@ -475,11 +475,13 @@ def main() -> None:
             F.col("id").alias("doc_id"),
             (F.lit(16) + (F.col("id") * 7) % 1000).alias("n_tokens"),
         )
-        return (
-            pack_sequences(docs5m, budget=4096, num_partitions=cpus * 2)
-            .agg(F.max("seq_id"))
-            .collect()
-        )
+        out = pack_sequences(docs5m, budget=4096, num_partitions=cpus * 2)
+        res = out.agg(F.max("seq_id")).collect()
+        # free the correctness-persist AFTER materializing (unpersist
+        # first would re-sample the range boundaries out from under
+        # the computed offsets)
+        out._pack_source.unpersist()
+        return res
 
     timed("seq_pack_5m", seq_pack_lane)
 

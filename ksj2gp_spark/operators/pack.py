@@ -24,10 +24,11 @@ oracles (contract queries ``seq_pack`` and ``batch_pack``).
 Scale notes (100 TB posture):
 - The prefix sum's only driver-side materialization is one row per
   partition (bounded by the partition count, never by data size).
-- ``repartitionByRange`` boundaries come from Spark's deterministic
-  reservoir sketch, and the per-partition cumsum orders by the id
-  column explicitly, so the two passes over the same input (totals,
-  then assignment) see identical partition contents — no cache needed.
+- Range-exchange boundaries are sampled with an RDD-id-derived seed
+  that changes per ACTION, so the two passes (totals, then assignment)
+  pin one materialized partitioning via persist — a measured desync,
+  not a precaution (see pack_sequences; bench/pack_scaling.py asserts
+  the closed-form invariants that caught it).
 - ``bucket_batches`` shuffles once on (bucket, shard); with B buckets
   and S shards the sort parallelism is B×S tasks, independent of how
   skewed the bucket sizes are. Incomplete trailing batches appear per
@@ -60,15 +61,21 @@ def pack_sequences(
       sequence (``start_pos % budget``).
 
     Distributed prefix sum: range-partition on the id, locally sort,
-    cumsum inside each partition (vectorized numpy over Arrow batches,
-    carry across batches), shifted by the total of the partitions
-    before it (one bounded collect: one row per partition, shipped in
-    the task closure). One wide shuffle total; no single-task window.
+    persist (both passes must read ONE materialized partitioning —
+    range boundaries are re-sampled per action otherwise; see the
+    inline note), cumsum inside each partition (vectorized numpy over
+    Arrow batches, carry across batches), shifted by the total of the
+    partitions before it (one bounded collect: one row per partition,
+    shipped in the task closure). One wide shuffle total; no
+    single-task window. The persisted intermediate rides on the result
+    as ``._pack_source`` — unpersist it after materializing.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
+
+    from pyspark import StorageLevel
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -78,8 +85,22 @@ def pack_sequences(
     # partitioning satisfies a hash-partition requirement on the
     # partition id), so the per-partition cumsum runs as a vectorized
     # Arrow pass with a running carry instead — no per-row Python.
-    part = df.repartitionByRange(n, F.col(id_col)).sortWithinPartitions(
-        id_col
+    #
+    # The persist is CORRECTNESS, not caching hygiene: range-exchange
+    # boundaries come from a reservoir sample whose seed derives from
+    # the RDD id, and each ACTION compiles a fresh plan with fresh RDD
+    # ids — so without it the totals pass and the assignment pass can
+    # land rows in different partitions (measured: max seq_id off by
+    # 130 chunks at 200k rows; bench/pack_scaling.py asserts the
+    # closed-form invariants that caught it). Persisting pins one
+    # materialized partitioning for both passes, and recompute after
+    # eviction reuses the same partitioner object, so the layout stays
+    # consistent even under memory pressure. zipWithIndex makes the
+    # same two-pass-over-one-RDD bargain.
+    part = (
+        df.repartitionByRange(n, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = (
         part.groupBy(F.spark_partition_id().alias("__pid"))
@@ -106,9 +127,7 @@ def pack_sequences(
     def assign(iterator):
         from pyspark import TaskContext
 
-        # repartitionByRange samples with a fixed seed and rows are
-        # sorted by the id column, so this pass sees exactly the
-        # partition contents the totals pass measured.
+        # reads the persisted partitioning the totals pass measured
         run = offmap.get(TaskContext.get().partitionId(), 0)
         for pdf in iterator:
             toks = pdf[tok].to_numpy().astype(np.int64, copy=False)
@@ -122,7 +141,11 @@ def pack_sequences(
                 run = int(ends[-1])
             yield pdf
 
-    return part.mapInPandas(assign, out_schema)
+    out = part.mapInPandas(assign, out_schema)
+    # the persisted intermediate; callers may free it after
+    # materializing the result: result._pack_source.unpersist()
+    out._pack_source = part
+    return out
 
 
 def bucket_batches(

@@ -535,17 +535,39 @@ class TestPacking:
         assert (out["seq_off"].to_numpy() == expected_start % 4096).all()
         # stream is gapless: last doc's start + tokens == total
         assert out["start_pos"].iloc[-1] + toks[-1] == toks.sum()
-        # scale contract: exactly ONE wide exchange (the range
-        # partition) — no window re-shuffle of the full table
+        # scale contract: the assignment pass reads the persisted
+        # partitioning (no second shuffle of the full table — the only
+        # exchange lives inside the cache-build lineage), and nothing
+        # hash-partitions or single-partitions the data
         plan = (
             pack_sequences(df, budget=4096, num_partitions=7)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert plan.count("Exchange rangepartitioning") == 1
+        assert "InMemoryTableScan" in plan
+        assert plan.split("InMemoryRelation")[0].count("Exchange") == 0
         assert "Exchange hashpartitioning" not in plan
         assert "Exchange SinglePartition" not in plan
+
+    def test_pack_sequences_cache_hygiene_handle(self, spark):
+        """The operator persists the range-partitioned frame by
+        necessity (both passes must read ONE materialized layout —
+        range boundaries re-sample per action); the persist is exposed
+        on the result and unpersisting AFTER materialization leaves no
+        cached frames behind."""
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(500), "n_tokens": [9] * 500})
+        )
+        from ksj2gp_spark.operators.pack import pack_sequences
+
+        out = pack_sequences(df, budget=64, num_partitions=4)
+        got = out.toPandas()
+        assert len(got) == 500
+        out._pack_source.unpersist(blocking=True)
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert after - before == set(), "pack_sequences leaked cached RDDs"
 
     def test_pack_sequences_doc_spans_chunks(self, spark):
         """A doc longer than the budget belongs to the chunk where it
