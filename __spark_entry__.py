@@ -1720,16 +1720,13 @@ FROM f
 """
 
 
-def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed image+caption curation (operators/curate.py::
-    curate_image_captions) over a deterministically planted table in
-    the input_hint schema: caption exact-dedup → phash-LSH connected
-    components with keep-best-resolution → caption length →
-    resolution/aspect geometry. All four stages are exact integer/
-    string arithmetic, so the WHOLE pipeline (including the transitive
-    phash components) has a DuckDB oracle."""
-    from ksj2gp_spark.operators.curate import curate_image_captions
-
+def _planted_image_table(spark: SparkSession) -> DataFrame:
+    """Deterministic image+caption metadata table in the input_hint
+    schema, with planted structure: ids ≥ 1600 repeat the caption of
+    id−1600 (exact caption dups); ids < 150 get a 'v' twin with
+    phash⊕3 (hamming 2 → near-dup), higher resolution (keep-best must
+    prefer the twin), and a distinct caption (survives caption
+    dedup)."""
     ids = spark.range(2000)
     base = ids.select(
         F.concat(
@@ -1744,10 +1741,6 @@ def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("repeat(' word', CAST(id % 4 AS INT))"),
         ).alias("caption"),
     )
-    # planted structure: ids ≥ 1600 repeat the caption of id−1600
-    # (exact caption dups); ids < 150 get a 'v' twin with phash⊕3
-    # (hamming 2 → near-dup), higher resolution (w+10: keep-best must
-    # prefer the twin), and a distinct caption (survives stage 1)
     variants = ids.filter(F.col("id") < 150).select(
         F.concat(
             F.lit("img"),
@@ -1766,8 +1759,21 @@ def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" variant"),
         ).alias("caption"),
     )
+    return base.unionByName(variants)
+
+
+def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed image+caption curation (operators/curate.py::
+    curate_image_captions) over a deterministically planted table in
+    the input_hint schema: caption exact-dedup → phash-LSH connected
+    components with keep-best-resolution → caption length →
+    resolution/aspect geometry. All four stages are exact integer/
+    string arithmetic, so the WHOLE pipeline (including the transitive
+    phash components) has a DuckDB oracle."""
+    from ksj2gp_spark.operators.curate import curate_image_captions
+
     kept, _ = curate_image_captions(
-        base.unionByName(variants),
+        _planted_image_table(spark),
         min_caption_tokens=3,
         min_dim=9,
         max_aspect=1.8,
@@ -1854,6 +1860,74 @@ s3 AS (
 SELECT image_id, w, h, n_tokens, component, csize
 FROM s3
 WHERE least(w, h) >= 9 AND greatest(w, h) * 1.0 / least(w, h) <= 1.8
+"""
+
+
+def q_image_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed image-lane capstone: curate_image_captions (exact
+    caption dedup → phash-LSH keep-best components → caption/geometry
+    filters) feeding bucket_batches (aspect buckets → hash shards →
+    fixed-size training batches) — curation output straight into the
+    training loader's batch layout, end-to-end oracle-checkable. The
+    shard key is the engine-portable mix of the numeric id embedded in
+    image_id (+offset for the 'v' variants) so DuckDB reproduces the
+    exact assignment."""
+    from ksj2gp_spark.operators.curate import (
+        curate_image_captions,
+        mix_bucket,
+    )
+    from ksj2gp_spark.operators.pack import bucket_batches
+
+    kept, _ = curate_image_captions(
+        _planted_image_table(spark),
+        min_caption_tokens=3,
+        min_dim=9,
+        max_aspect=1.8,
+    )
+    key = F.substring("image_id", 4, 8).cast("long") + F.when(
+        F.col("image_id").endswith("v"), F.lit(500000)
+    ).otherwise(F.lit(0))
+    out = bucket_batches(
+        kept.select("image_id", "w", "h"),
+        batch_size=16,
+        n_shards=4,
+        shard_key=F.pmod(mix_bucket(key), F.lit(4)),
+    )
+    return out.select(
+        "image_id", "w", "h", "bucket", "shard", "batch_idx",
+        F.col("batch_n").cast("int").alias("batch_n"),
+    )
+
+
+def _image_training_batches_sql() -> str:
+    from ksj2gp_spark.operators.curate import mix_bucket_sql
+
+    mix = mix_bucket_sql(
+        "CAST(substr(image_id, 4, 8) AS BIGINT)"
+        " + CASE WHEN image_id LIKE '%v' THEN 500000 ELSE 0 END"
+    )
+    return f"""
+WITH curated AS ({_curate_images_sql()}),
+tagged AS (
+  SELECT image_id, w, h,
+         CASE WHEN CAST(w AS BIGINT) * 4 < CAST(h AS BIGINT) * 3 THEN 'portrait'
+              WHEN CAST(w AS BIGINT) * 3 > CAST(h AS BIGINT) * 4 THEN 'landscape'
+              ELSE 'square' END AS bucket,
+         CAST((({mix}) % 4 + 4) % 4 AS INT) AS shard
+  FROM curated
+),
+numbered AS (
+  SELECT *,
+         CAST((ROW_NUMBER() OVER (
+           PARTITION BY bucket, shard ORDER BY image_id
+         ) - 1) // 16 AS BIGINT) AS batch_idx
+  FROM tagged
+)
+SELECT image_id, w, h, bucket, shard, batch_idx,
+       CAST(COUNT(*) OVER (
+         PARTITION BY bucket, shard, batch_idx
+       ) AS INT) AS batch_n
+FROM numbered
 """
 
 
@@ -3049,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_images": q_curate_images,
         "seq_pack": q_seq_pack,
         "batch_pack": q_batch_pack,
+        "image_training_batches": q_image_training_batches,
         "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
         "minhash_incremental": q_minhash_incremental,
@@ -3138,6 +3213,7 @@ GROUP BY p.admin_code
         "curate_images": _curate_images_sql(),
         "seq_pack": _SEQ_PACK_SQL,
         "batch_pack": _batch_pack_sql(),
+        "image_training_batches": _image_training_batches_sql(),
         "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),
