@@ -1720,6 +1720,23 @@ FROM f
 """
 
 
+_PLANTED_BASE_SQL = """SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+         CAST(8 + (i * 7) % 13 AS INT) AS w,
+         CAST(8 + (i * 5) % 11 AS INT) AS h,
+         i * 2654435761 AS phash,
+         'photo ' || CAST(i % 1600 AS VARCHAR)
+           || repeat(' word', CAST(i % 4 AS INT)) AS caption
+  FROM range(0, 2000) t(i)"""
+
+_PLANTED_VARIANTS_SQL = """SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') || 'v' AS image_id,
+         CAST(18 + (i * 7) % 13 AS INT) AS w,
+         CAST(8 + (i * 5) % 11 AS INT) AS h,
+         xor(i * 2654435761, 3) AS phash,
+         'photo ' || CAST(i % 1600 AS VARCHAR)
+           || repeat(' word', CAST(i % 4 AS INT)) || ' variant' AS caption
+  FROM range(0, 150) t(i)"""
+
+
 def _planted_image_table(spark: SparkSession) -> DataFrame:
     """Deterministic image+caption metadata table in the input_hint
     schema, with planted structure: ids ≥ 1600 repeat the caption of
@@ -1789,24 +1806,12 @@ def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_images_sql() -> str:
-    return """
+    return f"""
 WITH RECURSIVE base AS (
-  SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
-         CAST(8 + (i * 7) % 13 AS INT) AS w,
-         CAST(8 + (i * 5) % 11 AS INT) AS h,
-         i * 2654435761 AS phash,
-         'photo ' || CAST(i % 1600 AS VARCHAR)
-           || repeat(' word', CAST(i % 4 AS INT)) AS caption
-  FROM range(0, 2000) t(i)
+  {_PLANTED_BASE_SQL}
 ),
 variants AS (
-  SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') || 'v' AS image_id,
-         CAST(18 + (i * 7) % 13 AS INT) AS w,
-         CAST(8 + (i * 5) % 11 AS INT) AS h,
-         xor(i * 2654435761, 3) AS phash,
-         'photo ' || CAST(i % 1600 AS VARCHAR)
-           || repeat(' word', CAST(i % 4 AS INT)) || ' variant' AS caption
-  FROM range(0, 150) t(i)
+  {_PLANTED_VARIANTS_SQL}
 ),
 allimg AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
 s1 AS (
@@ -1860,6 +1865,50 @@ s3 AS (
 SELECT image_id, w, h, n_tokens, component, csize
 FROM s3
 WHERE least(w, h) >= 9 AND greatest(w, h) * 1.0 / least(w, h) <= 1.8
+"""
+
+
+def q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental visual dedup (operators/images.py::
+    phash_near_dups_incremental): the 150 'v' variants arrive as a NEW
+    batch and are probed against the 2000-image corpus via its banded
+    phash index — bands computed only for the new rows, corpus side
+    broadcast-probed, never shuffled. Pure BIGINT bit arithmetic, so
+    the cross-set LSH pipeline replays exactly in DuckDB."""
+    from ksj2gp_spark.operators.images import phash_near_dups_incremental
+
+    allimg = _planted_image_table(spark)
+    new = allimg.filter(F.col("image_id").endswith("v")).select(
+        "image_id", "phash"
+    )
+    corpus = allimg.filter(~F.col("image_id").endswith("v")).select(
+        "image_id", "phash"
+    )
+    return phash_near_dups_incremental(
+        new, corpus, band_bits=16, max_hamming=4
+    ).select("new_id", "corpus_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _phash_incremental_sql() -> str:
+    return f"""
+WITH base AS (
+  {_PLANTED_BASE_SQL}
+),
+variants AS (
+  {_PLANTED_VARIANTS_SQL}
+),
+cb AS (
+  SELECT image_id, phash, band, (phash >> (band * 16)) & 65535 AS band_val
+  FROM base CROSS JOIN UNNEST(generate_series(0, 3)) AS t(band)
+),
+nb AS (
+  SELECT image_id, phash, band, (phash >> (band * 16)) & 65535 AS band_val
+  FROM variants CROSS JOIN UNNEST(generate_series(0, 3)) AS t(band)
+)
+SELECT DISTINCT n.image_id AS new_id, c.image_id AS corpus_id,
+       CAST(bit_count(xor(n.phash, c.phash)) AS INT) AS hamming
+FROM nb n JOIN cb c ON n.band = c.band AND n.band_val = c.band_val
+WHERE bit_count(xor(n.phash, c.phash)) <= 4
 """
 
 
@@ -3124,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "batch_pack": q_batch_pack,
         "image_training_batches": q_image_training_batches,
+        "phash_incremental": q_phash_incremental,
         "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
         "minhash_incremental": q_minhash_incremental,
@@ -3214,6 +3264,7 @@ GROUP BY p.admin_code
         "seq_pack": _SEQ_PACK_SQL,
         "batch_pack": _batch_pack_sql(),
         "image_training_batches": _image_training_batches_sql(),
+        "phash_incremental": _phash_incremental_sql(),
         "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),

@@ -109,18 +109,14 @@ def phash_exact_dups(df: DataFrame) -> DataFrame:
     )
 
 
-def phash_near_dups(
-    df: DataFrame, band_bits: int = 16, max_hamming: int = 4
-) -> DataFrame:
-    """Near-dup candidates by banded phash (LSH on Hamming space): the
-    64-bit hash is split into 64/band_bits bands; rows sharing any band
-    value are candidates, verified by exact Hamming distance ≤
-    ``max_hamming``.
-
-    Banding is JVM bit arithmetic; verification joins only within
-    buckets (the standard LSH candidate-pruning shape)."""
+def phash_banded(df: DataFrame, band_bits: int = 16) -> DataFrame:
+    """(image_id, phash, band, band_val) — the banded phash LSH index.
+    One row per (image, band); JVM bit arithmetic only. This is the
+    frame to persist (e.g. in the Iceberg table, appended on every
+    ingest) as the corpus-side index for
+    :func:`phash_near_dups_incremental`."""
     n_bands = 64 // band_bits
-    bands = df.select(
+    return df.select(
         "image_id",
         "phash",
         F.explode(
@@ -138,6 +134,19 @@ def phash_near_dups(
             )
         ).alias("bv"),
     ).select("image_id", "phash", "bv.band", "bv.band_val")
+
+
+def phash_near_dups(
+    df: DataFrame, band_bits: int = 16, max_hamming: int = 4
+) -> DataFrame:
+    """Near-dup candidates by banded phash (LSH on Hamming space): the
+    64-bit hash is split into 64/band_bits bands; rows sharing any band
+    value are candidates, verified by exact Hamming distance ≤
+    ``max_hamming``.
+
+    Banding is JVM bit arithmetic; verification joins only within
+    buckets (the standard LSH candidate-pruning shape)."""
+    bands = phash_banded(df, band_bits)
     pairs = (
         bands.alias("a")
         .join(
@@ -160,6 +169,69 @@ def phash_near_dups(
         .dropDuplicates(["image_a", "image_b"])
     )
     return pairs
+
+
+def phash_near_dups_incremental(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    band_bits: int = 16,
+    max_hamming: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Visual near-dups of a NEW image batch against an EXISTING
+    corpus — the image twin of
+    :func:`~.dedup.minhash_lsh_pairs_incremental` (daily-ingest shape):
+    bands are computed only for the new rows; the corpus is probed,
+    never re-hashed and never shuffled.
+
+    ``corpus`` is either a raw (image_id, phash) frame or — the
+    production path — a PREBUILT banded index (the output of
+    :func:`phash_banded`, persisted and appended on every ingest):
+    detected by its (band, band_val) columns.
+
+    Emits (new_id, corpus_id, hamming) for cross-set pairs with
+    Hamming distance ≤ ``max_hamming``. Intra-batch duplicates are a
+    separate (small) concern — compose with :func:`phash_near_dups`
+    over the new batch alone.
+
+    Scale shape: the new batch's distinct (band, band_val) keys are
+    BROADCAST as a semi-join probe, so only corpus index rows in
+    probed buckets leave the scan — the 10^12-row index side sees a
+    pruned columnar read plus broadcast hash joins, zero Exchange.
+    The ``max_bucket`` cap is evaluated on the probed subset only
+    (O(new batch)); audit via
+    :func:`~.dedup.dropped_bucket_stats` on that subset.
+    """
+    from .dedup import _cap_buckets
+
+    new_banded = phash_banded(new_df, band_bits)
+    if "band" in corpus.columns and "band_val" in corpus.columns:
+        corpus_banded = corpus
+    else:
+        corpus_banded = phash_banded(corpus, band_bits)
+    keys = ["band", "band_val"]
+    probe = new_banded.select(*keys).distinct()
+    hit = corpus_banded.join(F.broadcast(probe), keys, "left_semi")
+    hit = _cap_buckets(hit, keys, max_bucket)
+    return (
+        hit.alias("c")
+        .join(
+            F.broadcast(new_banded.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.band_val") == F.col("n.band_val")),
+        )
+        .select(
+            F.col("n.image_id").alias("new_id"),
+            F.col("c.image_id").alias("corpus_id"),
+            # hamming is identical for every band-duplicate of a pair:
+            # threshold BEFORE the dedup shuffle
+            F.bit_count(
+                F.col("n.phash").bitwiseXOR(F.col("c.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
 
 
 def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:

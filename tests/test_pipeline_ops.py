@@ -307,6 +307,86 @@ class TestImageOps:
         assert len(near) == 1
         assert near.loc[0, "hamming"] <= 4
 
+    @pytest.fixture(scope="class")
+    def phash_sets(self, spark):
+        """corpus of 200 well-separated phashes + a new batch of 30:
+        ids < 20 are hamming-2 twins of corpus images, the rest are
+        far from everything."""
+        corpus = spark.range(200).select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias(
+                "image_id"
+            ),
+            (F.col("id") * F.lit(2654435761)).alias("phash"),
+        )
+        new = spark.range(30).select(
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias(
+                "image_id"
+            ),
+            F.when(
+                F.col("id") < 20,
+                (F.col("id") * F.lit(2654435761)).bitwiseXOR(F.lit(3)),
+            )
+            .otherwise((F.col("id") + 5000) * F.lit(2654435761))
+            .alias("phash"),
+        )
+        return new, corpus
+
+    def test_phash_incremental_equals_cross_set_subset(
+        self, spark, phash_sets
+    ):
+        """new-vs-corpus pairs must be exactly the cross-set subset of
+        the full same-set run, with identical hamming values."""
+        new, corpus = phash_sets
+        inc = img_ops.phash_near_dups_incremental(new, corpus).toPandas()
+        full = img_ops.phash_near_dups(
+            new.unionByName(corpus)
+        ).toPandas()
+        expect = {}
+        for a, b, hm in zip(full.image_a, full.image_b, full.hamming):
+            if a.startswith("n") != b.startswith("n"):
+                n_, c_ = (a, b) if a.startswith("n") else (b, a)
+                expect[(n_, c_)] = hm
+        got = {
+            (n_, c_): hm
+            for n_, c_, hm in zip(inc.new_id, inc.corpus_id, inc.hamming)
+        }
+        assert got == expect
+        assert len(got) >= 20  # every planted twin found
+
+    def test_phash_incremental_accepts_prebuilt_index(
+        self, spark, phash_sets
+    ):
+        new, corpus = phash_sets
+        banded = img_ops.phash_banded(corpus)
+        via_raw = (
+            img_ops.phash_near_dups_incremental(new, corpus)
+            .toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        via_index = (
+            img_ops.phash_near_dups_incremental(new, banded)
+            .toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(via_raw, via_index)
+
+    def test_phash_incremental_corpus_never_shuffles(
+        self, spark, phash_sets
+    ):
+        """Scale contract: broadcast joins only — no SortMergeJoin
+        (which would shuffle the 10^12-row index side)."""
+        new, corpus = phash_sets
+        plan = (
+            img_ops.phash_near_dups_incremental(new, corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
 
 def test_codelist_join_matches_expr(spark):
     """Broadcast-join codelist form ≡ create_map literal form, incl.
