@@ -2546,6 +2546,57 @@ FROM base b JOIN pert p USING (vec_id)
 """
 
 
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup (operators/dedup.py::
+    embedding_near_dups_incremental): the 50 planted perturbations
+    arrive as a NEW batch and are probed against the full embeddings
+    corpus via its hyperplane-bucket index — buckets computed only for
+    the new rows, corpus side broadcast-probed, never shuffled. Same
+    planted-recall contract as embedding_near_dups: the 50 cross-set
+    pairs (cosine ≈ 0.9996) are the complete expected answer at
+    threshold 0.99, so an LSH recall miss or a spurious pair breaks
+    equality."""
+    from ksj2gp_spark.operators.dedup import embedding_near_dups_incremental
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    corpus = e.select("vec_id", "embedding")
+    new = (
+        e.filter(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + 0.002 * ((i * 7) % 5 - 2),
+            ).alias("embedding"),
+        )
+    )
+    pairs = embedding_near_dups_incremental(new, corpus, threshold=0.99)
+    return pairs.select(
+        "new_id", "corpus_id", F.round("cosine", 4).alias("cosine4")
+    )
+
+
+_EMBEDDING_INCR_SQL = """
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+pert AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           (x, i) -> CAST(x AS DOUBLE) + 0.002 * (((i - 1) * 7) % 5 - 2)
+         ) AS emb2
+  FROM base
+)
+SELECT b.vec_id + 1000000 AS new_id, b.vec_id AS corpus_id,
+       round(
+         list_cosine_similarity(
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE)), p.emb2
+         ),
+         4
+       ) AS cosine4
+FROM base b JOIN pert p USING (vec_id)
+"""
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (the similarity scale path),
     value-oracled by PLANTED STRUCTURE: 200 vectors in 8 near-orthogonal
@@ -3174,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_pack": q_batch_pack,
         "image_training_batches": q_image_training_batches,
         "phash_incremental": q_phash_incremental,
+        "embedding_incremental": q_embedding_incremental,
         "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
         "minhash_incremental": q_minhash_incremental,
@@ -3265,6 +3317,7 @@ GROUP BY p.admin_code
         "batch_pack": _batch_pack_sql(),
         "image_training_batches": _image_training_batches_sql(),
         "phash_incremental": _phash_incremental_sql(),
+        "embedding_incremental": _EMBEDDING_INCR_SQL,
         "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),

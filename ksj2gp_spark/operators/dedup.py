@@ -592,6 +592,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    bits_per_table: int = 16,
+) -> DataFrame:
+    """(id, vec, table, bucket) — the multi-table hyperplane LSH index
+    (one row per vector per table). The hyperplanes come from a FIXED
+    seed, so indices built at different times over different frames
+    collide consistently as long as (dim, n_tables, bits_per_table)
+    match — persist this frame as the corpus-side index for
+    :func:`embedding_near_dups_incremental` and build the probe side
+    with the same parameters."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    rng = np.random.default_rng(777)
+    planes = rng.standard_normal((n_tables, bits_per_table, dim))
+    weights = (1 << np.arange(bits_per_table)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        out = np.empty((len(mat), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            signs = (mat @ planes[t].T) > 0
+            out[:, t] = signs @ weights
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+
+
+def _cosine(x, y):
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def embedding_near_dups_incremental(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    bits_per_table: int = 16,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dups of a NEW batch against an EXISTING
+    corpus — the vector twin of :func:`minhash_lsh_pairs_incremental`
+    / :func:`~.images.phash_near_dups_incremental`: buckets are
+    computed only for the new rows; the corpus (raw, or a PREBUILT
+    persisted :func:`embedding_buckets` index — detected by its
+    (table, bucket, vec) columns; must have been built with the same
+    n_tables/bits_per_table and vector dim, the hyperplane seed is
+    fixed) is probed via a broadcast semi-join of the new batch's
+    (table, bucket) keys and joined broadcast-only — the index side
+    never shuffles. Emits (new_id, corpus_id, cosine) for cross-set
+    pairs with exact cosine ≥ ``threshold``; the ``max_bucket`` cap is
+    evaluated on the probed subset only (audit via
+    :func:`dropped_bucket_stats`)."""
+    new_b = embedding_buckets(
+        new_df, id_col, vec_col, n_tables, bits_per_table
+    )
+    if "table" in corpus.columns and "bucket" in corpus.columns:
+        corpus_b = corpus
+    else:
+        corpus_b = embedding_buckets(
+            corpus, id_col, vec_col, n_tables, bits_per_table
+        )
+    keys = ["table", "bucket"]
+    probe = new_b.select(*keys).distinct()
+    hit = corpus_b.join(F.broadcast(probe), keys, "left_semi")
+    hit = _cap_buckets(hit, keys, max_bucket)
+    return (
+        hit.alias("c")
+        .join(
+            F.broadcast(new_b.alias("n")),
+            (F.col("c.table") == F.col("n.table"))
+            & (F.col("c.bucket") == F.col("n.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            # cosine is identical for every bucket-duplicate of a
+            # pair: threshold BEFORE the dedup shuffle
+            _cosine(F.col("n.vec"), F.col("c.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -613,26 +715,7 @@ def embedding_near_dups(
     recall (collision prob. 1−(1−cosᵇ)ᵗ for angle-cos c); oversized
     buckets are capped with an auditable drop count (_cap_buckets).
     """
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
-    rng = np.random.default_rng(777)
-    planes = rng.standard_normal((n_tables, bits_per_table, dim))
-    weights = (1 << np.arange(bits_per_table)).astype(np.int64)
-
-    @pandas_udf("array<int>")
-    def buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.to_numpy())
-        out = np.empty((len(mat), n_tables), dtype=np.int32)
-        for t in range(n_tables):
-            signs = (mat @ planes[t].T) > 0
-            out[:, t] = signs @ weights
-        return pd.Series(list(out))
-
-    withb = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
-    )
+    withb = embedding_buckets(df, id_col, vec_col, n_tables, bits_per_table)
     withb = _cap_buckets(withb, ["table", "bucket"], max_bucket)
 
     def dot(x, y):

@@ -119,6 +119,74 @@ class TestDedup:
         assert len(pairs) == 1
         assert pairs.iloc[0]["est_jaccard"] == 1.0
 
+    def test_embedding_incremental_matches_cross_set_subset(self, spark):
+        """Vector twin of the incremental lanes: new-vs-corpus pairs =
+        the cross-set subset of the full run, identical cosines; the
+        prebuilt embedding_buckets index gives the same answer; the
+        corpus side never sort-merge-joins."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        dim = 16
+        corpus_vecs = rng.randn(40, dim)
+        new_vecs = np.vstack(
+            [
+                corpus_vecs[:10] + 0.001 * rng.randn(10, dim),  # twins
+                rng.randn(5, dim),  # unrelated
+            ]
+        )
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(40),
+                    "embedding": [list(map(float, v)) for v in corpus_vecs],
+                }
+            )
+        )
+        new = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": [1000 + i for i in range(15)],
+                    "embedding": [list(map(float, v)) for v in new_vecs],
+                }
+            )
+        )
+        inc = dedup.embedding_near_dups_incremental(
+            new, corpus, threshold=0.99
+        ).toPandas()
+        full = dedup.embedding_near_dups(
+            new.unionByName(corpus), threshold=0.99
+        ).toPandas()
+        expect = {}
+        for a, b, c in zip(full.id_a, full.id_b, full.cosine):
+            if (a >= 1000) != (b >= 1000):
+                n_, c_ = (a, b) if a >= 1000 else (b, a)
+                expect[(n_, c_)] = round(c, 9)
+        got = {
+            (n_, c_): round(c, 9)
+            for n_, c_, c in zip(inc.new_id, inc.corpus_id, inc.cosine)
+        }
+        assert got == expect
+        assert len(got) >= 10  # every planted twin recovered
+        banded = dedup.embedding_buckets(corpus)
+        via_index = dedup.embedding_near_dups_incremental(
+            new, banded, threshold=0.99
+        ).toPandas()
+        assert {
+            (n_, c_): round(c, 9)
+            for n_, c_, c in zip(
+                via_index.new_id, via_index.corpus_id, via_index.cosine
+            )
+        } == got
+        plan = (
+            dedup.embedding_near_dups_incremental(new, corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_simhash_near_dups(self, spark, docs):
         pairs = dedup.simhash_near_dups(docs, max_hamming=10).toPandas()
         found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
