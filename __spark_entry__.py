@@ -2661,6 +2661,97 @@ QUALIFY rank <= 5
 """
 
 
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set IVF retrieval (operators/similarity.py::ivf_search):
+    a NEW query batch (40 vectors planted in the same 8 near-orthogonal
+    clusters, different lattice perturbation) looks up its top-3
+    corpus neighbors through the IVF index — the serving/ingest shape
+    of ANN. Same planted-recall contract as similarity_ivf: each
+    query's exact top-3 are cluster-mates inside its probed list, so
+    IVF provably equals the brute-force oracle."""
+    from ksj2gp_spark.operators.similarity import ivf_search
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    corpus = e.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.when(i == F.col("vec_id") % 8, F.lit(1.0)).otherwise(F.lit(0.0))
+                + ((F.col("vec_id") * 31 + i * 17) % 7 - 3).cast("double") * 0.01
+            ),
+        ).alias("embedding"),
+    )
+    # NOTE: the +1M rename happens in a SECOND select — inside one
+    # select, Spark's lateral-column-alias resolution would bind the
+    # formula's vec_id to the just-aliased (vec_id + 1M) expression
+    queries = (
+        e.filter(F.col("vec_id") < 40)
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: (
+                    F.when(
+                        i == F.col("vec_id") % 8, F.lit(1.0)
+                    ).otherwise(F.lit(0.0))
+                    + ((F.col("vec_id") * 37 + i * 13) % 7 - 3).cast(
+                        "double"
+                    )
+                    * 0.01
+                ),
+            ).alias("embedding"),
+        )
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    return ivf_search(queries, corpus, k=3, nlist=8, nprobe=4).select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 3).alias("sim3")
+    )
+
+
+# Oracle: exact brute-force top-3 of every query over the planted
+# corpus; the Spark side must RECOVER it through the IVF routing.
+_IVF_SEARCH_SQL = """
+WITH cids AS (SELECT vec_id FROM embeddings WHERE vec_id < 200),
+corpus AS (
+  SELECT vec_id,
+         list_transform(
+           generate_series(0, 15),
+           i -> (CASE WHEN i = vec_id % 8 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+                + CAST((vec_id * 31 + i * 17) % 7 - 3 AS DOUBLE) * 0.01
+         ) AS vec
+  FROM cids
+),
+qids AS (SELECT vec_id FROM embeddings WHERE vec_id < 40),
+queries AS (
+  SELECT vec_id + 1000000 AS query_id,
+         list_transform(
+           generate_series(0, 15),
+           i -> (CASE WHEN i = vec_id % 8 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+                + CAST((vec_id * 37 + i * 13) % 7 - 3 AS DOUBLE) * 0.01
+         ) AS vec
+  FROM qids
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.vec, c.vec)
+           / (sqrt(list_dot_product(q.vec, q.vec))
+            * sqrt(list_dot_product(c.vec, c.vec))) AS sim
+  FROM queries q CROSS JOIN corpus c
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id,
+       round(sim, 3) AS sim3
+FROM pairs
+QUALIFY rank <= 3
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (similarity.kmeans_lloyd) on the
     planted 8-cluster vectors, 2 iterations from deterministic seeds
@@ -3226,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_training_batches": q_image_training_batches,
         "phash_incremental": q_phash_incremental,
         "embedding_incremental": q_embedding_incremental,
+        "ivf_search": q_ivf_search,
         "corpus_split": q_corpus_split,
         "minhash_relational": q_minhash_relational,
         "minhash_incremental": q_minhash_incremental,
@@ -3318,6 +3410,7 @@ GROUP BY p.admin_code
         "image_training_batches": _image_training_batches_sql(),
         "phash_incremental": _phash_incremental_sql(),
         "embedding_incremental": _EMBEDDING_INCR_SQL,
+        "ivf_search": _IVF_SEARCH_SQL,
         "corpus_split": _corpus_split_sql(),
         "minhash_relational": _MINHASH_REL_SQL,
         "minhash_pairs": _minhash_pairs_sql(),

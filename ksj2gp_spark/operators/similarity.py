@@ -204,6 +204,98 @@ def ivf_topk(
     )
 
 
+def ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Cross-set IVF retrieval: top-``k`` CORPUS neighbors for every
+    QUERY row — the serving/ingest shape of ANN (a new batch looks up
+    its neighbors in the big table), vs :func:`ivf_topk`'s same-set
+    all-pairs shape.
+
+    ``corpus`` is either a raw (id, vec) frame or — the production
+    path — a PREBUILT index (the output of :func:`assign_lists`,
+    persisted list_id-partitioned and appended on every ingest),
+    detected by its ``list_id`` column; the prebuilt path requires
+    ``centroids=`` (the :func:`fit_centroids` array the index was
+    built with).
+
+    Scale shape: centroids fit on a bounded sample; each query is
+    routed to its ``nprobe`` nearest lists; the distinct probed
+    list_ids are BROADCAST as a semi-join (a list_id-partitioned index
+    gets partition pruning), then the query batch itself is broadcast
+    into the candidate join — the corpus side never shuffles. The
+    top-k window partitions by query id and sees only probed-list
+    candidates. Emits (query_id, rank, neighbor_id, sim).
+    """
+    if "list_id" in corpus.columns:
+        if centroids is None:
+            raise ValueError(
+                "a prebuilt assign_lists index needs centroids= "
+                "(the fit_centroids array it was built with)"
+            )
+        cent = centroids
+        build = corpus.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).cast("array<double>").alias("b_vec"),
+            "list_id",
+        )
+    else:
+        cent = fit_centroids(
+            corpus, nlist=nlist, id_col=id_col, vec_col=vec_col
+        )
+        build = assign_lists(
+            corpus.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("b_vec"),
+            ),
+            cent,
+            id_col,
+            "b_vec",
+        ).select(F.col(id_col).alias("b_id"), "b_vec", "list_id")
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ cent.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    probe = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        F.explode(probes(F.col(vec_col))).alias("list_id"),
+    )
+    probed_lists = probe.select("list_id").distinct()
+    hit = build.join(F.broadcast(probed_lists), "list_id", "left_semi")
+    sim = _dot(F.col("q_vec"), F.col("b_vec")) / (
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(_dot(F.col("b_vec"), F.col("b_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("b_id"))
+    return (
+        hit.join(F.broadcast(probe), "list_id")
+        # sim is identical for every multi-probe duplicate of a pair:
+        # project the vectors away before the dedup shuffle
+        .select("q_id", "b_id", sim.alias("sim"))
+        .dropDuplicates(["q_id", "b_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            "rank",
+            F.col("b_id").alias("neighbor_id"),
+            "sim",
+        )
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, id_col: str = "vec_id") -> float:
     """Fraction of exact top-k pairs recovered by the approximate lane."""
     e = exact.select(id_col, "neighbor_id")

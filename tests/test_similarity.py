@@ -130,3 +130,51 @@ class TestKmeansEdgeCases:
         assert got[42] == 0 and got[100] == 0
         assert got[7] == 1 and got[101] == 1
         assert got[102] is None  # null vector -> null cluster, no crash
+
+
+def test_ivf_search_cross_set_exactness_and_index_path(spark, emb):
+    """Cross-set retrieval: queries are near-copies of corpus rows, so
+    the true top-1 is the source row; ivf_search must recover it, the
+    prebuilt assign_lists index path must agree with the raw path, and
+    the corpus side must never sort-merge-join."""
+    from pyspark.sql import functions as F
+
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x, i: x + 0.001 * ((i * 3) % 5 - 2)
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+
+    got = similarity.ivf_search(
+        queries, corpus, k=1, nlist=8, nprobe=4
+    ).toPandas()
+    assert len(got) == 30
+    assert (got["neighbor_id"] == got["query_id"] - 10_000).all()
+    assert (got["sim"] > 0.999).all()
+
+    cent = similarity.fit_centroids(corpus, nlist=8)
+    index = similarity.assign_lists(
+        corpus.selectExpr(
+            "vec_id", "cast(embedding as array<double>) as embedding"
+        ),
+        cent,
+    )
+    via_index = similarity.ivf_search(
+        queries, index, k=1, nlist=8, nprobe=4, centroids=cent
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("query_id").reset_index(drop=True),
+        via_index.sort_values("query_id").reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.ivf_search(queries, index, k=1)
+    plan = (
+        similarity.ivf_search(queries, corpus, k=1, nlist=8, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
