@@ -1,2 +1,3 @@
 """Spark operators: cell indexing, spatial join/kNN, translation,
-dedup/similarity/text pipeline ops, image lane."""
+dedup/similarity/text pipeline ops, image lane, training-batch
+packing (pack.py: sequence concat-and-chunk + aspect buckets)."""
