@@ -690,6 +690,47 @@ FROM documents GROUP BY text
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition quality gate
+    (operators/text.py::repetition_metrics): duplicate-3-gram
+    occurrence fraction + top-2-gram fraction per document — the
+    boilerplate/looping-text signal a pretraining pipeline filters on.
+    Exact integer counting + one rounded division, so the whole lane
+    replays in DuckDB."""
+    from ksj2gp_spark.operators.text import repetition_metrics
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = repetition_metrics(d.select("doc_id", "text"))
+    return out.select("doc_id", "dup_ngram_frac", "top_bigram_frac")
+
+
+_DOC_REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tri AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+),
+tc AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id,
+         round(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+           AS dup_ngram_frac
+  FROM tc GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+bstat AS (
+  SELECT doc_id, round(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT t.doc_id, t.dup_ngram_frac, b.top_bigram_frac
+FROM tstat t JOIN bstat b USING (doc_id)
+"""
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts + quality ratio columns."""
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -3306,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
+        "doc_repetition": q_doc_repetition,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
@@ -3399,6 +3441,7 @@ GROUP BY p.admin_code
         "events_attribution": _ATTRIBUTION_SQL,
         "dedup_exact": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
         "similarity_topk": _SIMILARITY_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,

@@ -95,6 +95,53 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, public — the standard pretraining quality gate this module's
+    char-level ratios don't cover):
+
+    - ``dup_ngram_frac`` — fraction of the doc's n-gram OCCURRENCES
+      that belong to an n-gram appearing more than once in the doc
+      (boilerplate/looping text scores high),
+    - ``top_bigram_frac`` — occurrences of the doc's most frequent
+      2-gram over its total 2-gram occurrences.
+
+    Pure relational shape: explode → (doc, gram) counts (map-side
+    combinable groupBy) → per-doc ratios. Both aggregations key on
+    (doc_id, gram), so the shuffle is skew-free at corpus scale — no
+    global hot key exists because the doc id is in every key.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def gram_counts(k: int) -> DataFrame:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+        return (
+            df.select(F.col(id_col), F.explode(grams).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    tri = gram_counts(n).groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c"),
+            6,
+        ).alias("dup_ngram_frac")
+    )
+    bi = gram_counts(2).groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return df.join(tri, id_col, "left").join(bi, id_col, "left")
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (chars/4 is the
     classic LLM rule of thumb; the regex splits off punctuation the way

@@ -295,6 +295,39 @@ class TestText:
         assert out[0] != out[1]
 
 
+class TestRepetition:
+    def test_repetition_metrics_planted(self, spark):
+        """Planted extremes: a looping doc scores 1.0 on both signals,
+        an all-distinct doc scores 0.0 dup fraction, and a half-looped
+        doc gets the exact hand-computed fractions."""
+        rows = [
+            (0, "spam spam spam spam spam spam"),
+            (1, "one two three four five six seven"),
+            # 3-grams: [a b a], [b a b], [a b c], [b c d] — the first
+            # two are unique, so only exact repeats count
+            (2, "a b a b c d"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        out = (
+            text.repetition_metrics(df)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "dup_ngram_frac"] == 1.0
+        assert out.loc[0, "top_bigram_frac"] == 1.0
+        assert out.loc[1, "dup_ngram_frac"] == 0.0
+        # 7 tokens -> 6 bigrams, all distinct -> top fraction 1/6
+        assert out.loc[1, "top_bigram_frac"] == pytest.approx(
+            round(1 / 6, 6)
+        )
+        # doc 2: 3-grams all distinct -> 0.0; bigrams of "a b a b c d"
+        # = [a b, b a, a b, b c, c d]: "a b" twice of 5 -> 0.4
+        assert out.loc[2, "dup_ngram_frac"] == 0.0
+        assert out.loc[2, "top_bigram_frac"] == 0.4
+
+
 class TestImageOps:
     @pytest.fixture(scope="class")
     def images(self, spark):
