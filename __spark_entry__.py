@@ -731,6 +731,49 @@ FROM tstat t JOIN bstat b USING (doc_id)
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py::decontaminate):
+    corpus docs sharing ≥1 distinct word 3-gram with a held-out eval
+    set (here the deterministic doc_id % 97 == 0 slice of documents
+    stands in for the benchmark). Broadcast-probe shape — the corpus
+    side never shuffles; only matched (doc, gram) rows reach the
+    per-doc aggregation."""
+    from ksj2gp_spark.operators.text import decontaminate
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3).select(
+        "doc_id", "matched_grams", "bench_docs"
+    )
+
+
+_DECONTAMINATE_SQL = """
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 97 = 0
+),
+bg AS (
+  SELECT DISTINCT doc_id AS bench_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM b, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+),
+c AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 97 <> 0
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM c, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+)
+SELECT cg.doc_id,
+       count(DISTINCT cg.gram) AS matched_grams,
+       count(DISTINCT bg.bench_id) AS bench_docs
+FROM cg JOIN bg USING (gram)
+GROUP BY cg.doc_id
+HAVING count(DISTINCT cg.gram) >= 1
+"""
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts + quality ratio columns."""
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -3348,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
@@ -3442,6 +3486,7 @@ GROUP BY p.admin_code
         "dedup_exact": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "similarity_topk": _SIMILARITY_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,

@@ -274,3 +274,55 @@ def vocab_induction(
     top = counts.orderBy(F.desc("n"), "term").limit(top_n)
     w = Window.orderBy(F.desc("n"), "term")
     return top.select(F.row_number().over(w).alias("rank"), "term", "n")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene
+    pass (GPT-3 appx. C / PaLM / Llama, all public): flag every corpus
+    document that shares at least ``min_overlap`` distinct word
+    ``n``-grams with ANY row of an evaluation ``benchmark`` set, so
+    those docs can be dropped before training and eval numbers stay
+    honest.
+
+    Emits one row per contaminated doc:
+    (doc_id, matched_grams = distinct overlapping n-grams,
+    bench_docs = distinct benchmark rows hit).
+
+    Scale shape: eval sets are KB–MB scale next to a 100 TB corpus, so
+    the benchmark's distinct gram set is BROADCAST and the corpus side
+    is explode → broadcast hash join — the corpus never shuffles; the
+    only Exchange is the per-doc groupBy over *matched* rows, which is
+    tiny (and keyed on doc_id, so skew-free). The corpus explode is
+    per-row work fused into the scan stage by whole-stage codegen.
+    """
+
+    def grams(frame: DataFrame, idc: str, txc: str, alias: str) -> DataFrame:
+        toks = F.split(F.col(txc), " ")
+        g = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return frame.select(
+            F.col(idc).alias(alias), F.explode(g).alias("gram")
+        ).dropDuplicates([alias, "gram"])
+
+    bench_grams = grams(benchmark, bench_id_col, bench_text_col, "bench_id")
+    corpus_grams = grams(docs, id_col, text_col, id_col)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("matched_grams"),
+            F.countDistinct("bench_id").alias("bench_docs"),
+        )
+        .filter(F.col("matched_grams") >= min_overlap)
+    )

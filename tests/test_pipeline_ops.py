@@ -328,6 +328,66 @@ class TestRepetition:
         assert out.loc[2, "top_bigram_frac"] == 0.4
 
 
+class TestDecontaminate:
+    def test_decontaminate_planted(self, spark):
+        """Planted overlap: doc 10 shares one 3-gram with bench doc 0,
+        doc 11 shares 3-grams with BOTH bench docs, doc 12 shares none
+        (and must not appear), doc 13 repeats the same matched gram —
+        matched_grams counts DISTINCT grams."""
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (10, "the quick brown fox sleeps"),
+                    (11, "the quick brown cat and lazy dog barks"),
+                    (12, "entirely different words here"),
+                    (13, "lazy dog barks lazy dog barks"),
+                ],
+                columns=["doc_id", "text"],
+            )
+        )
+        bench = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (0, "the quick brown fox jumps"),
+                    (1, "a lazy dog barks loudly"),
+                ],
+                columns=["doc_id", "text"],
+            )
+        )
+        out = (
+            text.decontaminate(corpus, bench, n=3)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert sorted(out.index) == [10, 11, 13]
+        # doc 10: "the quick brown" + "quick brown fox" hit bench 0
+        assert out.loc[10, "matched_grams"] == 2
+        assert out.loc[10, "bench_docs"] == 1
+        # doc 11: "the quick brown" (bench 0) + "lazy dog barks" (bench 1)
+        assert out.loc[11, "matched_grams"] == 2
+        assert out.loc[11, "bench_docs"] == 2
+        # doc 13: "lazy dog barks" appears twice but is ONE distinct gram
+        assert out.loc[13, "matched_grams"] == 1
+        assert out.loc[13, "bench_docs"] == 1
+
+    def test_decontaminate_min_overlap(self, spark):
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [(10, "the quick brown fox sleeps")],
+                columns=["doc_id", "text"],
+            )
+        )
+        bench = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "the quick brown fox jumps")],
+                columns=["doc_id", "text"],
+            )
+        )
+        hits = text.decontaminate(corpus, bench, n=3, min_overlap=3)
+        assert hits.count() == 0  # only 2 shared grams < 3
+
+
 class TestImageOps:
     @pytest.fixture(scope="class")
     def images(self, spark):
