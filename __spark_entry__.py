@@ -2108,6 +2108,91 @@ FROM c
 """
 
 
+def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget (operators/pack.py::
+    select_under_budget): rank docs by n_chars descending (doc_id
+    tie-break) and keep the maximal prefix whose cumulative tokens fit
+    15,000 — the "spend compute on the best data" pass. Same
+    distributed prefix-sum core as seq_pack; the budget cut is a
+    map-side filter, so the selection is exact-integer and
+    oracle-checkable."""
+    from ksj2gp_spark.operators.pack import select_under_budget
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = d.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    sel = select_under_budget(toks, budget=15_000, num_partitions=8)
+    return sel.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "start_pos",
+    )
+
+
+_SELECT_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY n_chars DESC, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_pos
+FROM c WHERE cum <= 15000
+"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/dedup.py::
+    duplicate_spans, Lee et al. 2022 semantics): maximal token spans
+    whose every 5-token window occurs >= 2 times corpus-wide — the
+    spans a pretraining pipeline cuts out of the text instead of
+    dropping whole documents. Rolling-window inverted index (the
+    distributed stand-in for the paper's suffix array) + per-doc
+    gaps-and-islands merge."""
+    from ksj2gp_spark.operators.dedup import duplicate_spans
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = duplicate_spans(d, k=5)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+_DUP_SPANS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pg AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 5
+),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM pg JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 5 AS BIGINT) AS span_end,
+       CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketed training-batch assignment
     (operators/pack.py::bucket_batches) over a deterministically
@@ -3399,6 +3484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "curate_images": q_curate_images,
         "seq_pack": q_seq_pack,
+        "select_budget": q_select_budget,
+        "duplicate_spans": q_duplicate_spans,
         "batch_pack": q_batch_pack,
         "image_training_batches": q_image_training_batches,
         "phash_incremental": q_phash_incremental,
@@ -3494,6 +3581,8 @@ GROUP BY p.admin_code
         "corpus_curation": _curation_sql(),
         "curate_images": _curate_images_sql(),
         "seq_pack": _SEQ_PACK_SQL,
+        "select_budget": _SELECT_BUDGET_SQL,
+        "duplicate_spans": _DUP_SPANS_SQL,
         "batch_pack": _batch_pack_sql(),
         "image_training_batches": _image_training_batches_sql(),
         "phash_incremental": _phash_incremental_sql(),

@@ -751,3 +751,81 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup — the span-finding half of
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022, public): find every maximal token span whose
+    every length-``k`` window occurs at least ``min_count`` times in
+    the whole corpus (across documents OR repeated inside one), so the
+    spans can be cut out of training text rather than dropping whole
+    docs.
+
+    Emits one row per maximal span:
+    (doc_id, span_start, span_end, span_tokens) with token-index
+    half-open bounds [span_start, span_end).
+
+    Spark-first shape (the reference algorithm is a suffix array —
+    inherently single-machine; the distributed equivalent is a rolling
+    k-token window inverted index):
+
+    1. explode each doc into one (pos, xxhash64(gram)) row per token
+       position — fused into the scan by whole-stage codegen; docs
+       shorter than ``k`` never leave the scan;
+    2. gram frequency via groupBy on the 8-byte hash (map-side
+       combinable partial agg — the only corpus-sized shuffle, and it
+       moves hashes, not text);
+    3. join positions back to the >= min_count grams (shuffle hash
+       join on the same 8-byte key);
+    4. merge adjacent duplicated positions per doc into maximal spans
+       (gaps-and-islands: pos - row_number over a per-doc window; the
+       window partition is one document, so task size is bounded by
+       doc length, never corpus size).
+
+    The 64-bit gram hash admits a ~2^-64-per-pair collision risk in
+    exchange for shuffling 8 bytes instead of k tokens per position —
+    the standard trade at corpus scale.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = (
+        docs.filter(F.size(toks) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(id_col, "pos", F.xxhash64("gram").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

@@ -10,7 +10,13 @@ pipeline, after curation and dedup have decided WHAT to train on:
    10^12-row table sees exactly ONE wide shuffle and no single-task
    global window.
 
-2. :func:`bucket_batches` — aspect-ratio bucketed batch assignment for
+2. :func:`select_under_budget` — greedy data selection under a token
+   budget: rank docs by a quality score and keep the best prefix that
+   fits. Shares the prefix-sum core (:func:`global_prefix_sum`), so
+   "pick the best N tokens out of 100 TB" is one wide shuffle plus a
+   map-side filter.
+
+3. :func:`bucket_batches` — aspect-ratio bucketed batch assignment for
    image training (the diffusion-training "aspect bucketing" shape):
    images are binned portrait/square/landscape by exact integer cross-
    multiplication (no float boundary drift between engines), sharded by
@@ -41,28 +47,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def pack_sequences(
+def global_prefix_sum(
     df: DataFrame,
-    id_col: str = "doc_id",
-    token_col: str = "n_tokens",
-    budget: int = 2048,
+    order_by: list,
+    token_col: str,
     num_partitions: int | None = None,
+    out_col: str = "start_pos",
 ) -> DataFrame:
-    """Concat-and-chunk sequence packing: documents are laid out in
-    ascending ``id_col`` order and the token stream is cut every
-    ``budget`` tokens. Adds:
+    """Exclusive prefix sum of ``token_col`` in the total order given
+    by ``order_by`` (strings or Column expressions, which may carry
+    ``.desc()``). Adds ``out_col`` = sum of ``token_col`` over all rows
+    strictly before this one in that order.
 
-    - ``start_pos`` — the doc's first token's position in the global
-      stream (exclusive prefix sum of ``token_col``),
-    - ``seq_id``  — ``floor(start_pos / budget)``: the training
-      sequence in which the doc starts (docs may span chunks, exactly
-      like the standard concat-and-chunk pretraining layout),
-    - ``seq_off`` — offset of the doc's first token inside that
-      sequence (``start_pos % budget``).
-
-    Distributed prefix sum: range-partition on the id, locally sort,
-    persist (both passes must read ONE materialized partitioning —
-    range boundaries are re-sampled per action otherwise; see the
+    Distributed prefix sum: range-partition on the order keys, locally
+    sort, persist (both passes must read ONE materialized partitioning
+    — range boundaries are re-sampled per action otherwise; see the
     inline note), cumsum inside each partition (vectorized numpy over
     Arrow batches, carry across batches), shifted by the total of the
     partitions before it (one bounded collect: one row per partition,
@@ -70,8 +69,6 @@ def pack_sequences(
     single-task window. The persisted intermediate rides on the result
     as ``._pack_source`` — unpersist it after materializing.
     """
-    if budget <= 0:
-        raise ValueError(f"budget must be positive, got {budget}")
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -79,6 +76,7 @@ def pack_sequences(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     # ONE wide shuffle (the range partition), then a LOCAL sort. A
     # Window.partitionBy(spark_partition_id()) would re-shuffle the
     # whole table a second time (Catalyst can't prove range
@@ -98,8 +96,8 @@ def pack_sequences(
     # consistent even under memory pressure. zipWithIndex makes the
     # same two-pass-over-one-RDD bargain.
     part = (
-        df.repartitionByRange(n, F.col(id_col))
-        .sortWithinPartitions(id_col)
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = (
@@ -114,15 +112,9 @@ def pack_sequences(
         acc += row["__tot"]
 
     out_schema = StructType(
-        list(part.schema.fields)
-        + [
-            StructField("start_pos", LongType()),
-            StructField("seq_id", LongType()),
-            StructField("seq_off", LongType()),
-        ]
+        list(part.schema.fields) + [StructField(out_col, LongType())]
     )
     tok = token_col
-    b = int(budget)
 
     def assign(iterator):
         from pyspark import TaskContext
@@ -132,11 +124,8 @@ def pack_sequences(
         for pdf in iterator:
             toks = pdf[tok].to_numpy().astype(np.int64, copy=False)
             ends = np.cumsum(toks) + run
-            start = ends - toks
             pdf = pdf.copy()
-            pdf["start_pos"] = start
-            pdf["seq_id"] = start // b
-            pdf["seq_off"] = start % b
+            pdf[out_col] = ends - toks
             if len(ends):
                 run = int(ends[-1])
             yield pdf
@@ -145,6 +134,84 @@ def pack_sequences(
     # the persisted intermediate; callers may free it after
     # materializing the result: result._pack_source.unpersist()
     out._pack_source = part
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ascending ``id_col`` order and the token stream is cut every
+    ``budget`` tokens. Adds:
+
+    - ``start_pos`` — the doc's first token's position in the global
+      stream (exclusive prefix sum of ``token_col``),
+    - ``seq_id``  — ``floor(start_pos / budget)``: the training
+      sequence in which the doc starts (docs may span chunks, exactly
+      like the standard concat-and-chunk pretraining layout),
+    - ``seq_off`` — offset of the doc's first token inside that
+      sequence (``start_pos % budget``).
+
+    Rides on :func:`global_prefix_sum` (one wide shuffle, no
+    single-task window); the chunk columns are pure JVM integer
+    expressions over ``start_pos``. The persisted intermediate rides on
+    the result as ``._pack_source`` — unpersist it after materializing.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ps = global_prefix_sum(
+        df, [F.col(id_col)], token_col, num_partitions=num_partitions
+    )
+    b = int(budget)
+    out = ps.select(
+        "*",
+        F.expr(f"start_pos div {b}").alias("seq_id"),
+        F.pmod(F.col("start_pos"), F.lit(b)).cast("long").alias("seq_off"),
+    )
+    out._pack_source = ps._pack_source
+    return out
+
+
+def select_under_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    order_by: list | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Data selection under a token budget — the "spend my compute on
+    the best data" step of a pretraining pipeline (the selection shape
+    of DSIR / quality-filtered corpora, public): rank documents by
+    ``score_col`` descending (ties broken by ``id_col`` ascending) and
+    keep the maximal prefix whose cumulative token count fits
+    ``budget``. A doc is kept iff its whole token span fits:
+    ``start_pos + tokens <= budget``. Because the cumulative sum is
+    monotone along the ranking, the filter IS the greedy prefix — no
+    early-exit scan is needed, so the selection stays fully
+    distributed.
+
+    Adds ``start_pos`` (cumulative tokens of all better-ranked docs).
+    One wide shuffle via :func:`global_prefix_sum`; the budget filter
+    is a map-side JVM comparison. ``order_by`` overrides the ranking
+    expression list entirely when given. The persisted intermediate
+    rides on the result as ``._pack_source``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = order_by or [F.col(score_col).desc(), F.col(id_col).asc()]
+    ps = global_prefix_sum(
+        df, order, token_col, num_partitions=num_partitions
+    )
+    out = ps.filter(
+        F.col("start_pos") + F.col(token_col).cast("long") <= int(budget)
+    )
+    out._pack_source = ps._pack_source
     return out
 
 

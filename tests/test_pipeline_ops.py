@@ -388,6 +388,81 @@ class TestDecontaminate:
         assert hits.count() == 0  # only 2 shared grams < 3
 
 
+class TestDuplicateSpans:
+    def test_duplicate_spans_planted(self, spark):
+        """Two docs share a 7-token run -> with k=5, positions 0..2 of
+        the run are duplicated windows and merge into ONE maximal span
+        of 7 tokens in each doc; a unique doc emits nothing."""
+        shared = "alpha beta gamma delta epsilon zeta eta"
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (1, shared + " unique tail one here now"),
+                    (2, "other start words " + shared),
+                    (3, "completely different text with no overlap at all"),
+                ],
+                columns=["doc_id", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.dedup import duplicate_spans
+
+        out = (
+            duplicate_spans(corpus, k=5)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert sorted(out.index) == [1, 2]
+        # doc 1: run at tokens [0, 7)
+        assert out.loc[1, "span_start"] == 0
+        assert out.loc[1, "span_end"] == 7
+        assert out.loc[1, "span_tokens"] == 7
+        # doc 2: run starts after the 3 prefix tokens -> [3, 10)
+        assert out.loc[2, "span_start"] == 3
+        assert out.loc[2, "span_end"] == 10
+
+    def test_duplicate_spans_within_doc_repeat(self, spark):
+        """A k-gram repeated INSIDE one doc counts (corpus-wide
+        occurrence count, Lee et al. semantics), and two separated
+        duplicated regions stay two spans."""
+        # k=3 gram "x y z" appears twice in the same doc, separated by
+        # unique filler so the two hits cannot merge
+        doc = "x y z a1 b1 c1 d1 x y z"
+        corpus = spark.createDataFrame(
+            pd.DataFrame([(1, doc)], columns=["doc_id", "text"])
+        )
+        from ksj2gp_spark.operators.dedup import duplicate_spans
+
+        out = (
+            duplicate_spans(corpus, k=3)
+            .toPandas()
+            .sort_values("span_start")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 2
+        assert (
+            out.loc[0, "span_start"],
+            out.loc[0, "span_end"],
+        ) == (0, 3)
+        assert (
+            out.loc[1, "span_start"],
+            out.loc[1, "span_end"],
+        ) == (7, 10)
+
+    def test_duplicate_spans_short_docs_skipped(self, spark):
+        """Docs shorter than k tokens produce no windows (and no
+        descending-sequence crash)."""
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "too short"), (2, "also tiny")],
+                columns=["doc_id", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.dedup import duplicate_spans
+
+        assert duplicate_spans(corpus, k=5).count() == 0
+
+
 class TestImageOps:
     @pytest.fixture(scope="class")
     def images(self, spark):
@@ -839,6 +914,87 @@ class TestPacking:
         )
         with pytest.raises(ValueError):
             pack_sequences(df, budget=0)
+
+    def test_select_under_budget_greedy_prefix(self, spark):
+        """Selection = the maximal prefix of (score desc, id asc) whose
+        cumulative tokens fit: the first doc that overflows is dropped
+        AND nothing after it sneaks in, even a doc that would fit."""
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "n_tokens": [40, 50, 30, 5, 100],
+                "score": [9, 8, 7, 6, 5],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        from ksj2gp_spark.operators.pack import select_under_budget
+
+        out = (
+            select_under_budget(df, budget=100, num_partitions=3)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # 40 + 50 = 90 fits; doc 3 (cum 120) overflows; doc 4 (5
+        # tokens) WOULD fit but is after the cut — prefix, not knapsack
+        assert sorted(out.index) == [1, 2]
+        assert out.loc[1, "start_pos"] == 0
+        assert out.loc[2, "start_pos"] == 40
+
+    def test_select_under_budget_ties_and_exact_fit(self, spark):
+        """Score ties break by doc_id ascending; a doc ending exactly
+        at the budget is kept (start_pos + tokens <= budget)."""
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "n_tokens": [60, 40, 1],
+                "score": [5, 5, 5],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        from ksj2gp_spark.operators.pack import select_under_budget
+
+        out = (
+            select_under_budget(df, budget=100, num_partitions=2)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert sorted(out.index) == [10, 11]  # 60+40 == budget exactly
+        assert out.loc[11, "start_pos"] == 60
+
+    def test_select_under_budget_matches_serial(self, spark):
+        """Random corpus: distributed selection equals the serial
+        sort-and-cumsum selection row for row."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        n = 1_500
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(n),
+                "n_tokens": rng.randint(1, 500, size=n),
+                "score": rng.randint(0, 50, size=n),  # many ties
+            }
+        )
+        budget = 60_000
+        ref = pdf.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        cum = ref["n_tokens"].cumsum()
+        want = set(ref.loc[cum <= budget, "doc_id"])
+        df = spark.createDataFrame(pdf)
+        from ksj2gp_spark.operators.pack import select_under_budget
+
+        out = select_under_budget(
+            df, budget=budget, num_partitions=7
+        ).toPandas()
+        assert set(out["doc_id"]) == want
+        # start_pos is the serial exclusive cumsum over the kept prefix
+        got = out.sort_values("start_pos")["n_tokens"].to_numpy()
+        starts = out.sort_values("start_pos")["start_pos"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + got[:-1]).all()
 
     def test_bucket_batches_boundaries_and_sizes(self, spark):
         """Exact-ratio images (w/h == 3/4 or 4/3) are square (strict
