@@ -774,6 +774,37 @@ HAVING count(DISTINCT cg.gram) >= 1
 """
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality gate (operators/text.py::
+    lm_quality): train an add-0.5-smoothed unigram LM on the corpus
+    itself, score every doc by mean negative log-likelihood. Token
+    counting shuffles 8-byte hashed keys (map-side combined); the LM
+    scalars are a two-number driver collect; the score join degrades
+    from broadcast to shuffle as the vocabulary grows."""
+    from ksj2gp_spark.operators.text import lm_quality
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lm_quality(d)
+
+
+_LM_QUALITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+s AS (SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+      FROM c),
+lp AS (
+  SELECT tok, ln((c + 0.5) / (N + 0.5 * V)) AS logp FROM c, s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(logp), 6) AS nll
+FROM tok JOIN lp USING (tok)
+GROUP BY doc_id
+"""
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts + quality ratio columns."""
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -3477,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
+        "lm_quality": q_lm_quality,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
@@ -3574,6 +3606,7 @@ GROUP BY p.admin_code
         "doc_token_stats": _TOKEN_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "lm_quality": _LM_QUALITY_SQL,
         "similarity_topk": _SIMILARITY_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,

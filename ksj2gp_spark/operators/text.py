@@ -326,3 +326,54 @@ def decontaminate(
         )
         .filter(F.col("matched_grams") >= min_overlap)
     )
+
+
+def lm_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-LM perplexity quality filter — the CCNet-style gate
+    (Wenzek et al. 2020, public): train a unigram language model on
+    the corpus itself (add-``alpha`` smoothed), then score every doc
+    by its mean negative log-likelihood. Low-NLL docs look like the
+    corpus; high-NLL docs are noise/garble — the standard
+    perplexity-bucket filter of pretraining pipelines.
+
+    Emits (doc_id, n_tokens, nll) with nll = -avg log p(token),
+    rounded to 6 decimals (FP sum order varies across engines and
+    partial aggregations; 6 dp is far above the 1e-14 accumulation
+    noise).
+
+    Scale shape: token counts are ONE map-side-combinable groupBy on
+    xxhash64(token) (8-byte shuffle keys — the corpus text never
+    shuffles; collisions merge two counts with probability ~2^-64 per
+    vocab pair, and the string-keyed SQL oracle doubles as the
+    collision check). The two LM scalars (total tokens N, vocab size
+    V) are a bounded driver collect — two numbers, never data. The
+    score pass joins tokens to per-token log-probs on the same 8-byte
+    key: AQE broadcasts the vocab when it fits and degrades to a
+    shuffle hash join on a 100 TB-corpus vocabulary; the final per-doc
+    aggregation is keyed on the doc id, so no global hot key exists.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(id_col, F.xxhash64("tok").alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    denom = float(stats["N"]) + alpha * float(stats["V"])
+    logp = counts.select(
+        "t", F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom)).alias("logp")
+    )
+    return (
+        tok.join(logp, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("nll"),
+        )
+    )

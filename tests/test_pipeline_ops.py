@@ -388,6 +388,38 @@ class TestDecontaminate:
         assert hits.count() == 0  # only 2 shared grams < 3
 
 
+class TestLmQuality:
+    def test_lm_quality_hand_computed(self, spark):
+        """3-doc corpus, closed-form unigram LM: 'a' appears 3x, 'b'
+        2x, 'c' 1x (N=6, V=3, alpha=0.5 -> denom 7.5). Doc NLLs equal
+        the hand-computed mean -log p; the all-common doc scores
+        better (lower) than the rare-token doc."""
+        import math
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "a a b"), (2, "a b c")],
+                columns=["doc_id", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.text import lm_quality
+
+        out = (
+            lm_quality(corpus)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        pa = math.log(3.5 / 7.5)
+        pb = math.log(2.5 / 7.5)
+        pc = math.log(1.5 / 7.5)
+        assert out.loc[1, "n_tokens"] == 3
+        assert out.loc[2, "n_tokens"] == 3
+        assert out.loc[1, "nll"] == round(-(2 * pa + pb) / 3, 6)
+        assert out.loc[2, "nll"] == round(-(pa + pb + pc) / 3, 6)
+        assert out.loc[1, "nll"] < out.loc[2, "nll"]
+
+
 class TestDuplicateSpans:
     def test_duplicate_spans_planted(self, spark):
         """Two docs share a 7-token run -> with k=5, positions 0..2 of
