@@ -805,6 +805,136 @@ GROUP BY doc_id
 """
 
 
+_DSIR_TARGETS = ["src0", "src1", "src2"]
+
+
+def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (operators/text.py::dsir_score): two
+    add-0.5-smoothed unigram LMs over a shared union vocabulary —
+    target = sources src0-src2, raw = the rest — and per-doc mean log
+    importance ratio. One 8-byte-key groupBy produces both sides'
+    counts (conditional sums); the corpus text never shuffles."""
+    from ksj2gp_spark.operators.text import dsir_score
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dsir_score(d, _DSIR_TARGETS)
+
+
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0
+          END) AS is_t,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, sum(is_t) AS ct, sum(1 - is_t) AS cr
+      FROM tok GROUP BY tok),
+s AS (SELECT CAST(sum(ct) AS DOUBLE) AS Nt,
+             CAST(sum(cr) AS DOUBLE) AS Nr,
+             CAST(count(*) AS DOUBLE) AS V
+      FROM c),
+lr AS (
+  SELECT tok,
+         ln((ct + 0.5) / (Nt + 0.5 * V))
+           - ln((cr + 0.5) / (Nr + 0.5 * V)) AS lr
+  FROM c, s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lr), 6) AS logratio
+FROM tok JOIN lr USING (tok)
+GROUP BY doc_id
+"""
+
+
+def _mixture_sample_oracle() -> str:
+    from ksj2gp_spark.operators.curate import mixture_sample_sql
+
+    return mixture_sample_sql()
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source-mixture sampling
+    (operators/curate.py::mixture_sample): keep rate per source =
+    min(1, 0.5·q_s/p_s) with q ∝ p^0.5 over token shares; keep
+    decisions are the engine-portable mix_bucket hash, so the oracle
+    reproduces the kept set exactly. Corpus never shuffles — one
+    |sources|-key agg + a broadcast rate table + a map-side filter."""
+    from ksj2gp_spark.operators.curate import mixture_sample
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return mixture_sample(d).select("doc_id", "source")
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets per language:
+    lm_quality NLL + exact type-1 tertile boundaries per lang
+    (integer-rank arithmetic, stats.py::exact_group_quantiles), bucket
+    assignment via a broadcast of the |langs|×2 boundary table."""
+    from ksj2gp_spark.operators.stats import exact_group_quantiles
+    from ksj2gp_spark.operators.text import lm_quality
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    scored = lm_quality(d).join(d.select("doc_id", "lang"), "doc_id")
+    qs = exact_group_quantiles(scored, ["lang"], "nll", [0.333333, 0.666667])
+    b = qs.groupBy("lang").agg(
+        F.min(F.when(F.col("q") == 0.333333, F.col("value"))).alias("q1"),
+        F.min(F.when(F.col("q") == 0.666667, F.col("value"))).alias("q2"),
+    )
+    return scored.join(F.broadcast(b), "lang").select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(F.col("nll") <= F.col("q1"), "head")
+        .when(F.col("nll") <= F.col("q2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+_PPL_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+s AS (SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+      FROM c),
+lp AS (
+  SELECT tok, ln((c + 0.5) / (N + 0.5 * V)) AS logp FROM c, s
+),
+nll AS (
+  SELECT doc_id, round(-avg(logp), 6) AS nll
+  FROM tok JOIN lp USING (tok) GROUP BY doc_id
+),
+sc AS (
+  SELECT d.doc_id, d.lang, n.nll
+  FROM documents d JOIN nll n USING (doc_id)
+),
+rk AS (
+  SELECT lang, nll,
+         row_number() OVER (PARTITION BY lang ORDER BY nll) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM sc
+),
+b AS (
+  SELECT lang,
+         min(CASE WHEN rn = greatest(1, (n * 333333 + 999999)
+                                        // 1000000)
+                  THEN nll END) AS q1,
+         min(CASE WHEN rn = greatest(1, (n * 666667 + 999999)
+                                        // 1000000)
+                  THEN nll END) AS q2
+  FROM rk GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.nll,
+       CASE WHEN sc.nll <= b.q1 THEN 'head'
+            WHEN sc.nll <= b.q2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN b USING (lang)
+"""
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts + quality ratio columns."""
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -3509,6 +3639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "lm_quality": q_lm_quality,
+        "dsir_score": q_dsir_score,
+        "mixture_sample": q_mixture_sample,
+        "ppl_buckets": q_ppl_buckets,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
@@ -3607,6 +3740,9 @@ GROUP BY p.admin_code
         "doc_repetition": _DOC_REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "lm_quality": _LM_QUALITY_SQL,
+        "dsir_score": _DSIR_SQL,
+        "mixture_sample": _mixture_sample_oracle(),
+        "ppl_buckets": _PPL_BUCKETS_SQL,
         "similarity_topk": _SIMILARITY_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,

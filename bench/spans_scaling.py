@@ -51,7 +51,12 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 
 def md5_tok(expr):
-    return F.substring(F.md5(expr.cast("string")), 1, 6)
+    # 16 hex chars = 64-bit tokens: at 100k planted docs the chance
+    # that two docs' run-adjacent tokens collide (which would lengthen
+    # a span past the closed form, observed at 6-char tokens) is
+    # ~1e-9; md5 prefixes of distinct integers otherwise never repeat
+    # a 5-token window.
+    return F.substring(F.md5(expr.cast("string")), 1, 16)
 
 def corpus(n):
     uniq = spark.range(n).select(
@@ -73,8 +78,15 @@ def corpus(n):
     )
     return uniq.unionByName(planted).repartition(cpus * 2)
 
-# warmup (forks workers, JITs the plan) on a small size
-duplicate_spans(corpus(5_000), k=5).count()
+# warmup (forks workers, JITs the plan) on a small size. cache() +
+# count() materializes the generated corpus first: duplicate_spans
+# self-joins its input, and Spark 4's relation dedup trips an internal
+# "key not found: id#N" on a raw range->transform lambda lineage
+# appearing on both sides (engine quirk; real inputs are file scans).
+w = corpus(5_000).cache()
+w.count()
+duplicate_spans(w, k=5).count()
+w.unpersist()
 
 docs = corpus(n).cache()
 n_docs = docs.count()

@@ -401,6 +401,99 @@ def stratified_sample(
     return df.filter(b < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    key: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened source-mixture sampling — the multinomial
+    mixture reweighting of multilingual/multi-source pretraining
+    (Conneau & Lample 2019 style, public): with p_s a source's share
+    of corpus TOKENS, resample to q_s ∝ p_s^alpha (alpha<1 upweights
+    rare sources) under an overall token budget of ``budget_frac`` of
+    the corpus. Per-source keep rate = min(1, budget_frac · q_s/p_s);
+    a rare source hits the rate-1 cap rather than oversampling.
+
+    Keep decisions are the deterministic engine-portable
+    :func:`mix_bucket` hash threshold (rerun-stable, order-independent
+    — not rand()), so an SQL oracle reproduces the kept set exactly
+    via :func:`mix_bucket_sql`.
+
+    Scale shape: the only aggregation is token counts per source —
+    map-side combinable, one shuffle of |sources| keys; the resulting
+    rate table (one row per source) is broadcast and the keep filter
+    is map-side. The corpus itself never shuffles, and there is no
+    per-source window, so a dominant source costs nothing extra.
+    """
+    shares = (
+        df.select(
+            source_col,
+            F.size(F.split(F.col(text_col), " ")).alias("_ntok"),
+        )
+        .groupBy(source_col)
+        .agg(F.sum("_ntok").alias("c"))
+    )
+    total = int(shares.agg(F.sum("c")).collect()[0][0])
+    a = float(alpha)
+    spow = float(
+        shares.agg(
+            F.sum(F.pow(F.col("c") / F.lit(float(total)), F.lit(a)))
+        ).collect()[0][0]
+    )
+    p = F.col("c") / F.lit(float(total))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_frac)) * (F.pow(p, F.lit(a)) / F.lit(spow)) / p,
+    )
+    rates = shares.select(
+        source_col,
+        F.floor(rate * F.lit(_SPLIT_MOD)).cast("long").alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(mix_bucket(key) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+def mixture_sample_sql(
+    source_col: str = "source",
+    key: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """ANSI-SQL twin of :func:`mixture_sample` (same arithmetic shape
+    term for term, same portable hash) returning kept (key, source)."""
+    a = float(alpha)
+    bf = float(budget_frac)
+    return f"""
+WITH cnt AS (
+  SELECT {source_col} AS src,
+         CAST(sum(len(string_split({text_col}, ' '))) AS BIGINT) AS c
+  FROM {table} GROUP BY {source_col}
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt),
+sp AS (SELECT sum(pow(c / total, {a!r})) AS spow FROM cnt, tot),
+r AS (
+  SELECT src,
+         least(1.0,
+               {bf!r} * (pow(c / total, {a!r}) / spow) / (c / total)
+         ) AS rate
+  FROM cnt, tot, sp
+),
+t AS (SELECT src, CAST(floor(rate * {_SPLIT_MOD}) AS BIGINT) AS thresh
+      FROM r)
+SELECT d.{key} AS {key}, d.{source_col} AS {source_col}
+FROM {table} d JOIN t ON d.{source_col} = t.src
+WHERE {mix_bucket_sql("d." + key)} < t.thresh
+"""
+
+
 # Conservative pattern subset: no backreferences/lookaround, so Java
 # regex (Spark) and RE2 (DuckDB) match identically — the parity the
 # oracle depends on.

@@ -377,3 +377,69 @@ def lm_quality(
             F.round(-F.avg("logp"), 6).alias("nll"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    target_sources: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, public): train
+    TWO add-``alpha`` unigram LMs — one on the target domain (docs
+    whose ``source_col`` is in ``target_sources``), one on the rest —
+    and score every doc by its mean per-token log importance ratio
+    log p_target(tok) − log p_raw(tok). High-ratio docs "look like"
+    the target domain; selecting by this score is the standard
+    importance-resampling data-selection step of pretraining
+    pipelines (select with ``pack.select_under_budget`` on the score).
+
+    Emits (id_col, n_tokens, logratio) with logratio rounded to 6
+    decimals (aggregation order noise is ~1e-14). Both LMs share the
+    UNION vocabulary, so a token unseen on one side still gets the
+    smoothed floor probability rather than dropping the doc.
+
+    Scale shape mirrors :func:`lm_quality`: one map-side-combinable
+    groupBy on xxhash64(token) produces BOTH sides' counts in a single
+    shuffle of 8-byte keys (conditional sums — the corpus text never
+    shuffles); the three LM scalars (target tokens, raw tokens, union
+    vocab size) are a bounded driver collect; the score join runs on
+    the same 8-byte key, broadcast while the vocab fits and shuffle
+    beyond; the final per-doc aggregation is keyed on the doc id. The
+    string-keyed SQL oracle doubles as the hash-collision check.
+    """
+    is_t = F.col(source_col).isin(list(target_sources)).cast("long")
+    tok = docs.select(
+        F.col(id_col),
+        is_t.alias("is_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(id_col, "is_t", F.xxhash64("tok").alias("t"))
+    counts = tok.groupBy("t").agg(
+        F.sum("is_t").alias("ct"),
+        F.sum(F.lit(1) - F.col("is_t")).alias("cr"),
+    )
+    stats = counts.agg(
+        F.sum("ct").alias("Nt"),
+        F.sum("cr").alias("Nr"),
+        F.count(F.lit(1)).alias("V"),
+    ).collect()[0]
+    dt = float(stats["Nt"]) + alpha * float(stats["V"])
+    dr = float(stats["Nr"]) + alpha * float(stats["V"])
+    a = F.lit(float(alpha))
+    lr = counts.select(
+        "t",
+        (
+            F.log((F.col("ct") + a) / F.lit(dt))
+            - F.log((F.col("cr") + a) / F.lit(dr))
+        ).alias("lr"),
+    )
+    return (
+        tok.join(lr, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("logratio"),
+        )
+    )

@@ -420,6 +420,124 @@ class TestLmQuality:
         assert out.loc[1, "nll"] < out.loc[2, "nll"]
 
 
+class TestDsirScore:
+    def test_dsir_hand_computed(self, spark):
+        """Two docs, target = 'wiki': counts a(ct=2,cr=1) b(1,0)
+        c(0,1); Nt=3 Nr=2 V=3 -> denom_t=4.5, denom_r=3.5. Per-doc
+        mean log ratios equal the closed form, and the target-looking
+        doc scores HIGHER."""
+        import math
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "wiki", "a a b"), (2, "web", "a c")],
+                columns=["doc_id", "source", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.text import dsir_score
+
+        out = (
+            dsir_score(corpus, ["wiki"])
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        lr_a = math.log(2.5 / 4.5) - math.log(1.5 / 3.5)
+        lr_b = math.log(1.5 / 4.5) - math.log(0.5 / 3.5)
+        lr_c = math.log(0.5 / 4.5) - math.log(1.5 / 3.5)
+        assert out.loc[1, "n_tokens"] == 3
+        assert out.loc[2, "n_tokens"] == 2
+        assert out.loc[1, "logratio"] == round((2 * lr_a + lr_b) / 3, 6)
+        assert out.loc[2, "logratio"] == round((lr_a + lr_c) / 2, 6)
+        assert out.loc[1, "logratio"] > out.loc[2, "logratio"]
+
+
+class TestMixtureSample:
+    def test_mixture_rates_and_kept_set(self, spark):
+        """90 'big' docs + 10 'rare' docs, 10 tokens each: p=(0.9,
+        0.1), alpha=0.5 -> q=(0.75, 0.25); budget 0.5 -> rate_big =
+        0.5*0.75/0.9 = 5/12, rate_rare = min(1, 1.25) = 1 (the cap).
+        The kept set equals a pure-Python replay of the portable hash
+        threshold, and every rare doc survives."""
+        rows = [(i, "big", " ".join(["t"] * 10)) for i in range(90)]
+        rows += [
+            (100 + i, "rare", " ".join(["u"] * 10)) for i in range(10)
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        )
+        from ksj2gp_spark.operators.curate import mixture_sample
+
+        kept = set(
+            r.doc_id
+            for r in mixture_sample(docs).select("doc_id").collect()
+        )
+
+        def bucket(key: int) -> int:
+            m = (1 << 31) - 1
+            return (key % m) * 2654435761 % (1 << 20)
+
+        import math
+
+        p_big, p_rare = 0.9, 0.1
+        spow = math.pow(p_big, 0.5) + math.pow(p_rare, 0.5)
+        t_big = math.floor(
+            min(1.0, 0.5 * (math.pow(p_big, 0.5) / spow) / p_big)
+            * (1 << 20)
+        )
+        expect = {i for i in range(90) if bucket(i) < t_big}
+        expect |= set(range(100, 110))  # rate 1.0: every rare doc
+        assert kept == expect
+        assert 0 < len(kept & set(range(90))) < 90
+
+    def test_mixture_alpha_one_is_plain_budget(self, spark):
+        """alpha=1 makes q == p, so every source keeps exactly the
+        budget fraction threshold."""
+        rows = [(i, "a" if i % 2 else "b", "x y z") for i in range(40)]
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        )
+        from ksj2gp_spark.operators.curate import mixture_sample
+
+        kept = mixture_sample(docs, alpha=1.0, budget_frac=0.25)
+
+        def bucket(key: int) -> int:
+            m = (1 << 31) - 1
+            return (key % m) * 2654435761 % (1 << 20)
+
+        t = int(0.25 * (1 << 20))
+        expect = {i for i in range(40) if bucket(i) < t}
+        assert set(r.doc_id for r in kept.collect()) == expect
+
+
+class TestPplBuckets:
+    def test_ppl_tertile_buckets(self, spark, tmp_path):
+        """9 docs, one lang, nll strictly increasing by planting ever
+        rarer tokens: type-1 tertile ranks at n=9 are 3 and 7, so
+        buckets split 3 head / 4 middle / 2 tail in nll order."""
+        common = "the quick brown fox jumps over lazy dogs daily".split()
+        rows = []
+        for i in range(9):
+            # doc i: 9 common tokens + i copies of its own rare token
+            toks = common + [f"rare{i}"] * (i + 1)
+            rows.append((i, "en", " ".join(toks)))
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+        import __spark_entry__ as e
+
+        out = (
+            e.q_ppl_buckets(spark, str(tmp_path))
+            .toPandas()
+            .sort_values("nll")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 9
+        assert list(out["bucket"]) == (
+            ["head"] * 3 + ["middle"] * 4 + ["tail"] * 2
+        )
+
+
 class TestDuplicateSpans:
     def test_duplicate_spans_planted(self, spark):
         """Two docs share a 7-token run -> with k=5, positions 0..2 of
