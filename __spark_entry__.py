@@ -1015,6 +1015,41 @@ QUALIFY rank <= 5
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py::
+    hard_negatives): top-5 most cosine-similar vectors with a DIFFERENT
+    label per anchor — exact lane as the oracle-able baseline; the
+    use_ivf=True lane is the bounded-list scale path (recall-tested in
+    pytest)."""
+    from ksj2gp_spark.operators.similarity import hard_negatives
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = hard_negatives(e, k=5)
+    return out.select(
+        "vec_id", "rank", "neighbor_id", F.round("sim", 3).alias("sim3")
+    )
+
+
+_HARD_NEGATIVES_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+            * sqrt(list_dot_product(b.vec, b.vec))) AS sim
+  FROM v a CROSS JOIN v b
+  WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT vec_id,
+       CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id,
+       round(sim, 3) AS sim3
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
 def q_rasterize_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector→raster: every grid cell (res 7) over the polygon-layer
     bbox gets the admin code covering its center — the inverse
@@ -3643,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "ppl_buckets": q_ppl_buckets,
         "similarity_topk": q_similarity_topk,
+        "hard_negatives": q_hard_negatives,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
         "sessionize_batch": q_sessionize_batch,
@@ -3744,6 +3780,7 @@ GROUP BY p.admin_code
         "mixture_sample": _mixture_sample_oracle(),
         "ppl_buckets": _PPL_BUCKETS_SQL,
         "similarity_topk": _SIMILARITY_SQL,
+        "hard_negatives": _HARD_NEGATIVES_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "doc_quality": _QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,

@@ -93,6 +93,111 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_rows: int | None = 100_000,
+    use_ivf: bool = False,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, the top-``k`` most cosine-similar vectors with a DIFFERENT
+    ``label_col`` — the negatives that sit closest to the decision
+    boundary, which is what contrastive/triplet losses want.
+
+    Two lanes, same output schema (id, rank, neighbor_id, sim):
+
+    * exact (default): the brute-force pair join with the
+      label-inequality predicate fused into the join filter — the
+      correctness baseline, guarded by ``max_rows`` exactly like
+      :func:`brute_force_topk`.
+    * ``use_ivf=True``: the scale path — IVF list assignment bounds
+      the candidate join per inverted list (O(n·d·k/nlist·nprobe)),
+      and the label predicate prunes candidates BEFORE the top-k
+      window, so a label-skewed corpus (one dominant class) never
+      materializes same-label pairs past the join filter.
+    """
+    if not use_ivf and max_rows is not None:
+        over = df.limit(max_rows + 1).count() > max_rows
+        if over:
+            raise BruteForceScaleError(
+                f"hard_negatives exact lane exceeds max_rows={max_rows}; "
+                "pass use_ivf=True for the bounded-list plan, or "
+                "max_rows=None to force the all-pairs baseline."
+            )
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(label_col).alias("lbl"),
+    )
+    sim = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        F.sqrt(_dot(F.col("a_vec"), F.col("a_vec")))
+        * F.sqrt(_dot(F.col("b_vec"), F.col("b_vec")))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.col("b_id"))
+    if use_ivf:
+        cent = fit_centroids(df, nlist=nlist, id_col=id_col, vec_col=vec_col)
+
+        @pandas_udf("array<int>")
+        def probes(vecs: pd.Series) -> pd.Series:
+            x = np.vstack(vecs.to_numpy()).astype(np.float64)
+            x /= np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            order = np.argsort(-(x @ cent.T), axis=1)[:, :nprobe]
+            return pd.Series(list(order.astype(np.int32)))
+
+        build = assign_lists(base, cent, id_col, "vec").select(
+            F.col(id_col).alias("b_id"),
+            F.col("vec").alias("b_vec"),
+            F.col("lbl").alias("b_lbl"),
+            F.col("list_id"),
+        )
+        probe = base.select(
+            F.col(id_col).alias("a_id"),
+            F.col("vec").alias("a_vec"),
+            F.col("lbl").alias("a_lbl"),
+            F.explode(probes(F.col("vec"))).alias("list_id"),
+        )
+        pairs = probe.join(build, "list_id").filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("a_lbl") != F.col("b_lbl"))
+        )
+        scored = pairs.select(
+            "a_id", "b_id", sim.alias("sim")
+        ).dropDuplicates(["a_id", "b_id"])
+    else:
+        a = base.select(
+            F.col(id_col).alias("a_id"),
+            F.col("vec").alias("a_vec"),
+            F.col("lbl").alias("a_lbl"),
+        )
+        b = base.select(
+            F.col(id_col).alias("b_id"),
+            F.col("vec").alias("b_vec"),
+            F.col("lbl").alias("b_lbl"),
+        )
+        pairs = a.crossJoin(b).filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("a_lbl") != F.col("b_lbl"))
+        )
+        scored = pairs.select("a_id", "b_id", sim.alias("sim"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias(id_col),
+            "rank",
+            F.col("b_id").alias("neighbor_id"),
+            "sim",
+        )
+    )
+
+
 def fit_centroids(
     df: DataFrame,
     nlist: int = 16,

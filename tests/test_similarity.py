@@ -178,3 +178,56 @@ def test_ivf_search_cross_set_exactness_and_index_path(spark, emb):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+class TestHardNegatives:
+    def test_exact_lane_planted(self, spark):
+        """4 vectors, 2 labels: anchors must rank ONLY different-label
+        vectors, ordered by cosine. v0=(1,0) A, v1=(0.9,0.1) A,
+        v2=(1,0.01) B (nearly parallel to v0), v3=(0,1) B. v0's
+        negatives are v2 (sim~1) then v3 (sim 0) — v1 (same label)
+        never appears."""
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [1.0, 0.01], 1),
+            (3, [0.0, 1.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>, label int"
+        )
+        out = similarity.hard_negatives(df, k=2).toPandas()
+        v0 = out[out.vec_id == 0].sort_values("rank")
+        assert list(v0.neighbor_id) == [2, 3]
+        # same-label pairs are never emitted
+        merged = out.merge(
+            pd.DataFrame(rows, columns=["vec_id", "e", "label"])[
+                ["vec_id", "label"]
+            ],
+            on="vec_id",
+        ).merge(
+            pd.DataFrame(rows, columns=["neighbor_id", "e", "nlabel"])[
+                ["neighbor_id", "nlabel"]
+            ],
+            on="neighbor_id",
+        )
+        assert (merged.label != merged.nlabel).all()
+
+    def test_ivf_lane_recall_and_label_purity(self, spark, emb):
+        exact = similarity.hard_negatives(emb, k=5).cache()
+        approx = similarity.hard_negatives(
+            emb, k=5, use_ivf=True, nlist=8, nprobe=8
+        )
+        # full probe == exact (every list searched, label filter equal)
+        assert similarity.recall_at_k(exact, approx) == 1.0
+        r4 = similarity.recall_at_k(
+            exact,
+            similarity.hard_negatives(
+                emb, k=5, use_ivf=True, nlist=8, nprobe=4
+            ),
+        )
+        assert r4 >= 0.7, f"recall@nprobe4 {r4}"
+
+    def test_exact_guard_trips(self, spark, emb):
+        with pytest.raises(similarity.BruteForceScaleError, match="use_ivf"):
+            similarity.hard_negatives(emb, k=5, max_rows=10)
