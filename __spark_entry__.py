@@ -2389,6 +2389,188 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level corpus dedup (operators/dedup.py::
+    line_dedup, Wenzek et al. 2020 semantics): every occurrence of a
+    line appearing >= 2 times corpus-wide is removed and documents are
+    rebuilt from surviving lines in order. The test corpus has no line
+    structure, so the query first derives it deterministically —
+    2-word chunks joined with newlines (the small chunk width makes
+    corpus-wide duplicate lines common at sf0.01, so the contract
+    exercises both drop and keep paths)."""
+    from ksj2gp_spark.operators.dedup import line_dedup
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i * F.lit(2) + F.lit(1), 2)),
+    )
+    structured = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return line_dedup(structured, min_count=2)
+
+
+_LINE_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(ws) / 2.0) AS INT) - 1),
+           i -> array_to_string(ws[i * 2 + 1 : i * 2 + 2], ' ')
+         ) AS lines
+  FROM w
+),
+l AS (
+  SELECT doc_id, i - 1 AS pos, lines[i] AS line
+  FROM d, UNNEST(generate_series(1, len(lines))) AS t(i)
+),
+dup AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 2),
+tag AS (
+  SELECT l.doc_id, l.pos, l.line, dup.line IS NOT NULL AS is_dup
+  FROM l LEFT JOIN dup ON l.line = dup.line
+)
+SELECT doc_id,
+       coalesce(
+         string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos),
+         ''
+       ) AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM tag GROUP BY doc_id
+"""
+
+
+# Weights and bias are multiples of 0.25 on purpose: dyadic rationals
+# of this magnitude sum EXACTLY in binary FP, so the per-doc logit is
+# bit-identical across engines regardless of aggregation order and the
+# keep decision can never straddle an FP tie.
+_CLS_LEXICON = {
+    "spark": 1.5,
+    "fast": 1.0,
+    "query": 0.75,
+    "window": 0.5,
+    "join": 0.5,
+    "slow": -1.25,
+    "a": -0.75,
+    "the": -0.5,
+}
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality gate (operators/text.py::
+    classifier_score, Joulin et al. 2017 shape): sigmoid(bias + mean
+    lexicon weight) per document against a planted 8-word lexicon,
+    keep = score > 0.5. OOV tokens weigh 0 but count in the mean."""
+    from ksj2gp_spark.operators.text import classifier_score
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return classifier_score(d, _CLS_LEXICON, bias=-0.25, threshold=0.5)
+
+
+_CLASSIFIER_SQL = """
+WITH lex(tok, w) AS (
+  VALUES ('spark', 1.5), ('fast', 1.0), ('query', 0.75), ('window', 0.5),
+         ('join', 0.5), ('slow', -1.25), ('a', -0.75), ('the', -0.5)
+),
+t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+j AS (
+  SELECT doc_id, coalesce(lex.w, 0.0) AS w
+  FROM t LEFT JOIN lex ON t.tok = lex.tok
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         -0.25 + sum(w) / count(*) AS logit
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+       1.0 / (1.0 + exp(-logit)) > 0.5 AS keep
+FROM s
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semdedup, Abbas et al. 2023):
+    k-means cluster the planted 8-cluster vectors (same fixture and
+    Lloyd trajectory as kmeans_clusters), then within each cluster
+    drop every vector with a lower-id cluster-mate at cosine >=
+    0.9965 (threshold sits 5e-4 from the nearest planted similarity,
+    so the keep/drop set is FP-robust). 51 kept / 149 dropped."""
+    from ksj2gp_spark.operators.similarity import semdedup
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    planted = e.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.when(i == F.col("vec_id") % 8, F.lit(1.0)).otherwise(F.lit(0.0))
+                + ((F.col("vec_id") * 31 + i * 17) % 7 - 3).cast("double") * 0.01
+            ),
+        ).alias("embedding"),
+    )
+    return semdedup(planted, k=8, dim=16, threshold=0.9965)
+
+
+def _semdedup_sql() -> str:
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, 16), "
+            f"j -> ({v}.vec[j] - {c}.vec[j]) * ({v}.vec[j] - {c}.vec[j])))"
+        )
+
+    return f"""
+WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 200),
+v AS (
+  SELECT vec_id,
+         list_transform(
+           generate_series(0, 15),
+           i -> (CASE WHEN i = vec_id % 8 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+                + CAST((vec_id * 31 + i * 17) % 7 - 3 AS DOUBLE) * 0.01
+         ) AS vec
+  FROM ids
+),
+c0 AS (SELECT vec_id AS cl, vec FROM v WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, v.vec, c.cl, {dist("v", "c")} AS d
+  FROM v CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, vec, cl AS cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+),
+c1 AS (
+  SELECT cluster AS cl, list(m ORDER BY j) AS vec FROM (
+    SELECT a1.cluster, t.j, AVG(a1.vec[t.j]) AS m
+    FROM a1, generate_series(1, 16) t(j)
+    GROUP BY a1.cluster, t.j
+  ) GROUP BY cluster
+),
+d2 AS (
+  SELECT v.vec_id, v.vec, c.cl, {dist("v", "c")} AS d
+  FROM v CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, vec, cl AS cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.vec, b.vec)
+        / (sqrt(list_dot_product(a.vec, a.vec))
+         * sqrt(list_dot_product(b.vec, b.vec))) >= 0.9965
+)
+SELECT a2.vec_id, CAST(a2.cluster AS INT) AS cluster,
+       dropped.vec_id IS NULL AS kept
+FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id
+"""
+
+
 def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketed training-batch assignment
     (operators/pack.py::bucket_batches) over a deterministically
@@ -3725,6 +3907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "dissolve_pref": q_dissolve_pref,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "line_dedup": q_line_dedup,
+        "classifier_score": q_classifier_score,
         "scrub_pii": q_scrub_pii,
     }
 
@@ -3832,5 +4017,8 @@ GROUP BY p.admin_code
         "event_funnel": _FUNNEL_SQL,
         "dissolve_pref": _dissolve_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
+        "line_dedup": _LINE_DEDUP_SQL,
+        "classifier_score": _CLASSIFIER_SQL,
         "scrub_pii": _scrub_sql(),
     }

@@ -829,3 +829,72 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level corpus dedup — the CCNet paragraph-dedup stage
+    (Wenzek et al. 2020, public): hash every line of every document,
+    count occurrences corpus-wide, and remove EVERY occurrence of any
+    line that appears at least ``min_count`` times (boilerplate —
+    navigation chrome, cookie banners, license footers — appears
+    thousands of times; dropping all copies is what CCNet does, and
+    unlike keep-first it is order-free, hence deterministic under any
+    partitioning). Documents are reassembled from their surviving
+    lines in original order; a doc whose every line was boilerplate
+    survives with empty text so downstream length gates can drop it
+    auditable-y rather than it vanishing silently.
+
+    Emits (id_col, text, n_lines, n_dropped) — text is the rebuilt
+    document, n_lines the original line count.
+
+    Scale shape: lines explode fused into the scan; the line-frequency
+    groupBy runs on xxhash64(line) — the ONE corpus-sized exchange
+    moves 8-byte keys after map-side partial aggregation, never text.
+    The duplicated-line set (count >= min_count) joins back on the
+    same 8-byte key — AQE broadcasts it while it fits and degrades to
+    a shuffle hash join on a boilerplate-heavy 100 TB corpus. The
+    rebuild groupBy keys on the doc id (no global hot key; task memory
+    is bounded by document length). The 64-bit hash admits a
+    ~2^-64-per-pair collision risk in exchange for shuffling 8 bytes
+    per line; a string-keyed SQL oracle doubles as the collision
+    check.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("h", F.xxhash64("line"))
+    dup = (
+        lines.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    tagged = lines.join(dup, "h", "left")
+    kept_struct = F.when(
+        F.col("is_dup").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("is_dup").isNotNull().cast("long")).alias("n_dropped"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(kept_struct), lambda s: s.isNotNull()
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+        )
+        .select(id_col, "text", "n_lines", "n_dropped")
+    )

@@ -479,3 +479,71 @@ def kmeans_lloyd(
         }
         cents = [by_cl.get(i, cents[i]) for i in range(k)]
     return assigned.select(id_col, "cluster")
+
+
+def semdedup(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    threshold: float = 0.98,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_ids: list[int] | None = None,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embeddings, then within each cluster drop
+    every vector that has a LOWER-id cluster-mate with cosine
+    similarity >= ``threshold``. The paper keeps one arbitrary member
+    per semantic-duplicate group; keep-min-id is the deterministic
+    instance of that choice (and the drop rule is evaluated against
+    ALL lower-id mates, so it is order-free under any partitioning —
+    b drops because of a even when a itself drops because of an
+    earlier-still c).
+
+    Emits (id_col, cluster, kept) for every input vector.
+
+    Scale shape — the whole point of SemDeDup is that clustering makes
+    near-dup search tractable: the pair join is an equi-join on
+    cluster id, so candidates are sum-of-squares over cluster sizes
+    (~n^2/k), never corpus^2. At 100 TB, k scales with the corpus
+    (n / target cluster size), the per-cluster join parallelizes
+    across clusters, and an oversized hot cluster is exactly the
+    skewed-join case AQE's skew handling splits. The cosine kernel is
+    zip_with/aggregate — JVM expressions inside the join, no UDF;
+    :func:`kmeans_lloyd` supplies assignments with one k-row
+    aggregate per iteration (the vector table never moves).
+    """
+    assign = kmeans_lloyd(
+        df, k=k, dim=dim, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, init_ids=init_ids,
+    )
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("vec")).join(
+        assign, id_col
+    )
+    a = vecs.select(
+        F.col(id_col).alias("a_id"), F.col("vec").alias("a_vec"), "cluster"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("b_id"), F.col("vec").alias("b_vec"), "cluster"
+    )
+    sim = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        F.sqrt(_dot(F.col("a_vec"), F.col("a_vec")))
+        * F.sqrt(_dot(F.col("b_vec"), F.col("b_vec")))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        vecs.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dropped").isNull().alias("kept"),
+        )
+    )

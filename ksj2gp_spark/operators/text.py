@@ -443,3 +443,57 @@ def dsir_score(
             F.round(F.avg("lr"), 6).alias("logratio"),
         )
     )
+
+
+def classifier_score(
+    docs: DataFrame,
+    lexicon: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2017,
+    public; the shape of the distilled "looks like Wikipedia/books"
+    gates pretraining pipelines ship): score every doc as
+    sigmoid(bias + mean token weight) against a fixed word→weight
+    ``lexicon`` (out-of-vocabulary tokens weigh 0 but still count in
+    the mean — a doc can't game the gate by padding with junk), and
+    keep docs whose score clears ``threshold``.
+
+    Emits (id_col, n_tokens, score, keep) with score rounded to 6
+    decimals (FP sum-order noise ~1e-15; threshold comparisons use the
+    unrounded value, so pick thresholds away from representable score
+    ties).
+
+    Scale shape: the lexicon is a driver-side constant (a distilled
+    linear model ships as thousands of rows, not data) broadcast into
+    the token join — the corpus text never shuffles; tokenization
+    fuses into the scan, the only wide exchange is the per-doc
+    aggregation keyed on the doc id. All arithmetic is JVM expressions
+    (whole-stage codegen), no UDF.
+    """
+    spark = docs.sparkSession
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(lexicon.items())],
+            schema="tok string, w double",
+        )
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    logit = F.lit(float(bias)) + F.sum(F.coalesce(F.col("w"), F.lit(0.0))) / F.count(
+        F.lit(1)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        tok.join(lex, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(score, 6).alias("score"),
+            (score > F.lit(float(threshold))).alias("keep"),
+        )
+    )

@@ -1337,3 +1337,101 @@ class TestMixBucketRobustness:
         }
         assert got == want
         assert all(0 <= b < 2**20 for b in got.values())
+
+
+class TestLineDedup:
+    def test_line_dedup_planted(self, spark):
+        """Lines duplicated corpus-wide (including within one doc) are
+        removed in EVERY occurrence; docs rebuild from surviving lines
+        in order; an all-boilerplate doc survives with empty text."""
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (1, "keep me\nshared one\nshared two"),
+                    (2, "shared one\nonly here"),
+                    (3, "shared two\nshared two"),
+                ],
+                columns=["doc_id", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.dedup import line_dedup
+
+        rows = {
+            r["doc_id"]: r
+            for r in line_dedup(corpus, min_count=2).collect()
+        }
+        assert rows[1]["text"] == "keep me"
+        assert (rows[1]["n_lines"], rows[1]["n_dropped"]) == (3, 2)
+        assert rows[2]["text"] == "only here"
+        assert (rows[2]["n_lines"], rows[2]["n_dropped"]) == (2, 1)
+        assert rows[3]["text"] == ""
+        assert (rows[3]["n_lines"], rows[3]["n_dropped"]) == (2, 2)
+
+    def test_line_dedup_order_preserved(self, spark):
+        """Surviving lines keep ORIGINAL order even when the dropped
+        lines interleave them (the array_sort key is the position)."""
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (1, "z last\ndup\na first\ndup\nm middle"),
+                    (2, "dup"),
+                ],
+                columns=["doc_id", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.dedup import line_dedup
+
+        rows = {
+            r["doc_id"]: r
+            for r in line_dedup(corpus, min_count=2).collect()
+        }
+        assert rows[1]["text"] == "z last\na first\nm middle"
+        assert rows[1]["n_dropped"] == 2
+
+
+class TestClassifierScore:
+    def test_planted_lexicon_scores(self, spark):
+        """sigmoid(bias + mean weight) with OOV tokens weighing 0 but
+        counting in the mean; keep is a strict > threshold."""
+        import math
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (1, "good good noise"),
+                    (2, "bad noise noise noise"),
+                    (3, "noise other"),
+                ],
+                columns=["doc_id", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.text import classifier_score
+
+        rows = {
+            r["doc_id"]: r
+            for r in classifier_score(
+                corpus, {"good": 1.0, "bad": -1.0}, bias=0.0, threshold=0.5
+            ).collect()
+        }
+        sig = lambda x: 1.0 / (1.0 + math.exp(-x))  # noqa: E731
+        assert rows[1]["n_tokens"] == 3
+        assert abs(rows[1]["score"] - round(sig(2.0 / 3.0), 6)) < 1e-9
+        assert rows[1]["keep"] is True
+        assert abs(rows[2]["score"] - round(sig(-0.25), 6)) < 1e-9
+        assert rows[2]["keep"] is False
+        # all-OOV doc sits exactly at sigmoid(0)=0.5: strict > drops it
+        assert rows[3]["score"] == 0.5
+        assert rows[3]["keep"] is False
+
+    def test_no_python_udf_in_plan(self, spark):
+        """The classifier is JVM expressions end-to-end — no
+        BatchEvalPython/ArrowEvalPython node may appear."""
+        corpus = spark.createDataFrame(
+            pd.DataFrame([(1, "good")], columns=["doc_id", "text"])
+        )
+        from ksj2gp_spark.operators.text import classifier_score
+
+        plan = classifier_score(
+            corpus, {"good": 1.0}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan

@@ -231,3 +231,66 @@ class TestHardNegatives:
     def test_exact_guard_trips(self, spark, emb):
         with pytest.raises(similarity.BruteForceScaleError, match="use_ivf"):
             similarity.hard_negatives(emb, k=5, max_rows=10)
+
+
+class TestSemDedup:
+    def test_planted_clusters_keep_min_id(self, spark):
+        """Exact/near duplicates inside a cluster drop in favor of the
+        lowest id; members below the threshold survive; cluster labels
+        follow the seed order (n_iter=1 pins assignment to the seeds)."""
+        import pandas as pd
+
+        vecs = pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3, 4, 5],
+                "embedding": [
+                    [1.0, 0.0, 0.0, 0.0],   # seed cluster 0
+                    [0.0, 1.0, 0.0, 0.0],   # seed cluster 1
+                    [1.0, 0.0, 0.0, 0.0],   # exact dup of 0 -> dropped
+                    [0.0, 1.0, 0.01, 0.0],  # near dup of 1 -> dropped
+                    [0.9, 0.1, 0.0, 0.0],   # cluster 0, cos~0.9939 < tau
+                    [0.1, 0.9, 0.0, 0.0],   # cluster 1, cos~0.9939 < tau
+                ],
+            }
+        )
+        from ksj2gp_spark.operators.similarity import semdedup
+
+        out = {
+            r["vec_id"]: r
+            for r in semdedup(
+                spark.createDataFrame(vecs), k=2, dim=4,
+                threshold=0.999, n_iter=1,
+            ).collect()
+        }
+        assert {v: out[v]["cluster"] for v in out} == {
+            0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1,
+        }
+        assert {v for v in out if out[v]["kept"]} == {0, 1, 4, 5}
+
+    def test_drop_rule_is_order_free(self, spark):
+        """b drops because of a even when a itself drops because of an
+        earlier c: a chain c<a<b of pairwise near-dups keeps ONLY c."""
+        import pandas as pd
+
+        vecs = pd.DataFrame(
+            {
+                "vec_id": [0, 1, 10, 11, 12],
+                "embedding": [
+                    [1.0, 0.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0, 0.0],
+                    [1.0, 0.001, 0.0, 0.0],
+                    [1.0, 0.002, 0.0, 0.0],
+                    [1.0, 0.003, 0.0, 0.0],
+                ],
+            }
+        )
+        from ksj2gp_spark.operators.similarity import semdedup
+
+        out = {
+            r["vec_id"]: r["kept"]
+            for r in semdedup(
+                spark.createDataFrame(vecs), k=2, dim=4,
+                threshold=0.999, n_iter=1,
+            ).collect()
+        }
+        assert out == {0: True, 1: True, 10: False, 11: False, 12: False}
