@@ -2571,6 +2571,161 @@ FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id
 """
 
 
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation (operators/spatial.py::
+    idw_interpolate, Shepard 1968): 3,000 deterministic target points
+    get the p=2 IDW of station values (stations = the customer-derived
+    image anchors, value = c_custkey % 97) within a 0.05-degree radius.
+    The Spark side prunes via the 3x3 cell-neighborhood equi-join (cell
+    edge >= radius guarantees exactness); the oracle is the brute-force
+    cross join — so the hash match also PROVES the prune loses no
+    station."""
+    from ksj2gp_spark.operators.spatial import idw_interpolate
+
+    stations = _images_from_customer(spark, sf_dir).select(
+        F.col("image_id").alias("station_id"),
+        "lon",
+        "lat",
+        (F.substring("image_id", 4, 8).cast("long") % 97)
+        .cast("double")
+        .alias("value"),
+    )
+    k = F.col("id")
+    t_lon = F.lit(139.0) + (
+        ((k * F.lit(53) + F.lit(11)) * F.lit(_MIX) % F.lit(_MOD))
+        / F.lit(float(_MOD))
+    ) * F.lit(2.0)
+    t_lat = F.lit(35.0) + (
+        ((k * F.lit(29) + F.lit(3)) * F.lit(_MIX) % F.lit(_MOD))
+        / F.lit(float(_MOD))
+    ) * F.lit(2.0)
+    targets = spark.range(3000).select(
+        k.alias("target_id"), t_lon.alias("lon"), t_lat.alias("lat")
+    )
+    return idw_interpolate(targets, stations, radius=0.05)
+
+
+_IDW_SQL = f"""
+WITH {_IMAGES_CTE.strip().rstrip()},
+stations AS (
+  SELECT lon, lat,
+         CAST(CAST(substring(image_id, 4, 8) AS BIGINT) % 97 AS DOUBLE) AS v
+  FROM images
+),
+targets AS (
+  SELECT i AS target_id,
+         139.0 + ((i * 53 + 11) * {_MIX} % {_MOD}) / {float(_MOD)} * 2.0 AS lon,
+         35.0 + ((i * 29 + 3) * {_MIX} % {_MOD}) / {float(_MOD)} * 2.0 AS lat
+  FROM range(0, 3000) t(i)
+),
+cand AS (
+  SELECT t.target_id, s.v,
+         (t.lon - s.lon) * (t.lon - s.lon)
+         + (t.lat - s.lat) * (t.lat - s.lat) AS d2
+  FROM targets t CROSS JOIN stations s
+  WHERE (t.lon - s.lon) * (t.lon - s.lon)
+        + (t.lat - s.lat) * (t.lat - s.lat) <= 0.05 * 0.05
+)
+SELECT target_id, count(*) AS n_stations,
+       round(sum(v / greatest(d2, 1e-18)) / sum(1.0 / greatest(d2, 1e-18)), 6)
+         AS idw_value
+FROM cand GROUP BY target_id HAVING count(*) >= 1
+"""
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3x3 Moore neighborhood) mean over the sparse tile raster
+    (operators/spatial.py::focal_mean, map-algebra smoothing): per-cell
+    image counts from the tile-assignment lane, smoothed over existing
+    neighbor cells. The oracle decodes the packed res/i/j cell id with
+    the same integer arithmetic and replays the scatter-gather."""
+    from ksj2gp_spark.operators.spatial import focal_mean
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return focal_mean(cells, res=GRID_RES)
+
+
+_FOCAL_SQL = f"""
+WITH tiles AS ({_TILES_SQL.strip()}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+decoded AS (
+  SELECT cell, v,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x) AS cell,
+         v
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+),
+agg AS (
+  SELECT cell, count(*) AS n_neighbors, round(avg(v), 6) AS focal_mean
+  FROM scattered GROUP BY cell
+)
+SELECT agg.cell, agg.n_neighbors, agg.focal_mean
+FROM agg JOIN (SELECT DISTINCT cell FROM cells) c ON agg.cell = c.cell
+"""
+
+
+def q_dihedral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation/mirror-invariant image near-dup (operators/images.py::
+    dihedral_phash): 600 real codec images plus one dihedral variant
+    each (orientation = id % 8, PNG re-encode so variant pixels are
+    exact permutations); the canonical min-of-8 hash must match the
+    base for EVERY variant, so per-orientation match counts are exact
+    integers the oracle computes from id arithmetic — a single
+    non-invariant hash breaks the count."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators.images import dihedral_phash, dihedral_variants
+
+    base = fixtures.images_df(spark, 600, with_bytes=True)
+    hashes = dihedral_phash(
+        base.unionByName(dihedral_variants(base))
+    )
+    b = hashes.filter(~F.col("image_id").endswith("r")).select(
+        F.col("image_id").alias("base_id"),
+        F.col("dihedral_phash").alias("base_hash"),
+    )
+    v = hashes.filter(F.col("image_id").endswith("r")).select(
+        F.expr("substring(image_id, 1, length(image_id) - 1)").alias(
+            "base_id"
+        ),
+        F.col("dihedral_phash").alias("var_hash"),
+    )
+    return (
+        b.join(v, "base_id")
+        .groupBy(
+            (F.substring("base_id", 4, 8).cast("long") % 8)
+            .cast("int")
+            .alias("orientation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("base_hash") == F.col("var_hash")).cast("long")).alias(
+                "n_match"
+            ),
+        )
+    )
+
+
+_DIHEDRAL_SQL = """
+SELECT CAST(i % 8 AS INT) AS orientation,
+       count(*) AS n_pairs,
+       count(*) AS n_match
+FROM range(0, 600) t(i)
+GROUP BY i % 8
+"""
+
+
 def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketed training-batch assignment
     (operators/pack.py::bucket_batches) over a deterministically
@@ -3910,6 +4065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "line_dedup": q_line_dedup,
         "classifier_score": q_classifier_score,
+        "idw_interpolate": q_idw_interpolate,
+        "focal_mean": q_focal_mean,
+        "dihedral_dedup": q_dihedral_dedup,
         "scrub_pii": q_scrub_pii,
     }
 
@@ -4020,5 +4178,8 @@ GROUP BY p.admin_code
         "semdedup": _semdedup_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
         "classifier_score": _CLASSIFIER_SQL,
+        "idw_interpolate": _IDW_SQL,
+        "focal_mean": _FOCAL_SQL,
+        "dihedral_dedup": _DIHEDRAL_SQL,
         "scrub_pii": _scrub_sql(),
     }

@@ -345,3 +345,88 @@ def extract_patches(df: DataFrame, patch: int = 4) -> DataFrame:
             "sum_r long, sum_g long, sum_b long"
         ),
     )
+
+
+def dihedral_orientations(arr: np.ndarray) -> list[np.ndarray]:
+    """The 8 elements of the dihedral group D4 as EXACT array
+    permutations (np.rot90/flipud move pixels, never resample), in a
+    fixed enumeration order: rot0..rot270, then flipud followed by
+    rot0..rot270."""
+    outs = [np.rot90(arr, k) for k in range(4)]
+    f = np.flipud(arr)
+    outs += [np.rot90(f, k) for k in range(4)]
+    return outs
+
+
+def dihedral_phash(df: DataFrame) -> DataFrame:
+    """Rotation/mirror-invariant perceptual hash: decode each image and
+    take the minimum (as uint64) of the 8 dihedral-orientation phashes.
+    Because the operator enumerates ALL of D4 from the decoded pixels,
+    a rotated or mirrored copy produces the IDENTICAL hash set — the
+    orientations are exact pixel permutations, so FP details inside the
+    hash cannot break the invariance — and therefore the identical
+    canonical min. Near-dup search then composes with phash_near_dups
+    on the canonical column (banded Hamming LSH, no all-pairs).
+
+    Emits (image_id, dihedral_phash, decode_error) — decode failures
+    land in the error lane, never throw."""
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"],
+                "dihedral_phash": np.zeros(n, dtype=np.int64),
+                "decode_error": np.array([None] * n, dtype=object),
+            }
+            for k, (buf, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                try:
+                    arr = imagecodec.decode_image(buf, fmt)
+                except Exception as e:  # quarantine lane
+                    out["decode_error"][k] = f"{type(e).__name__}: {e}"
+                    continue
+                best = min(
+                    imagecodec.phash64(o) & 0xFFFFFFFFFFFFFFFF
+                    for o in dihedral_orientations(arr)
+                )
+                out["dihedral_phash"][k] = np.uint64(best).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema="image_id string, dihedral_phash long, decode_error string",
+    )
+
+
+def dihedral_variants(df: DataFrame, suffix: str = "r") -> DataFrame:
+    """Test/contract scaffolding: re-emit every image transformed by
+    dihedral orientation (numeric image id % 8), re-encoded as PNG
+    (lossless, so variant pixels are EXACT permutations of the decoded
+    base — the precondition for hash-set equality). Returns the same
+    schema with image_id suffixed."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = dict(pdf)
+            blobs, fmts, ws, hs = [], [], [], []
+            for iid, buf, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                arr = imagecodec.decode_image(buf, fmt)
+                o = int(str(iid)[3:]) % 8
+                g = dihedral_orientations(arr)[o]
+                blobs.append(imagecodec.encode_image(g, "png"))
+                fmts.append("png")
+                hs.append(g.shape[0])
+                ws.append(g.shape[1])
+            rows["bytes"] = blobs
+            rows["fmt"] = fmts
+            # odd rotations transpose the frame: keep metadata honest
+            if "w" in rows:
+                rows["w"] = ws
+            if "h" in rows:
+                rows["h"] = hs
+            rows["image_id"] = pdf["image_id"] + suffix
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=df.schema)

@@ -1313,3 +1313,173 @@ def polygon_overlay_join(
         run,
         schema=f"{left_id} string, {right_id_out} string, {area_col} double",
     )
+
+
+def idw_interpolate(
+    targets: DataFrame,
+    stations: DataFrame,
+    radius: float,
+    power: float = 2.0,
+    min_stations: int = 1,
+    res: int | None = None,
+    target_id: str = "target_id",
+    station_id: str = "station_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str = "value",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation (Shepard 1968, public):
+    every target gets sum(v_i/d_i^p)/sum(1/d_i^p) over the stations
+    within ``radius`` (planar degrees); targets with fewer than
+    ``min_stations`` in range are dropped (the auditable no-coverage
+    lane). Emits (target_id, n_stations, idw_value), idw_value rounded
+    to 6 decimals (weight-sum order noise ~1e-15).
+
+    Fully relational — zero Python in the plan:
+
+    1. pick the finest grid resolution whose cell edge >= radius, so
+       a station within ``radius`` of a target is ALWAYS in the
+       target's 3x3 cell neighborhood (exactness guarantee of the
+       prune);
+    2. stations explode into their 9 neighbor cells (9x blowup on the
+       SMALL side — the station layer; the target side, the big one at
+       100 TB, gets one cell id in codegen and never duplicates);
+    3. one equi-join on the packed cell key + the exact d^2 <= r^2
+       refine (no sqrt needed), then a per-target aggregation — keyed
+       on the target id, so no global hot key. A station-dense cell is
+       the ordinary AQE skew-join case.
+
+    ``power=2`` (the default and the common choice) needs no libm at
+    all: w = 1/max(d^2, eps) — pure +,*,/ so the weights are
+    bit-identical across engines; other powers use pow(d^2, p/2).
+    ``eps`` floors exact hits (d=0): a station closer than ~1e-9 deg
+    (~0.1 mm) dominates the sum, the documented behavior.
+    """
+    import math
+
+    if res is None:
+        res = int(math.floor(math.log2(360.0 / radius)))
+    res = max(0, min(res, 28))
+    size = 360.0 / (1 << res)
+    if size < radius:
+        raise ValueError(
+            f"grid res {res} has cell edge {size} < radius {radius}: "
+            "the 3x3 prune would miss in-range stations"
+        )
+
+    def ij(lon, lat):
+        i = F.floor((lon + F.lit(180.0)) / F.lit(size)).cast("long")
+        j = F.floor((lat + F.lit(90.0)) / F.lit(size)).cast("long")
+        return i, j
+
+    ti, tj = ij(F.col(lon_col), F.col(lat_col))
+    t = targets.select(
+        F.col(target_id),
+        F.col(lon_col).alias("t_lon"),
+        F.col(lat_col).alias("t_lat"),
+        (ti * F.lit(1 << 31) + tj).alias("_cell"),
+    )
+    si, sj = ij(F.col(lon_col), F.col(lat_col))
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    s = stations.select(
+        F.col(station_id),
+        F.col(lon_col).alias("s_lon"),
+        F.col(lat_col).alias("s_lat"),
+        F.col(value_col).alias("_v"),
+        si.alias("_si"),
+        sj.alias("_sj"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        station_id,
+        "s_lon",
+        "s_lat",
+        "_v",
+        (
+            (F.col("_si") + F.col("_o.di")) * F.lit(1 << 31)
+            + (F.col("_sj") + F.col("_o.dj"))
+        ).alias("_cell"),
+    )
+    dx = F.col("t_lon") - F.col("s_lon")
+    dy = F.col("t_lat") - F.col("s_lat")
+    d2 = dx * dx + dy * dy
+    eps = F.lit(1e-18)
+    if power == 2.0:
+        w = F.lit(1.0) / F.greatest(d2, eps)
+    else:
+        w = F.lit(1.0) / F.greatest(
+            F.pow(d2, F.lit(float(power) / 2.0)), eps
+        )
+    return (
+        t.join(s, "_cell")
+        .filter(d2 <= F.lit(float(radius) * float(radius)))
+        .groupBy(target_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_stations"),
+            F.round(F.sum(w * F.col("_v")) / F.sum(w), 6).alias("idw_value"),
+        )
+        .filter(F.col("n_stations") >= F.lit(int(min_stations)))
+    )
+
+
+def focal_mean(
+    cells_df: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "value",
+    include_center: bool = True,
+) -> DataFrame:
+    """Focal (neighborhood) statistics over a sparse grid raster — the
+    map-algebra smoothing pass (Tomlin 1990, public): every PRESENT
+    cell gets the mean of ``value_col`` over the existing cells of its
+    3x3 Moore neighborhood. Absent neighbors contribute nothing (sparse
+    semantics — the mean is over cells that exist, the usual choice for
+    incomplete coverages). Emits (cell, n_neighbors, focal_mean),
+    rounded to 6 decimals.
+
+    Fully relational scatter-gather, zero Python: each input cell
+    scatters its value to its 9 (or 8) neighbor centers by integer
+    cell-id arithmetic (the grid id packs res/i/j in one long —
+    cells.with_cell's encoding), ONE groupBy on the neighbor center
+    (map-side combinable), then a semi-join back to the present cells
+    so absent centers never materialize. Both exchanges key on cell
+    ids — uniform by construction; at 100 TB this is two shuffles of
+    (8-byte key, partial sum) pairs, never the raster itself.
+    """
+    base = F.lit(int(res)) * F.lit(1 << 58)
+    # exact integer decode: i/j are non-negative by construction
+    # (with_cell packs floor((lon+180)/size) etc.), so a right shift
+    # and a modulo recover them bit-exactly — double division would
+    # lose precision above 2^53
+    i = F.shiftright(F.col(cell_col) - base, 29)
+    j = F.col(cell_col) % F.lit(1 << 29)
+    deltas = [
+        (di, dj)
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+        if include_center or (di, dj) != (0, 0)
+    ]
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di, dj in deltas]
+    )
+    scattered = cells_df.select(
+        F.col(value_col).alias("_v"),
+        i.alias("_i"),
+        j.alias("_j"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        (
+            base
+            + (F.col("_i") + F.col("_o.di")) * F.lit(1 << 29)
+            + (F.col("_j") + F.col("_o.dj"))
+        ).alias(cell_col),
+        "_v",
+    )
+    agg = scattered.groupBy(cell_col).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(F.avg("_v"), 6).alias("focal_mean"),
+    )
+    return agg.join(cells_df.select(cell_col).distinct(), cell_col)

@@ -1435,3 +1435,78 @@ class TestClassifierScore:
             corpus, {"good": 1.0}
         )._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestDihedralPhash:
+    def test_rotated_and_mirrored_copies_hash_equal(self, spark):
+        """A rotated/flipped re-encode of an image produces the SAME
+        canonical dihedral hash — exact, because orientations are pixel
+        permutations enumerated from the decoded array."""
+        import numpy as np
+        from ksj2gp_spark.formats import imagecodec
+        from ksj2gp_spark.operators.images import (
+            dihedral_orientations,
+            dihedral_phash,
+        )
+
+        arr = imagecodec.make_test_image(7, 12, 9)
+        rows = [("img00000001", imagecodec.encode_image(arr, "png"), "png")]
+        for o in range(8):
+            g = dihedral_orientations(arr)[o]
+            rows.append(
+                (
+                    f"img0000001{o}",
+                    imagecodec.encode_image(g, "png"),
+                    "png",
+                )
+            )
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        out = {r["image_id"]: r["dihedral_phash"] for r in dihedral_phash(df).collect()}
+        base = out["img00000001"]
+        assert all(v == base for v in out.values())
+
+    def test_jpeg_base_variant_matches_and_errors_quarantine(self, spark):
+        """Lossy-decoded JPEG pixels, dihedral-permuted and PNG
+        re-encoded, still hash-equal (permutation of the SAME decoded
+        array); garbage bytes land in the error lane."""
+        import numpy as np
+        from ksj2gp_spark.formats import imagecodec
+        from ksj2gp_spark.operators.images import (
+            dihedral_orientations,
+            dihedral_phash,
+        )
+
+        arr = imagecodec.make_test_image(3, 10, 14)
+        jb = imagecodec.encode_image(arr, "jpeg")
+        decoded = imagecodec.decode_image(jb, "jpeg")
+        rot = dihedral_orientations(decoded)[3]
+        rows = [
+            ("img00000002", jb, "jpeg"),
+            ("img00000002r", imagecodec.encode_image(rot, "png"), "png"),
+            ("img00000bad", b"junk-bytes", "png"),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        out = {r["image_id"]: r for r in dihedral_phash(df).collect()}
+        assert (
+            out["img00000002"]["dihedral_phash"]
+            == out["img00000002r"]["dihedral_phash"]
+        )
+        assert out["img00000bad"]["decode_error"] is not None
+
+    def test_different_images_differ(self, spark):
+        from ksj2gp_spark.formats import imagecodec
+        from ksj2gp_spark.operators.images import dihedral_phash
+
+        rows = [
+            (
+                f"img0000000{s}",
+                imagecodec.encode_image(
+                    imagecodec.make_test_image(s, 16, 16), "png"
+                ),
+                "png",
+            )
+            for s in (1, 2)
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        out = [r["dihedral_phash"] for r in dihedral_phash(df).collect()]
+        assert out[0] != out[1]

@@ -704,3 +704,142 @@ def test_dwithin_join_matches_brute_force(spark):
         assert got[k] == v  # bit-identical: same kernel, same inputs
     assert any(v == 0.0 for v in want.values())  # covered points present
     assert any(0 < v <= d for v in want.values())  # near-miss band present
+
+
+class TestIdwInterpolate:
+    def test_hand_computed_and_radius(self, spark):
+        """One target with two in-range stations (d2 = 0.01^2 and
+        0.02^2) and one out-of-range: IDW = weighted toward the closer
+        station; a coverage-less target is dropped."""
+        import pandas as pd
+
+        targets = spark.createDataFrame(
+            pd.DataFrame(
+                {"target_id": [1, 2], "lon": [140.0, 180.0], "lat": [36.0, 0.0]}
+            )
+        )
+        stations = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "station_id": ["a", "b", "c"],
+                    "lon": [140.01, 140.0, 141.0],
+                    "lat": [36.0, 36.02, 36.0],
+                    "value": [10.0, 40.0, 1000.0],
+                }
+            )
+        )
+        from ksj2gp_spark.operators.spatial import idw_interpolate
+
+        rows = idw_interpolate(targets, stations, radius=0.05).collect()
+        assert len(rows) == 1 and rows[0]["target_id"] == 1
+        assert rows[0]["n_stations"] == 2
+        w1, w2 = 1.0 / 0.01**2, 1.0 / 0.02**2
+        expect = round((10.0 * w1 + 40.0 * w2) / (w1 + w2), 6)
+        assert abs(rows[0]["idw_value"] - expect) < 1e-9
+
+    def test_prune_equals_brute_force(self, spark):
+        """The 3x3 cell prune must lose no in-range station: compare
+        against an explicit cross-join evaluation on a random-ish but
+        deterministic layout."""
+        from pyspark.sql import functions as F
+
+        stations = spark.range(400).select(
+            F.col("id").alias("station_id"),
+            (F.lit(139.0) + (F.col("id") * 7919 % 1000) / 250.0).alias("lon"),
+            (F.lit(35.0) + (F.col("id") * 104729 % 1000) / 250.0).alias("lat"),
+            (F.col("id") % 13).cast("double").alias("value"),
+        )
+        targets = spark.range(300).select(
+            F.col("id").alias("target_id"),
+            (F.lit(139.0) + (F.col("id") * 31 % 997) / 249.0).alias("lon"),
+            (F.lit(35.0) + (F.col("id") * 57 % 991) / 247.0).alias("lat"),
+        )
+        from ksj2gp_spark.operators.spatial import idw_interpolate
+
+        got = {
+            r["target_id"]: (r["n_stations"], r["idw_value"])
+            for r in idw_interpolate(targets, stations, radius=0.1).collect()
+        }
+        t = targets.select("target_id", F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"))
+        d2 = (F.col("t_lon") - F.col("lon")) ** 2 + (F.col("t_lat") - F.col("lat")) ** 2
+        w = F.lit(1.0) / F.greatest(d2, F.lit(1e-18))
+        brute = {
+            r["target_id"]: (r["n"], r["v"])
+            for r in t.crossJoin(stations)
+            .filter(d2 <= 0.1 * 0.1)
+            .groupBy("target_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(w * F.col("value")) / F.sum(w), 6).alias("v"),
+            )
+            .collect()
+        }
+        assert got == brute and len(got) > 50
+
+    def test_no_python_in_plan(self, spark):
+        import pandas as pd
+
+        targets = spark.createDataFrame(
+            pd.DataFrame({"target_id": [1], "lon": [140.0], "lat": [36.0]})
+        )
+        stations = spark.createDataFrame(
+            pd.DataFrame(
+                {"station_id": ["a"], "lon": [140.0], "lat": [36.0], "value": [1.0]}
+            )
+        )
+        from ksj2gp_spark.operators.spatial import idw_interpolate
+
+        plan = (
+            idw_interpolate(targets, stations, radius=0.05)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
+
+
+class TestFocalMean:
+    def test_hand_computed_neighborhood(self, spark):
+        """Three cells in a row at res 10: the middle cell averages all
+        three, the ends average two; absent neighbors contribute
+        nothing (sparse semantics)."""
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import focal_mean
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        cells = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": [mk(5, 5), mk(6, 5), mk(7, 5)],
+                    "value": [3.0, 6.0, 12.0],
+                }
+            )
+        )
+        rows = {r["cell"]: r for r in focal_mean(cells, res=res).collect()}
+        assert rows[mk(5, 5)]["n_neighbors"] == 2
+        assert rows[mk(5, 5)]["focal_mean"] == 4.5
+        assert rows[mk(6, 5)]["n_neighbors"] == 3
+        assert rows[mk(6, 5)]["focal_mean"] == 7.0
+        assert rows[mk(7, 5)]["focal_mean"] == 9.0
+
+    def test_exclude_center(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import focal_mean
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        cells = spark.createDataFrame(
+            pd.DataFrame(
+                {"cell": [mk(5, 5), mk(6, 6)], "value": [2.0, 10.0]}
+            )
+        )
+        rows = {
+            r["cell"]: r
+            for r in focal_mean(cells, res=res, include_center=False).collect()
+        }
+        # diagonal neighbors of each other; center excluded
+        assert rows[mk(5, 5)]["focal_mean"] == 10.0
+        assert rows[mk(6, 6)]["focal_mean"] == 2.0
