@@ -2726,6 +2726,58 @@ GROUP BY i % 8
 """
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (operators/spatial.py::
+    morans_i) of per-cell image counts over the tile raster, binary
+    8-neighbor adjacency. One-row output; the hot/cold prefecture
+    banding plants real positive autocorrelation, so the statistic is
+    discriminative, not degenerate."""
+    from ksj2gp_spark.operators.spatial import morans_i
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return morans_i(cells, res=GRID_RES)
+
+
+_MORANS_SQL = f"""
+WITH tiles AS ({_TILES_SQL.strip()}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+stats AS (SELECT count(*) AS n, avg(v) AS xbar FROM cells),
+decoded AS (
+  SELECT cell, v,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x) AS cell,
+         v AS xi
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+  WHERE NOT (di.x = 0 AND dj.x = 0)
+),
+pairs AS (
+  SELECT s.xi, c.v AS xj FROM scattered s JOIN cells c ON s.cell = c.cell
+)
+SELECT st.n,
+       count(*) AS s0,
+       round(
+         (CAST(st.n AS DOUBLE) / count(*))
+         * sum((p.xi - st.xbar) * (p.xj - st.xbar))
+         / (SELECT sum((v - st.xbar) * (v - st.xbar)) FROM cells),
+         6
+       ) AS morans_i
+FROM pairs p CROSS JOIN stats st
+GROUP BY st.n, st.xbar
+"""
+
+
 def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketed training-batch assignment
     (operators/pack.py::bucket_batches) over a deterministically
@@ -4068,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_interpolate": q_idw_interpolate,
         "focal_mean": q_focal_mean,
         "dihedral_dedup": q_dihedral_dedup,
+        "morans_i": q_morans_i,
         "scrub_pii": q_scrub_pii,
     }
 
@@ -4181,5 +4234,6 @@ GROUP BY p.admin_code
         "idw_interpolate": _IDW_SQL,
         "focal_mean": _FOCAL_SQL,
         "dihedral_dedup": _DIHEDRAL_SQL,
+        "morans_i": _MORANS_SQL,
         "scrub_pii": _scrub_sql(),
     }

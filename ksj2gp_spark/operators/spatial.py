@@ -1483,3 +1483,74 @@ def focal_mean(
         F.round(F.avg("_v"), 6).alias("focal_mean"),
     )
     return agg.join(cells_df.select(cell_col).distinct(), cell_col)
+
+
+def morans_i(
+    cells_df: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (Moran 1950, public)
+    over a sparse grid raster with binary 8-neighbor (Moore) adjacency
+    weights: I = (n/S0) * sum_ij w_ij (x_i - xbar)(x_j - xbar) /
+    sum_i (x_i - xbar)^2, S0 counting DIRECTED adjacent pairs (the
+    symmetric standard). Emits ONE row (n, s0, morans_i), the statistic
+    rounded to 6 decimals (mean/sum order noise ~1e-14). I > 0 means
+    clustered values, < 0 dispersed, ~ -1/(n-1) random.
+
+    Scale shape mirrors :func:`focal_mean`: the adjacency never
+    materializes as a matrix — each cell scatters to its 8 neighbor
+    centers by exact integer cell-id arithmetic and ONE equi-join to
+    the present cells yields the (x_i, x_j) pairs; everything else is
+    two scalar aggregations. The only driver collect is (n, xbar) —
+    two numbers, the documented bounded-scalar pattern. Input is the
+    aggregated raster (one row per cell), so the exchanges move 8-byte
+    keys plus one double.
+    """
+    stats = cells_df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("xbar")
+    ).collect()[0]
+    n, xbar = int(stats["n"]), float(stats["xbar"])
+    base = F.lit(int(res)) * F.lit(1 << 58)
+    i = F.shiftright(F.col(cell_col) - base, 29)
+    j = F.col(cell_col) % F.lit(1 << 29)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+    )
+    scattered = cells_df.select(
+        F.col(value_col).alias("_xi"),
+        i.alias("_i"),
+        j.alias("_j"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_xi",
+        (
+            base
+            + (F.col("_i") + F.col("_o.di")) * F.lit(1 << 29)
+            + (F.col("_j") + F.col("_o.dj"))
+        ).alias(cell_col),
+    )
+    pairs = scattered.join(
+        cells_df.select(cell_col, F.col(value_col).alias("_xj")), cell_col
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(
+            (F.col("_xi") - F.lit(xbar)) * (F.col("_xj") - F.lit(xbar))
+        ).alias("num"),
+    )
+    den = cells_df.agg(
+        F.sum(
+            (F.col(value_col) - F.lit(xbar))
+            * (F.col(value_col) - F.lit(xbar))
+        ).alias("den")
+    )
+    return num.crossJoin(den).select(
+        F.lit(n).cast("long").alias("n"),
+        F.col("s0"),
+        F.round(
+            (F.lit(float(n)) / F.col("s0")) * F.col("num") / F.col("den"), 6
+        ).alias("morans_i"),
+    )

@@ -843,3 +843,56 @@ class TestFocalMean:
         # diagonal neighbors of each other; center excluded
         assert rows[mk(5, 5)]["focal_mean"] == 10.0
         assert rows[mk(6, 6)]["focal_mean"] == 2.0
+
+
+class TestMoransI:
+    def test_hand_computed_row(self, spark):
+        """Three cells in a row, values [1,5,3]: xbar=3, directed
+        adjacent pairs (1,5),(5,1),(5,3),(3,5) -> S0=4,
+        num=(-2)(2)+(2)(-2)+0+0=-8, den=8, I=(3/4)(-8/8)=-0.75."""
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import morans_i
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        cells = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": [mk(4, 5), mk(5, 5), mk(6, 5)],
+                    "value": [1.0, 5.0, 3.0],
+                }
+            )
+        )
+        row = morans_i(cells, res=res).collect()[0]
+        assert (row["n"], row["s0"]) == (3, 4)
+        assert row["morans_i"] == -0.75
+
+    def test_clustered_positive_dispersed_negative(self, spark):
+        """A 4x4 half/half split scores positive; a checkerboard
+        scores negative."""
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import morans_i
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        half = pd.DataFrame(
+            {
+                "cell": [mk(i, j) for i in range(4) for j in range(4)],
+                "value": [10.0 if i < 2 else 0.0 for i in range(4) for j in range(4)],
+            }
+        )
+        board = pd.DataFrame(
+            {
+                "cell": [mk(i, j) for i in range(4) for j in range(4)],
+                "value": [float((i + j) % 2) for i in range(4) for j in range(4)],
+            }
+        )
+        i_half = morans_i(spark.createDataFrame(half), res=res).collect()[0]
+        i_board = morans_i(spark.createDataFrame(board), res=res).collect()[0]
+        # hand-computed: 0.523810; checkerboard under MOORE adjacency is
+        # only -1/7 (diagonal neighbors share the color, so the 8-ring
+        # dampens the rook-adjacency -1)
+        assert i_half["morans_i"] == 0.52381
+        assert i_board["morans_i"] == round(-1.0 / 7.0, 6)
