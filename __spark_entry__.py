@@ -2778,6 +2778,88 @@ GROUP BY st.n, st.xbar
 """
 
 
+def q_local_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA hotspots (operators/spatial.py::
+    local_morans_i) per tile cell — the per-cell companion of the
+    global morans_i lane; the hot prefecture bands surface as positive
+    local_i clusters."""
+    from ksj2gp_spark.operators.spatial import local_morans_i
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return local_morans_i(cells, res=GRID_RES)
+
+
+_LOCAL_MORANS_SQL = f"""
+WITH tiles AS ({_TILES_SQL.strip()}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+stats AS (
+  SELECT count(*) AS n, avg(v) AS xbar, var_pop(v) AS m2 FROM cells
+),
+decoded AS (
+  SELECT cell, v,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x) AS cell,
+         v
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+  WHERE NOT (di.x = 0 AND dj.x = 0)
+),
+nbr AS (
+  SELECT s.cell, count(*) AS n_neighbors,
+         sum(s.v - st.xbar) AS zsum
+  FROM scattered s
+  JOIN (SELECT DISTINCT cell FROM cells) p ON s.cell = p.cell
+  CROSS JOIN stats st
+  GROUP BY s.cell
+)
+SELECT c.cell, nbr.n_neighbors,
+       round((c.v - st.xbar) / st.m2 * nbr.zsum, 6) AS local_i
+FROM cells c JOIN nbr ON c.cell = nbr.cell CROSS JOIN stats st
+"""
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection (operators/text.py::bigram_pmi, Church &
+    Hanks 1990): PMI over adjacent token pairs with count >= 5 — the
+    corpus-analytics statistic behind multiword-expression mining."""
+    from ksj2gp_spark.operators.text import bigram_pmi
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bigram_pmi(d, min_count=5)
+
+
+_BIGRAM_PMI_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+pairs AS (
+  SELECT ws[i] AS tok_a, ws[i + 1] AS tok_b
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) t(i)
+  WHERE len(ws) >= 2
+),
+big AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+la AS (SELECT tok_a, count(*) AS n_a FROM pairs GROUP BY 1),
+rb AS (SELECT tok_b, count(*) AS n_b FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pairs)
+SELECT b.tok_a, b.tok_b, b.n_ab,
+       round(ln(b.n_ab * t.n / (b_n.n_a * b_m.n_b)), 6) AS pmi
+FROM big b
+JOIN la b_n ON b.tok_a = b_n.tok_a
+JOIN rb b_m ON b.tok_b = b_m.tok_b
+CROSS JOIN tot t
+WHERE b.n_ab >= 5
+"""
+
+
 def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketed training-batch assignment
     (operators/pack.py::bucket_batches) over a deterministically
@@ -4121,6 +4203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "dihedral_dedup": q_dihedral_dedup,
         "morans_i": q_morans_i,
+        "local_morans": q_local_morans,
+        "bigram_pmi": q_bigram_pmi,
         "scrub_pii": q_scrub_pii,
     }
 
@@ -4235,5 +4319,7 @@ GROUP BY p.admin_code
         "focal_mean": _FOCAL_SQL,
         "dihedral_dedup": _DIHEDRAL_SQL,
         "morans_i": _MORANS_SQL,
+        "local_morans": _LOCAL_MORANS_SQL,
+        "bigram_pmi": _BIGRAM_PMI_SQL,
         "scrub_pii": _scrub_sql(),
     }

@@ -1554,3 +1554,66 @@ def morans_i(
             (F.lit(float(n)) / F.col("s0")) * F.col("num") / F.col("den"), 6
         ).alias("morans_i"),
     )
+
+
+def local_morans_i(
+    cells_df: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Local Moran's I (LISA — Anselin 1995, public): per-cell hotspot
+    statistic I_i = ((x_i - xbar)/m2) * sum_{j in nbr(i)} (x_j - xbar)
+    with m2 = sum_k (x_k - xbar)^2 / n and binary Moore adjacency.
+    High positive I_i = a high (or low) value surrounded by the same —
+    the hotspot/coldspot detector that pairs with the global
+    :func:`morans_i`. Emits (cell, n_neighbors, local_i) for every
+    present cell with at least one present neighbor, rounded to 6
+    decimals.
+
+    Scale shape is :func:`focal_mean`'s scatter-gather — the neighbor
+    deviation sum is ONE map-side-combinable groupBy after the
+    8-offset scatter, joined back to the present cells; (n, xbar, m2)
+    are a bounded three-scalar driver collect.
+    """
+    stats = cells_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("xbar"),
+        F.var_pop(value_col).alias("m2"),
+    ).collect()[0]
+    xbar, m2 = float(stats["xbar"]), float(stats["m2"])
+    base = F.lit(int(res)) * F.lit(1 << 58)
+    i = F.shiftright(F.col(cell_col) - base, 29)
+    j = F.col(cell_col) % F.lit(1 << 29)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+    )
+    scattered = cells_df.select(
+        (F.col(value_col) - F.lit(xbar)).alias("_zj"),
+        i.alias("_i"),
+        j.alias("_j"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        (
+            base
+            + (F.col("_i") + F.col("_o.di")) * F.lit(1 << 29)
+            + (F.col("_j") + F.col("_o.dj"))
+        ).alias(cell_col),
+        "_zj",
+    )
+    nbr = scattered.groupBy(cell_col).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum("_zj").alias("_zsum"),
+    )
+    return (
+        cells_df.select(cell_col, F.col(value_col).alias("_x"))
+        .join(nbr, cell_col)
+        .select(
+            cell_col,
+            "n_neighbors",
+            F.round(
+                (F.col("_x") - F.lit(xbar)) / F.lit(m2) * F.col("_zsum"), 6
+            ).alias("local_i"),
+        )
+    )

@@ -497,3 +497,63 @@ def classifier_score(
             (score > F.lit(float(threshold))).alias("keep"),
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation detection via pointwise mutual information over
+    adjacent token pairs (Church & Hanks 1990, public): PMI(a,b) =
+    ln(c_ab * N / (c_a * c_b)) with N the total bigram count —
+    positive for pairs that co-occur more than independence predicts
+    (multiword expressions), the classic corpus-analytics statistic.
+
+    Emits (tok_a, tok_b, n_ab, pmi) for pairs with c_ab >= min_count,
+    pmi rounded to 6 decimals.
+
+    Scale shape: bigrams explode fused into the scan (zip of the token
+    array with its tail — whole-stage codegen, no UDF); bigram counts
+    are ONE map-side-combinable groupBy. Unigram counts ride the SAME
+    exploded frame as two more combinable aggregations, and the
+    unigram table joins back by token — AQE broadcasts a test-scale
+    vocabulary and degrades to shuffle hash joins on a 100 TB corpus
+    vocabulary. Scalar N is a one-number driver collect. Token strings
+    shuffle only after the count aggregations (vocab-sized, not
+    corpus-sized).
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    big = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    left = pairs.groupBy("tok_a").agg(F.count(F.lit(1)).alias("n_a"))
+    right = pairs.groupBy("tok_b").agg(F.count(F.lit(1)).alias("n_b"))
+    n_total = float(pairs.count())
+    return (
+        big.filter(F.col("n_ab") >= F.lit(int(min_count)))
+        .join(left, "tok_a")
+        .join(right, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(n_total)
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1510,3 +1510,35 @@ class TestDihedralPhash:
         df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
         out = [r["dihedral_phash"] for r in dihedral_phash(df).collect()]
         assert out[0] != out[1]
+
+
+class TestBigramPmi:
+    def test_hand_computed(self, spark):
+        """'x y x y x y': bigrams (x,y)x3 (y,x)x2, N=5; PMI(x,y) =
+        ln(3*5/(3*3)), PMI(y,x) = ln(2*5/(2*2))."""
+        import math
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame([(1, "x y x y x y")], columns=["doc_id", "text"])
+        )
+        from ksj2gp_spark.operators.text import bigram_pmi
+
+        rows = {
+            (r["tok_a"], r["tok_b"]): r
+            for r in bigram_pmi(corpus, min_count=2).collect()
+        }
+        assert rows[("x", "y")]["n_ab"] == 3
+        assert abs(rows[("x", "y")]["pmi"] - round(math.log(5.0 / 3.0), 6)) < 1e-9
+        assert abs(rows[("y", "x")]["pmi"] - round(math.log(10.0 / 4.0), 6)) < 1e-9
+
+    def test_min_count_and_single_token_docs(self, spark):
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "a b"), (2, "a b"), (3, "c d"), (4, "solo")],
+                columns=["doc_id", "text"],
+            )
+        )
+        from ksj2gp_spark.operators.text import bigram_pmi
+
+        out = bigram_pmi(corpus, min_count=2).collect()
+        assert len(out) == 1 and (out[0]["tok_a"], out[0]["tok_b"]) == ("a", "b")

@@ -896,3 +896,30 @@ class TestMoransI:
         # dampens the rook-adjacency -1)
         assert i_half["morans_i"] == 0.52381
         assert i_board["morans_i"] == round(-1.0 / 7.0, 6)
+
+
+class TestLocalMoransI:
+    def test_hand_computed_row(self, spark):
+        """[1,5,3] in a row: xbar=3, m2=8/3; cell1 (z=-2) has neighbor
+        zsum=+2 -> I=-1.5; cell2 (z=+2) zsum=-2 -> I=-1.5; cell3 (z=0)
+        -> I=0."""
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import local_morans_i
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        cells = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": [mk(4, 5), mk(5, 5), mk(6, 5)],
+                    "value": [1.0, 5.0, 3.0],
+                }
+            )
+        )
+        rows = {r["cell"]: r for r in local_morans_i(cells, res=res).collect()}
+        assert rows[mk(4, 5)]["local_i"] == -1.5
+        assert rows[mk(4, 5)]["n_neighbors"] == 1
+        assert rows[mk(5, 5)]["local_i"] == -1.5
+        assert rows[mk(5, 5)]["n_neighbors"] == 2
+        assert rows[mk(6, 5)]["local_i"] == 0.0
