@@ -26,14 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 # The two dedup lanes run in a FRESH subprocess JVM — the way a real
-# spark-submit job gets its own driver JVM. Measured motivation
-# (bench/minhash_gc_ab.py + in-suite runs): in a fresh JVM the minhash
-# lane is 5/5-repeat stable (≤1.35× spread, median ~9.5s across three
-# independent sessions), while inside the shared suite JVM — after the
-# spatial/codec lanes have churned the old generation — a stray full
-# GC still lands on ~1 repeat in 5 (observed 33.6s vs 9.5s steady).
-# Lane medians stay comparable across rounds either way; isolation
-# removes the suite-ordering dependence from the raw spreads.
+# spark-submit job gets its own driver JVM — and BEFORE the main-suite
+# JVM exists (sharing the box with the live 48 GB suite JVM measured
+# 1.63x raw spread vs 1.16x quiet). Measured residual
+# (bench/minhash_gc_ab.py + repeated isolated runs, 2026-08-18):
+# medians are stable across sessions (minhash 6.7-8.1s, curation
+# 10.4-12.3s) but a stray G1 full GC still lands on ~1 repeat in 10,
+# wandering between the two lanes (observed 30.9s / 18.9s singletons).
+# A 16k Arrow batch removes the tail at a ~13% median cost — not worth
+# it; the 5-repeat median absorbs the outlier and the raws stay in the
+# JSON. bench/minhash_kernel.py is the load-independent signal.
 _DEDUP_RUNNER = '''
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -70,6 +72,10 @@ docs100k.count()
 # pass (fork+JIT), then one untimed full-size pass (heap/shuffle shape)
 dedup_ops.minhash_lsh_pairs(synth_docs(2_000 * cpus), threshold=0.5).count()
 dedup_ops.minhash_lsh_pairs(docs100k, threshold=0.5).count()
+# the curation lane composes extra stages (lang-id pandas UDF, quality
+# exprs) whose first full-size run pays Python-worker startup on top of
+# the minhash warmup — measured 19.2s cold vs ~11s steady without this
+curate_corpus(docs100k, langs=("en", "unknown"))[0].count()
 
 def timed(fn, repeats=5):
     raws = []
@@ -140,6 +146,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_images_env = os.environ.get("SPARK_GRAFT_N_IMAGES")
+
+    # The isolated dedup lanes run FIRST, before the main-suite JVM
+    # exists: measured (2026-08-18), a subprocess sharing the box with
+    # the live 48 GB suite JVM reads 7.9-12.9s raws (1.63x spread, GC
+    # + core contention) while the same runner on a quiet box reads
+    # 6.5-7.5s (1.16x).
+    dedup_lanes = run_dedup_lanes_isolated(cpus)
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -497,7 +510,6 @@ def main() -> None:
     # JVM still lands a stray full GC on ~1 repeat in 5). Same session
     # configs, same warmup protocol, 5 repeats, medians + raws merged
     # into the one JSON line like every in-process lane.
-    dedup_lanes = run_dedup_lanes_isolated(cpus)
     for lane_name, lane in dedup_lanes.items():
         timings[lane_name] = lane["median"]
         raw_times[lane_name] = lane["raw"]
