@@ -1542,3 +1542,85 @@ class TestBigramPmi:
 
         out = bigram_pmi(corpus, min_count=2).collect()
         assert len(out) == 1 and (out[0]["tok_a"], out[0]["tok_b"]) == ("a", "b")
+
+
+class TestLineDedupProperty:
+    def test_matches_python_reference_on_planted_corpora(self, spark):
+        """line_dedup == a 10-line pure-Python reference on a batch of
+        deterministic pseudo-random corpora (drop-ALL-occurrences,
+        rebuild in order, counts) — covers empty-survivor docs,
+        within-doc repeats, and min_count variation."""
+        import random
+
+        from ksj2gp_spark.operators.dedup import line_dedup
+
+        rng = random.Random(20260818)
+        vocab = [f"l{k}" for k in range(12)]
+        for trial, min_count in [(0, 2), (1, 2), (2, 3)]:
+            docs = {
+                d: "\n".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 8))
+                )
+                for d in range(30)
+            }
+            from collections import Counter
+
+            freq = Counter(
+                ln for t in docs.values() for ln in t.split("\n")
+            )
+            expect = {}
+            for d, t in docs.items():
+                lines = t.split("\n")
+                kept = [ln for ln in lines if freq[ln] < min_count]
+                expect[d] = (
+                    "\n".join(kept),
+                    len(lines),
+                    len(lines) - len(kept),
+                )
+            sdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": list(docs), "text": list(docs.values())}
+                )
+            )
+            got = {
+                r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+                for r in line_dedup(sdf, min_count=min_count).collect()
+            }
+            assert got == expect, f"trial {trial}"
+
+
+class TestSemDedupPartitionInvariance:
+    def test_same_result_at_different_partition_counts(self, spark):
+        """The keep/drop set must be identical under repartitioning —
+        the order-free drop rule's contract."""
+        from pyspark.sql import functions as F
+
+        from ksj2gp_spark.operators.similarity import semdedup
+
+        vecs = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: (
+                    F.when(i == F.col("vec_id") % 4, F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + ((F.col("vec_id") * 13 + i * 7) % 5 - 2).cast("double")
+                    * 0.005
+                ),
+            ).alias("embedding"),
+        )
+        outs = []
+        for parts in (1, 7):
+            out = semdedup(
+                vecs.repartition(parts), k=4, dim=8, threshold=0.997, n_iter=2
+            )
+            outs.append(
+                sorted(
+                    (r["vec_id"], r["cluster"], r["kept"])
+                    for r in out.collect()
+                )
+            )
+        assert outs[0] == outs[1]
+        assert any(not k for (_, _, k) in outs[0])  # non-trivial drops
