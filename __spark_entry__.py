@@ -2778,6 +2778,110 @@ GROUP BY st.n, st.xbar
 """
 
 
+def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores (operators/spatial.py::
+    getis_ord_gi_star) per tile cell — the desktop-GIS "hot spot
+    analysis" statistic; the hot prefecture bands surface as
+    |Gi*| > 1.96 cells."""
+    from ksj2gp_spark.operators.spatial import getis_ord_gi_star
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return getis_ord_gi_star(cells, res=GRID_RES)
+
+
+_GI_STAR_SQL = f"""
+WITH tiles AS ({_TILES_SQL.strip()}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+stats AS (
+  SELECT count(*) AS n, avg(v) AS xbar, stddev_pop(v) AS s FROM cells
+),
+decoded AS (
+  SELECT cell, v,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x) AS cell,
+         v
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+),
+nbr AS (
+  SELECT s.cell, count(*) AS w_i, sum(s.v) AS si
+  FROM scattered s
+  JOIN (SELECT DISTINCT cell FROM cells) p ON s.cell = p.cell
+  GROUP BY s.cell
+)
+SELECT nbr.cell, nbr.w_i,
+       round(
+         (nbr.si - st.xbar * nbr.w_i)
+         / (st.s * sqrt((CAST(st.n AS DOUBLE) * nbr.w_i - nbr.w_i * nbr.w_i)
+                        / CAST(st.n - 1 AS DOUBLE))),
+         6
+       ) AS gi_star
+FROM nbr CROSS JOIN stats st
+"""
+
+
+def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend over the events table
+    (operators/stats.py::group_trend): slope/intercept/r2 of value vs
+    time-in-days via the five sufficient statistics — one map-side-
+    combinable groupBy, closed-form solve in codegen. x is centered on
+    2024-01-01 and scaled to days so the normal equations never
+    cancel catastrophically at epoch magnitude."""
+    from ksj2gp_spark.operators.stats import group_trend
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # exact integer micros since the anchor, ONE IEEE division to days
+    # (ts is TIMESTAMP_NTZ: a double cast is rejected, and a session-tz
+    # dependent cast would not be engine-portable)
+    days = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    ) / F.lit(86400000000.0)
+    return group_trend(
+        e.select("user_id", days.alias("x_days"), "value"),
+        group_col="user_id",
+        x_col="x_days",
+        y_col="value",
+    )
+
+
+_GROUP_TREND_SQL = """
+WITH pts AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+           / 86400000000.0 AS x,
+         value AS y
+  FROM events
+),
+agg AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(CASE WHEN n * syy - sy * sy = 0 THEN 1.0
+                  ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS r2
+FROM agg
+WHERE n >= 2 AND n * sxx - sx * sx <> 0
+"""
+
+
 def q_local_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I / LISA hotspots (operators/spatial.py::
     local_morans_i) per tile cell — the per-cell companion of the
@@ -4205,6 +4309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "local_morans": q_local_morans,
         "bigram_pmi": q_bigram_pmi,
+        "gi_star": q_gi_star,
+        "group_trend": q_group_trend,
         "scrub_pii": q_scrub_pii,
     }
 
@@ -4321,5 +4427,7 @@ GROUP BY p.admin_code
         "morans_i": _MORANS_SQL,
         "local_morans": _LOCAL_MORANS_SQL,
         "bigram_pmi": _BIGRAM_PMI_SQL,
+        "gi_star": _GI_STAR_SQL,
+        "group_trend": _GROUP_TREND_SQL,
         "scrub_pii": _scrub_sql(),
     }

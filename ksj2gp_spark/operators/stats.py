@@ -141,3 +141,57 @@ def funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def group_trend(
+    df,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+):
+    """Per-group ordinary-least-squares trend (closed-form simple
+    linear regression): slope and intercept of y over x for every
+    group, plus r2 — the standard per-entity trend extraction
+    (per-user value drift, per-sensor calibration, per-domain growth).
+
+    Emits (group_col, n_points, slope, intercept, r2), all rounded to
+    6 decimals; groups with fewer than ``min_points`` points or zero
+    x-variance are dropped (no divide-by-zero rows).
+
+    Scale shape: ONE map-side-combinable groupBy computing the five
+    classic sufficient statistics (n, Σx, Σy, Σxy, Σx²[, Σy²]) — the
+    data never moves twice, no window, no per-group collect; the
+    closed-form solve is a codegen'd projection over the k-group
+    aggregate. Keys are group ids, so skew equals group skew and AQE
+    handles a dominant group.
+    """
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when(vy == 0, F.lit(1.0)).otherwise(cov * cov / (vx * vy))
+    return (
+        agg.filter((F.col("n") >= F.lit(int(min_points))) & (vx != 0))
+        .select(
+            group_col,
+            F.col("n").alias("n_points"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+    )

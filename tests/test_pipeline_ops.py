@@ -1624,3 +1624,39 @@ class TestSemDedupPartitionInvariance:
             )
         assert outs[0] == outs[1]
         assert any(not k for (_, _, k) in outs[0])  # non-trivial drops
+
+
+class TestGroupTrend:
+    def test_exact_line_and_r2(self, spark):
+        """Points on y=2x+1 give slope 2, intercept 1, r2=1; a noisy
+        group gets the closed-form OLS values; constant-x groups drop."""
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "g": ["a"] * 3 + ["b"] * 4 + ["c"] * 2,
+                    "x": [0.0, 1.0, 2.0, 0.0, 1.0, 2.0, 3.0, 5.0, 5.0],
+                    "y": [1.0, 3.0, 5.0, 0.0, 2.0, 1.0, 3.0, 7.0, 9.0],
+                }
+            )
+        )
+        from ksj2gp_spark.operators.stats import group_trend
+
+        rows = {
+            r["g"]: r
+            for r in group_trend(corpus, "g", "x", "y").collect()
+        }
+        assert rows["a"]["slope"] == 2.0 and rows["a"]["intercept"] == 1.0
+        assert rows["a"]["r2"] == 1.0
+        # group b: n=4, sx=6, sy=6, sxy=13, sxx=14
+        # -> slope = (4*13-36)/(4*14-36) = 16/20 = 0.8
+        assert rows["b"]["slope"] == 0.8
+        assert "c" not in rows  # zero x-variance dropped
+
+    def test_constant_y_r2_is_one(self, spark):
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"] * 3, "x": [0.0, 1.0, 2.0], "y": [5.0] * 3})
+        )
+        from ksj2gp_spark.operators.stats import group_trend
+
+        r = group_trend(corpus, "g", "x", "y").collect()[0]
+        assert r["slope"] == 0.0 and r["r2"] == 1.0

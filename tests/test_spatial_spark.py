@@ -923,3 +923,38 @@ class TestLocalMoransI:
         assert rows[mk(5, 5)]["local_i"] == -1.5
         assert rows[mk(5, 5)]["n_neighbors"] == 2
         assert rows[mk(6, 5)]["local_i"] == 0.0
+
+
+class TestGetisOrdGiStar:
+    def test_hand_computed_and_hotspot_sign(self, spark):
+        """A high-value pair amid zeros scores positive Gi*; a far
+        isolated zero cell scores negative (below the mean with itself
+        as the whole neighborhood)."""
+        import math
+
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import getis_ord_gi_star
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        vals = {mk(0, 0): 10.0, mk(0, 1): 10.0, mk(5, 5): 0.0, mk(9, 9): 0.0}
+        cells = spark.createDataFrame(
+            pd.DataFrame({"cell": list(vals), "value": list(vals.values())})
+        )
+        rows = {
+            r["cell"]: r
+            for r in getis_ord_gi_star(cells, res=res).collect()
+        }
+        n, xbar = 4, 5.0
+        s = math.sqrt(sum((v - xbar) ** 2 for v in vals.values()) / n)
+        # hot pair: neighborhood = both hot cells (w=2, S=20)
+        w, si = 2, 20.0
+        expect = (si - xbar * w) / (s * math.sqrt((n * w - w * w) / (n - 1)))
+        assert abs(rows[mk(0, 0)]["gi_star"] - round(expect, 6)) < 1e-9
+        assert rows[mk(0, 0)]["w_i"] == 2
+        # isolated zero: w=1, S=0
+        w, si = 1, 0.0
+        expect = (si - xbar * w) / (s * math.sqrt((n * w - w * w) / (n - 1)))
+        assert abs(rows[mk(5, 5)]["gi_star"] - round(expect, 6)) < 1e-9
+        assert rows[mk(0, 0)]["gi_star"] > 0 > rows[mk(5, 5)]["gi_star"]
