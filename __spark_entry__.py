@@ -4213,6 +4213,267 @@ GROUP BY iv.interval_id
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# graph analytics over the co-purchase graph + spatial point statistics
+# (round 4: triangle counting, PageRank, BFS, Geary's C, Ripley's K)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_SQL = """
+li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected simple co-purchase graph: parts sharing an order.
+    Distinct canonical (min, max) pairs — the oracle builds the exact
+    same edge set relationally."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    return (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph
+    (operators/graph.py::triangle_count — degree-ordered node
+    iterator, all shuffle equi-joins). The clique structure of a
+    co-occurrence graph — the same statistic a dedup pipeline reads
+    off its LSH pair graph to find densely-duplicated regions."""
+    from ksj2gp_spark.operators.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+_TRIANGLE_SQL = f"""
+WITH {_COPURCHASE_SQL.strip()},
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, count(*) AS triangles
+FROM (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+)
+GROUP BY node
+"""
+
+_PAGERANK_ITERS = 6
+_PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetrized co-purchase
+    graph (operators/graph.py::pagerank). The oracle replays every
+    iteration as a chained CTE; ranks are rounded to 6 decimals (the
+    bm25 FP-canon policy — only summation order differs between
+    engines)."""
+    from ksj2gp_spark.operators.graph import pagerank
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(
+        sym, iterations=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING
+    )
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS, d: float = _PAGERANK_DAMPING) -> str:
+    """Chained-CTE replay of the exact update: every literal is the
+    repr of the double the Spark side uses, so the only cross-engine
+    difference is per-group summation order (absorbed by round 6)."""
+    pre = f"""
+WITH {_COPURCHASE_SQL.strip()},
+e AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT u AS node, count(*) AS od FROM e GROUP BY u),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+pr{k} AS (
+  SELECT nd.node,
+         (1.0 - {d!r}) / (SELECT n FROM nn)
+         + {d!r} * coalesce(s.v, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.v AS node, sum(p.rank / o.od) AS v
+    FROM pr{k - 1} p
+    JOIN e ON e.u = p.node
+    JOIN outdeg o ON o.node = p.node
+    GROUP BY e.v
+  ) s ON s.node = nd.node
+)""")
+    return (
+        pre
+        + "".join(steps)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM pr{iters}"
+    )
+
+
+_CHAIN_EDGES_SQL = """
+li AS (SELECT l_orderkey AS o, l_partkey AS p, l_linenumber AS ln
+       FROM lineitem),
+e0 AS (
+  SELECT DISTINCT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.ln + 1 = b.ln AND a.p <> b.p
+)
+"""
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (operators/graph.py::
+    bfs_distances) over the sparser consecutive-line co-purchase
+    graph, source = min part id. Exact integer hops — the oracle is a
+    bounded recursive CTE."""
+    from ksj2gp_spark.operators.graph import bfs_distances
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    edges = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.o") == F.col("y.o"))
+            & (F.col("x.ln") + F.lit(1) == F.col("y.ln"))
+            & (F.col("x.p") != F.col("y.p")),
+        )
+        .select(
+            F.least("x.p", "y.p").alias("src"),
+            F.greatest("x.p", "y.p").alias("dst"),
+        )
+        .distinct()
+    )
+    return bfs_distances(edges)
+
+
+_BFS_SQL = f"""
+WITH {_CHAIN_EDGES_SQL.strip()},
+e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+src AS (SELECT min(u) AS s FROM e),
+walk AS (
+  WITH RECURSIVE rr(node, hop) AS (
+    SELECT s, 0 FROM src
+    UNION
+    SELECT e.v, rr.hop + 1 FROM rr JOIN e ON e.u = rr.node
+    WHERE rr.hop < 16
+  )
+  SELECT node, min(hop) AS hop FROM rr GROUP BY node
+)
+SELECT node, CAST(hop AS INTEGER) AS hop FROM walk
+"""
+
+
+def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C (operators/spatial.py::geary_c) of per-cell
+    image counts over the tile raster — the local-contrast complement
+    to morans_i over the identical cells."""
+    from ksj2gp_spark.operators.spatial import geary_c
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return geary_c(cells, res=GRID_RES)
+
+
+_GEARY_SQL = f"""
+WITH tiles AS ({_TILES_SQL.strip()}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+stats AS (SELECT count(*) AS n, avg(v) AS xbar FROM cells),
+decoded AS (
+  SELECT cell, v,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x) AS cell,
+         v AS xi
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+  WHERE NOT (di.x = 0 AND dj.x = 0)
+),
+pairs AS (
+  SELECT s.xi, c.v AS xj FROM scattered s JOIN cells c ON s.cell = c.cell
+)
+SELECT st.n,
+       count(*) AS s0,
+       round(
+         (CAST(st.n AS DOUBLE) - 1.0)
+         * sum((p.xi - p.xj) * (p.xi - p.xj))
+         / (2.0 * count(*)
+            * (SELECT sum((v - st.xbar) * (v - st.xbar)) FROM cells)),
+         6
+       ) AS geary_c
+FROM pairs p CROSS JOIN stats st
+GROUP BY st.n, st.xbar
+"""
+
+_RIPLEY_RADII = [0.05, 0.1, 0.2]
+_RIPLEY_AREA = 8.0
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern statistic (operators/spatial.py::
+    ripley_k) of the synthetic image points at three ranges — the
+    prefecture banding makes K(r) >> pi r^2 (clustered). The Spark
+    side is the 3x3 cell-bucketed pair join; the oracle is the
+    brute-force cross join, so a single dropped boundary pair
+    hash-mismatches."""
+    from ksj2gp_spark.operators.spatial import ripley_k
+
+    imgs = _images_from_customer(spark, sf_dir)
+    return ripley_k(imgs, radii=_RIPLEY_RADII, area=_RIPLEY_AREA)
+
+
+def _ripley_sql() -> str:
+    sels = []
+    for r in _RIPLEY_RADII:
+        r2 = float(r) * float(r)
+        sels.append(f"""
+SELECT CAST({float(r)!r} AS DOUBLE) AS r,
+       (SELECT count(*) FROM pairs WHERE d2 <= {r2!r}) AS n_pairs,
+       round(
+         {float(_RIPLEY_AREA)!r} * 2.0
+         * (SELECT count(*) FROM pairs WHERE d2 <= {r2!r})
+         / (SELECT d FROM nn), 6) AS k_hat""")
+    return (
+        f"WITH {_IMAGES_CTE.strip()},\n"
+        "pairs AS (\n"
+        "  SELECT (a.lon - b.lon) * (a.lon - b.lon)\n"
+        "         + (a.lat - b.lat) * (a.lat - b.lat) AS d2\n"
+        "  FROM images a JOIN images b ON a.image_id < b.image_id\n"
+        "),\n"
+        "nn AS (SELECT CAST(count(*) AS DOUBLE)\n"
+        "              * CAST(count(*) - 1 AS DOUBLE) AS d FROM images)\n"
+        + " UNION ALL ".join(sels)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -4312,6 +4573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star": q_gi_star,
         "group_trend": q_group_trend,
         "scrub_pii": q_scrub_pii,
+        "triangle_counts": q_triangle_counts,
+        "pagerank_parts": q_pagerank,
+        "bfs_hops": q_bfs_hops,
+        "geary_c": q_geary_c,
+        "ripley_k": q_ripley_k,
     }
 
 
@@ -4430,4 +4696,9 @@ GROUP BY p.admin_code
         "gi_star": _GI_STAR_SQL,
         "group_trend": _GROUP_TREND_SQL,
         "scrub_pii": _scrub_sql(),
+        "triangle_counts": _TRIANGLE_SQL,
+        "pagerank_parts": _pagerank_sql(),
+        "bfs_hops": _BFS_SQL,
+        "geary_c": _GEARY_SQL,
+        "ripley_k": _ripley_sql(),
     }

@@ -311,3 +311,191 @@ def dedup_components(
         "component",
         F.count("*").over(w).alias("csize"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    the graph-shape statistic of a dedup/co-occurrence pair list
+    (clustering structure of LSH components, co-purchase cliques).
+    Returns (node, triangles) for every node on >= 1 triangle.
+
+    Algorithm: degree-ordered node-iterator (Schank & Wagner 2005 /
+    the MapReduce formulation of Suri & Vassilvitskii "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11 — public).
+    Each edge is oriented from its (degree, id)-smaller endpoint, so
+    every triangle x<y<z in that total order is found exactly once as
+    the wedge (x->y, x->z) closed by (y->z):
+
+      1. canonicalize: (a=min, b=max) distinct, self-loops dropped;
+      2. degrees via one map-side-combinable groupBy;
+      3. orient by (deg, id) — out-degree is then O(sqrt(|E|)) for
+         ANY graph (arboricity bound), so the wedge self-join below
+         cannot blow up on a high-degree hub: the curse-of-the-last-
+         reducer skew case is structurally capped;
+      4. wedge self-join on the source + one equi-join against the
+         oriented edges to close the wedge;
+      5. triangle corners union -> groupBy count.
+
+    All-JVM shuffle equi-joins, no UDF, no driver collect. The wedge
+    set is the scale driver (sum of C(outdeg, 2) <= |E|^{3/2}); AQE
+    handles residual key skew.
+    """
+    canon = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oe = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oe.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oe.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedges.join(
+        oe.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select(F.col("u").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z"))
+    return (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Brin & Page 1998, public) over a
+    directed edge list. Returns (node, rank) with rank rounded to 6
+    decimals (summation-order noise across engines is ~1e-15/term;
+    the round is the engine-portable canon, same policy as bm25).
+
+    Update: r'(v) = (1-d)/n + d * (sum_{u->v} r(u)/out(u) + D/n)
+    where D is the total rank of dangling (out-degree-0) nodes —
+    redistributed uniformly, the standard stochastic-matrix fix-up.
+
+    Scale shape: the edge list never moves after the first hash
+    partition — each iteration is one broadcast-or-shuffle equi-join
+    of the O(n) rank vector against the edges plus a map-side-
+    combinable groupBy; the dangling mass is a 1-row aggregate
+    crossJoin (never a driver collect inside the loop). Per-iteration
+    ``localCheckpoint`` keeps the plan O(1) in iteration count.
+    The only driver action is the upfront node count (one scalar).
+    """
+    links = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        links.select(F.col("u").alias("node"))
+        .unionAll(links.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = links.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = F.lit((1.0 - damping) / n)
+    for _ in range(iterations):
+        contribs = (
+            links.join(outdeg, "u")
+            .join(
+                ranks.select(F.col("node").alias("u"), F.col("rank").alias("_r")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("_r") / F.col("od")).alias("_s"))
+        )
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                (
+                    base
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_s"), F.lit(0.0)) + F.col("_d") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source=None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Single-source shortest hop distances (unweighted BFS) over an
+    undirected graph. Returns (node, hop) for every node reachable
+    from ``source`` (default: the minimum node id — deterministic and
+    reproducible by the DuckDB recursive-CTE oracle). Hops are exact
+    integers — no FP canon needed.
+
+    Frontier iteration: each round expands only the NEW frontier
+    (one equi-join frontier x edges + one anti-join against settled
+    nodes), so total join work is O(|E| * diameter-locality), not
+    O(|E| * rounds); ``localCheckpoint`` per round keeps plans flat.
+    Termination is exact (empty frontier). Raises ``RuntimeError``
+    beyond ``max_iter`` (a diameter bound, not a convergence guess).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if source is None:
+        source = sym.agg(F.min("a")).collect()[0][0]
+    id_t = sym.schema["a"].dataType.simpleString()
+    dist = spark.createDataFrame(
+        [(source, 0)], schema=f"node {id_t}, hop int"
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    for hop in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hop"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return dist
+        dist = dist.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    raise RuntimeError(f"bfs_distances exceeded max_iter={max_iter}")

@@ -1684,3 +1684,180 @@ def getis_ord_gi_star(
             ).alias("gi_star"),
         )
     )
+
+
+def geary_c(
+    cells_df: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Global Geary's C spatial autocorrelation (Geary 1954, public)
+    over a sparse grid raster with binary Moore (8-neighbor) weights:
+
+        C = (n-1) * sum_ij w_ij (x_i - x_j)^2
+            / (2 * S0 * sum_i (x_i - xbar)^2)
+
+    The local-difference complement to :func:`morans_i` (C < 1
+    clustered, > 1 dispersed, ~1 random; C is sensitive to
+    neighbor-level contrast where I is to global covariance). Emits
+    ONE row (n, s0, geary_c) rounded to 6 decimals.
+
+    Identical scale shape to :func:`morans_i`: 8-offset integer
+    cell-id scatter + one equi-join against present cells — the
+    weight matrix never materializes; (n, xbar) is the bounded
+    two-scalar driver collect; input is the already-aggregated
+    raster so every exchange moves (8-byte id, double) pairs.
+    """
+    stats = cells_df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("xbar")
+    ).collect()[0]
+    n, xbar = int(stats["n"]), float(stats["xbar"])
+    base = F.lit(int(res)) * F.lit(1 << 58)
+    i = F.shiftright(F.col(cell_col) - base, 29)
+    j = F.col(cell_col) % F.lit(1 << 29)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+    )
+    scattered = cells_df.select(
+        F.col(value_col).alias("_xi"),
+        i.alias("_i"),
+        j.alias("_j"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_xi",
+        (
+            base
+            + (F.col("_i") + F.col("_o.di")) * F.lit(1 << 29)
+            + (F.col("_j") + F.col("_o.dj"))
+        ).alias(cell_col),
+    )
+    pairs = scattered.join(
+        cells_df.select(cell_col, F.col(value_col).alias("_xj")), cell_col
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(
+            (F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
+        ).alias("num"),
+    )
+    den = cells_df.agg(
+        F.sum(
+            (F.col(value_col) - F.lit(xbar))
+            * (F.col(value_col) - F.lit(xbar))
+        ).alias("den")
+    )
+    return num.crossJoin(den).select(
+        F.lit(n).cast("long").alias("n"),
+        F.col("s0"),
+        F.round(
+            F.lit(float(n - 1))
+            * F.col("num")
+            / (F.lit(2.0) * F.col("s0") * F.col("den")),
+            6,
+        ).alias("geary_c"),
+    )
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list[float],
+    area: float,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic (Ripley 1977, public) at the
+    given radii, planar coordinates, no edge correction (the "raw"
+    K̂(r) = area/(n(n-1)) * #{ordered pairs with d <= r}):
+    one row per radius — (r, n_pairs [unordered], k_hat round 6),
+    K̂(r) > pi*r^2 means clustering at range r, < means inhibition.
+
+    Scale shape: the all-pairs distance matrix never exists. Points
+    are bucketed into square cells of side max(radii); the probe side
+    keys on its OWN cell while the build side scatters to its 3x3
+    neighborhood (the IDW/focal scatter-gather shape) — every pair
+    within max(radii) lands in exactly one (cell, di, dj) bucket, so
+    the candidate join is a plain equi-join on two ints with
+    candidate count ~ n * density, not n^2. One conditional
+    aggregation (sum(d2 <= r^2) per radius) over the candidates ends
+    the job. Dedup-by-construction: the unordered pair (a, b) appears
+    once (id_a < id_b filter on the single scatter direction).
+
+    The cell side is max(radii) * (1 + 1e-9): the epsilon guarantees
+    a pair at EXACTLY max(radii) can never straddle two cells under
+    FP division rounding — the oracle is a brute-force cross join, so
+    a dropped boundary pair would hash-mismatch.
+
+    Bounded driver collect: (n,) one scalar. `radii` is a plan-time
+    Python list (one aggregate column each), never data.
+    """
+    if not radii:
+        raise ValueError("ripley_k needs at least one radius")
+    rmax = float(max(radii))
+    if rmax <= 0:
+        raise ValueError("radii must be positive")
+    n = points.count()
+    cell = rmax * (1.0 + 1e-9)
+    ci = F.floor(F.col(x_col) / F.lit(cell))
+    cj = F.floor(F.col(y_col) / F.lit(cell))
+    left = points.select(
+        F.col(id_col).alias("_ida"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+        ci.alias("_ci"),
+        cj.alias("_cj"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    right = points.select(
+        F.col(id_col).alias("_idb"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+        ci.alias("_bi"),
+        cj.alias("_bj"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_idb",
+        "_xb",
+        "_yb",
+        (F.col("_bi") + F.col("_o.di")).alias("_ci"),
+        (F.col("_bj") + F.col("_o.dj")).alias("_cj"),
+    )
+    d2 = (
+        (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))
+        + (F.col("_ya") - F.col("_yb")) * (F.col("_ya") - F.col("_yb"))
+    )
+    cand = (
+        left.join(right, ["_ci", "_cj"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(d2.alias("_d2"))
+    )
+    aggs = cand.agg(
+        *[
+            F.sum(
+                (F.col("_d2") <= F.lit(float(r) * float(r))).cast("long")
+            ).alias(f"_c{k}")
+            for k, r in enumerate(radii)
+        ]
+    )
+    # unpivot the one-row aggregate into (r, n_pairs, k_hat) rows
+    stack_expr = ", ".join(
+        f"CAST({float(r)!r} AS DOUBLE), _c{k}" for k, r in enumerate(radii)
+    )
+    return aggs.selectExpr(
+        f"stack({len(radii)}, {stack_expr}) AS (r, n_pairs)"
+    ).select(
+        "r",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.round(
+            F.lit(float(area))
+            * F.lit(2.0)
+            * F.coalesce("n_pairs", F.lit(0))
+            / F.lit(float(n) * float(n - 1)),
+            6,
+        ).alias("k_hat"),
+    )

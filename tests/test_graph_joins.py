@@ -405,3 +405,184 @@ class TestRangeJoinRandomSweep:
         )
         assert got == want
         assert len(want) > 1000  # the sweep actually exercises matches
+
+
+class TestTriangleCount:
+    @staticmethod
+    def _brute(edges):
+        import itertools
+
+        adj = {}
+        es = set()
+        for a, b in edges:
+            if a == b:
+                continue
+            x, y = min(a, b), max(a, b)
+            if (x, y) in es:
+                continue
+            es.add((x, y))
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        counts = {}
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for v in (x, y, z):
+                    counts[v] = counts.get(v, 0) + 1
+        return counts
+
+    def test_small_graph(self, spark):
+        from ksj2gp_spark.operators.graph import triangle_count
+
+        # two triangles sharing an edge + a pendant + a square (no tri)
+        edges = [
+            (1, 2), (2, 3), (1, 3),        # triangle
+            (2, 4), (3, 4),                # second triangle on (2,3)
+            (4, 5),                        # pendant
+            (10, 11), (11, 12), (12, 13), (13, 10),  # square
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == self._brute(edges)
+
+    def test_direction_dup_selfloop_invariance(self, spark):
+        from ksj2gp_spark.operators.graph import triangle_count
+
+        clean = [(1, 2), (2, 3), (1, 3)]
+        noisy = clean + [(2, 1), (3, 2), (1, 1), (1, 2), (3, 1)]
+        df = spark.createDataFrame(noisy, "src long, dst long")
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_random_graph_matches_brute(self, spark):
+        import random
+
+        from ksj2gp_spark.operators.graph import triangle_count
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(160)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == self._brute(edges)
+
+    def test_hub_skew_orientation(self, spark):
+        # star hub of degree 40 + one rim edge: exactly one triangle;
+        # degree orientation must point rim->hub so the wedge join
+        # never fans out on the hub
+        from ksj2gp_spark.operators.graph import triangle_count
+
+        edges = [(0, i) for i in range(1, 41)] + [(1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+
+
+class TestPagerank:
+    @staticmethod
+    def _brute(edges, n_iter=8, d=0.85):
+        nodes = sorted({x for e in edges for x in e})
+        n = len(nodes)
+        out = {}
+        for u, _ in edges:
+            out[u] = out.get(u, 0) + 1
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            s = {v: 0.0 for v in nodes}
+            for u, v in edges:
+                s[v] += r[u] / out[u]
+            dang = sum(r[v] for v in nodes if v not in out)
+            r = {
+                v: (1 - d) / n + d * (s[v] + dang / n) for v in nodes
+            }
+        return {v: round(x, 6) for v, x in r.items()}
+
+    def test_cycle_is_uniform(self, spark):
+        from ksj2gp_spark.operators.graph import pagerank
+
+        edges = [(i, (i + 1) % 5) for i in range(5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+        assert got == {i: 0.2 for i in range(5)}
+
+    def test_matches_reference_iteration(self, spark):
+        import random
+
+        from ksj2gp_spark.operators.graph import pagerank
+
+        rng = random.Random(11)
+        edges = list(
+            {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+        want = self._brute(edges)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+
+    def test_dangling_mass_conserved(self, spark):
+        # 1->2->3, 3 dangling: total rank must stay 1.0
+        from ksj2gp_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        rows = pagerank(df, iterations=12).collect()
+        total = sum(r["rank"] for r in rows)
+        assert abs(total - 1.0) < 1e-5
+        want = self._brute([(1, 2), (2, 3)], n_iter=12)
+        for r in rows:
+            assert abs(r["rank"] - want[r["node"]]) < 2e-6
+
+
+class TestBfsDistances:
+    @staticmethod
+    def _brute(edges, source):
+        from collections import deque
+
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {source: 0}
+        q = deque([source])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    def test_path_and_unreachable(self, spark):
+        from ksj2gp_spark.operators.graph import bfs_distances
+
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11)]  # 10,11 unreachable
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["hop"] for r in bfs_distances(df).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_explicit_source_and_cycle(self, spark):
+        from ksj2gp_spark.operators.graph import bfs_distances
+
+        edges = [(i, (i + 1) % 6) for i in range(6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["hop"] for r in bfs_distances(df, source=2).collect()
+        }
+        assert got == {2: 0, 1: 1, 3: 1, 0: 2, 4: 2, 5: 3}
+
+    def test_random_graph_matches_bfs(self, spark):
+        import random
+
+        from ksj2gp_spark.operators.graph import bfs_distances
+
+        rng = random.Random(3)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(55)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        src = min(min(e) for e in edges)
+        got = {r["node"]: r["hop"] for r in bfs_distances(df).collect()}
+        assert got == self._brute(edges, src)

@@ -958,3 +958,170 @@ class TestGetisOrdGiStar:
         expect = (si - xbar * w) / (s * math.sqrt((n * w - w * w) / (n - 1)))
         assert abs(rows[mk(5, 5)]["gi_star"] - round(expect, 6)) < 1e-9
         assert rows[mk(0, 0)]["gi_star"] > 0 > rows[mk(5, 5)]["gi_star"]
+
+
+class TestGearyC:
+    def test_hand_computed_row(self, spark):
+        """Three cells in a row, values [1,5,3]: xbar=3, directed
+        adjacent pairs diffs^2: (1-5)^2 + (5-1)^2 + (5-3)^2 + (3-5)^2
+        = 40, den = sum (x-xbar)^2 = 8, S0 = 4 ->
+        C = (n-1)*40 / (2*4*8) = 2*40/64 = 1.25."""
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import geary_c
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        cells = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": [mk(4, 5), mk(5, 5), mk(6, 5)],
+                    "value": [1.0, 5.0, 3.0],
+                }
+            )
+        )
+        row = geary_c(cells, res=res).collect()[0]
+        assert (row["n"], row["s0"]) == (3, 4)
+        assert row["geary_c"] == 1.25
+
+    def test_clustered_below_one_dispersed_above(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import geary_c
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        half = pd.DataFrame(
+            {
+                "cell": [mk(i, j) for i in range(4) for j in range(4)],
+                "value": [
+                    10.0 if i < 2 else 0.0 for i in range(4) for j in range(4)
+                ],
+            }
+        )
+        board = pd.DataFrame(
+            {
+                "cell": [mk(i, j) for i in range(4) for j in range(4)],
+                "value": [
+                    float((i + j) % 2) for i in range(4) for j in range(4)
+                ],
+            }
+        )
+        c_half = geary_c(spark.createDataFrame(half), res=res).collect()[0]
+        c_board = geary_c(spark.createDataFrame(board), res=res).collect()[0]
+        assert c_half["geary_c"] < 1.0
+        assert c_board["geary_c"] > 1.0
+
+    def test_matches_brute_force_definition(self, spark):
+        import numpy as np
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import geary_c
+
+        rng = np.random.default_rng(5)
+        res = 10
+        base = res * (1 << 58)
+        coords = [(i, j) for i in range(6) for j in range(6) if (i * 7 + j) % 3]
+        vals = rng.uniform(0, 10, len(coords))
+        cells = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": [base + i * (1 << 29) + j for i, j in coords],
+                    "value": vals,
+                }
+            )
+        )
+        row = geary_c(cells, res=res).collect()[0]
+        # brute force over all directed Moore-adjacent pairs
+        idx = {c: k for k, c in enumerate(coords)}
+        num = s0 = 0.0
+        for (i, j), k in idx.items():
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if (di, dj) == (0, 0):
+                        continue
+                    nb = idx.get((i + di, j + dj))
+                    if nb is not None:
+                        s0 += 1
+                        num += (vals[k] - vals[nb]) ** 2
+        den = float(((vals - vals.mean()) ** 2).sum())
+        want = (len(coords) - 1) * num / (2 * s0 * den)
+        assert row["s0"] == s0
+        assert row["geary_c"] == pytest.approx(want, abs=2e-6)
+
+
+class TestRipleyK:
+    @staticmethod
+    def _brute(pts, radii, area):
+        n = len(pts)
+        out = {}
+        for r in radii:
+            c = 0
+            for a in range(n):
+                for b in range(a + 1, n):
+                    dx = pts[a][0] - pts[b][0]
+                    dy = pts[a][1] - pts[b][1]
+                    if dx * dx + dy * dy <= r * r:
+                        c += 1
+            out[r] = (c, round(area * 2.0 * c / (n * (n - 1)), 6))
+        return out
+
+    def _run(self, spark, pts, radii, area):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import ripley_k
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"p{k:04d}" for k in range(len(pts))],
+                    "lon": [p[0] for p in pts],
+                    "lat": [p[1] for p in pts],
+                }
+            )
+        )
+        return {
+            r["r"]: (r["n_pairs"], r["k_hat"])
+            for r in ripley_k(df, radii=radii, area=area).collect()
+        }
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(17)
+        pts = [(rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(120)]
+        radii = [0.5, 1.0, 2.0]
+        got = self._run(spark, pts, radii, area=100.0)
+        assert got == self._brute(pts, radii, 100.0)
+
+    def test_boundary_pair_at_exact_rmax(self, spark):
+        # two points exactly rmax apart, axis-aligned AND far from the
+        # origin (worst case for cell-boundary float rounding)
+        pts = [(1000.0, 1000.0), (1000.0 + 2.0, 1000.0), (5000.0, 5000.0)]
+        got = self._run(spark, pts, [1.0, 2.0], area=1.0)
+        assert got[1.0][0] == 0
+        assert got[2.0][0] == 1
+
+    def test_clustered_exceeds_csr(self, spark):
+        # 60 points in a tight blob inside a 100-unit square: K(r)
+        # far above pi r^2
+        import math
+        import random
+
+        rng = random.Random(9)
+        pts = [
+            (50 + rng.uniform(-1, 1), 50 + rng.uniform(-1, 1))
+            for _ in range(60)
+        ]
+        got = self._run(spark, pts, [3.0], area=100.0 * 100.0)
+        assert got[3.0][1] > math.pi * 9.0 * 10
+
+    def test_validates_inputs(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import ripley_k
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"image_id": ["a"], "lon": [0.0], "lat": [0.0]})
+        )
+        with pytest.raises(ValueError):
+            ripley_k(df, radii=[], area=1.0)
+        with pytest.raises(ValueError):
+            ripley_k(df, radii=[-1.0], area=1.0)
