@@ -4474,6 +4474,58 @@ SELECT CAST({float(r)!r} AS DOUBLE) AS r,
     )
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed DBSCAN (operators/spatial.py::dbscan, Ester
+    et al. 1996) over the synthetic image points: eps=0.06 deg,
+    min_pts=4 — the prefecture bands yield 44 clusters with a
+    core/border/noise mix at sf0.01. Spark prunes via the 3x3 cell-bucketed pair join +
+    connected components over core-core edges; the oracle is the
+    brute-force cross join + recursive-CTE min-label components, so
+    one dropped boundary pair or a wrong border/noise assignment
+    hash-mismatches."""
+    from ksj2gp_spark.operators.spatial import dbscan
+
+    imgs = _images_from_customer(spark, sf_dir)
+    return dbscan(imgs, eps=0.06, min_pts=4)
+
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE {_IMAGES_CTE.strip()},
+pairs AS (
+  SELECT a.image_id AS ida, b.image_id AS idb
+  FROM images a JOIN images b
+    ON (a.lon - b.lon) * (a.lon - b.lon)
+       + (a.lat - b.lat) * (a.lat - b.lat) <= 0.06 * 0.06
+),
+cnt AS (SELECT ida AS id, count(*) AS n_nbrs FROM pairs GROUP BY ida),
+cores AS (SELECT id FROM cnt WHERE n_nbrs >= 4),
+core_edges AS (
+  SELECT p.ida AS s, p.idb AS d
+  FROM pairs p
+  JOIN cores ca ON ca.id = p.ida
+  JOIN cores cb ON cb.id = p.idb
+),
+walk(node, label) AS (
+  SELECT s, s FROM core_edges
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN core_edges e ON e.s = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+nbr AS (
+  SELECT p.ida AS id, MIN(c.component) AS bl
+  FROM pairs p JOIN comp c ON c.node = p.idb
+  GROUP BY p.ida
+)
+SELECT n.id AS image_id,
+       COALESCE(c.component, b.bl, '') AS cluster,
+       (n.n_nbrs >= 4) AS is_core,
+       n.n_nbrs
+FROM cnt n
+LEFT JOIN comp c ON c.node = n.id
+LEFT JOIN nbr b ON b.id = n.id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -4578,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "geary_c": q_geary_c,
         "ripley_k": q_ripley_k,
+        "dbscan_clusters": q_dbscan,
     }
 
 
@@ -4701,4 +4754,5 @@ GROUP BY p.admin_code
         "bfs_hops": _BFS_SQL,
         "geary_c": _GEARY_SQL,
         "ripley_k": _ripley_sql(),
+        "dbscan_clusters": _DBSCAN_SQL,
     }

@@ -1861,3 +1861,137 @@ def ripley_k(
             6,
         ).alias("k_hat"),
     )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "image_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Exact distributed DBSCAN (Ester et al. 1996, public), planar
+    coordinates. One row per input point: (id, cluster, is_core,
+    n_nbrs). ``n_nbrs`` counts eps-neighbors INCLUDING the point
+    itself (an isolated point has n_nbrs = 1 — the textbook
+    |N_eps(p)| with p in its own neighborhood); ``is_core`` =
+    n_nbrs >= min_pts; ``cluster`` is the MINIMUM core-point id of
+    the point's cluster — a deterministic canonical label any engine
+    reproduces (the DuckDB oracle replays it with a recursive CTE).
+    Border points (non-core within eps of >= 1 core) take the minimum
+    cluster label among their in-range cores — the deterministic
+    resolution of DBSCAN's only scan-order-dependent choice. Noise
+    points keep the empty-string cluster (NULL for non-string ids) —
+    auditable, never silently dropped.
+
+    Scale shape — the n^2 distance matrix never exists:
+
+    1. points bucket into square cells of side eps*(1+1e-9); the
+       epsilon guarantees a pair at EXACTLY eps cannot straddle the
+       3x3 neighborhood under FP division rounding (the brute-force
+       oracle would hash-mismatch on one dropped boundary pair);
+    2. the probe side keys on its own cell, the build side scatters
+       to its 3x3 neighborhood (the IDW/Ripley scatter-gather): the
+       candidate join is a two-int equi-join with ~ n * density
+       candidates, the exact d2 <= eps^2 refine fused into it. A
+       dense urban core is the ordinary AQE skew case on the cell
+       key;
+    3. neighbor counts are ONE map-side-combinable groupBy; core-core
+       edges (self-pairs keep singleton cores present) feed
+       :func:`~ksj2gp_spark.operators.graph.connected_components`
+       (pointer-jumping contraction, O(log n) rounds); border labels
+       are one more groupBy(min). Labels shuffle as (id, label)
+       pairs only — geometry never rides the graph stage.
+
+    The pair frame is lazily ``localCheckpoint``-ed so its three
+    consumers (counts, core edges, border labels) reuse one
+    materialization instead of recomputing the candidate join.
+    """
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    from .graph import connected_components
+
+    cell = float(eps) * (1.0 + 1e-9)
+    ci = F.floor(F.col(x_col) / F.lit(cell))
+    cj = F.floor(F.col(y_col) / F.lit(cell))
+    left = points.select(
+        F.col(id_col).alias("_ida"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+        ci.alias("_ci"),
+        cj.alias("_cj"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    right = points.select(
+        F.col(id_col).alias("_idb"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+        ci.alias("_bi"),
+        cj.alias("_bj"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_idb",
+        "_xb",
+        "_yb",
+        (F.col("_bi") + F.col("_o.di")).alias("_ci"),
+        (F.col("_bj") + F.col("_o.dj")).alias("_cj"),
+    )
+    d2 = (
+        (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))
+        + (F.col("_ya") - F.col("_yb")) * (F.col("_ya") - F.col("_yb"))
+    )
+    pairs = (
+        left.join(right, ["_ci", "_cj"])
+        .filter(d2 <= F.lit(float(eps) * float(eps)))
+        .select("_ida", "_idb")
+        .localCheckpoint(eager=False)
+    )
+    cnt = pairs.groupBy("_ida").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    cores = cnt.filter(F.col("n_nbrs") >= F.lit(int(min_pts))).select(
+        F.col("_ida").alias("_core")
+    )
+    core_edges = pairs.join(
+        cores, pairs["_ida"] == cores["_core"], "left_semi"
+    )
+    core_edges = core_edges.join(
+        cores, core_edges["_idb"] == cores["_core"], "left_semi"
+    )
+    comp = connected_components(core_edges, src="_ida", dst="_idb")
+    nbr_label = (
+        pairs.join(
+            comp.select(
+                F.col("node").alias("_idb"),
+                F.col("component").alias("_c"),
+            ),
+            "_idb",
+        )
+        .groupBy("_ida")
+        .agg(F.min("_c").alias("_bl"))
+    )
+    return (
+        cnt.join(
+            comp.select(
+                F.col("node").alias("_ida"),
+                F.col("component").alias("_cc"),
+            ),
+            "_ida",
+            "left",
+        )
+        .join(nbr_label, "_ida", "left")
+        .select(
+            F.col("_ida").alias(id_col),
+            (
+                F.coalesce("_cc", "_bl", F.lit(""))
+                if points.schema[id_col].dataType.simpleString() == "string"
+                else F.coalesce("_cc", "_bl")
+            ).alias("cluster"),
+            (F.col("n_nbrs") >= F.lit(int(min_pts))).alias("is_core"),
+            "n_nbrs",
+        )
+    )

@@ -1125,3 +1125,143 @@ class TestRipleyK:
             ripley_k(df, radii=[], area=1.0)
         with pytest.raises(ValueError):
             ripley_k(df, radii=[-1.0], area=1.0)
+
+
+class TestDbscan:
+    """Exact distributed DBSCAN (operators/spatial.py::dbscan)."""
+
+    @staticmethod
+    def _run(spark, pts, eps, min_pts):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import dbscan
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [p[0] for p in pts],
+                    "lon": [float(p[1]) for p in pts],
+                    "lat": [float(p[2]) for p in pts],
+                }
+            )
+        )
+        out = dbscan(df, eps=eps, min_pts=min_pts).toPandas()
+        return {
+            r.image_id: (r.cluster, bool(r.is_core), int(r.n_nbrs))
+            for r in out.itertuples()
+        }
+
+    @staticmethod
+    def _reference(pts, eps, min_pts):
+        """Serial textbook DBSCAN with the same deterministic label
+        rule: cluster = min core id of the component; border = min
+        label among in-range cores; noise = ''."""
+        import math
+
+        ids = [p[0] for p in pts]
+        n = len(pts)
+        nbrs = {
+            i: [
+                j
+                for j in range(n)
+                if (pts[i][1] - pts[j][1]) ** 2
+                + (pts[i][2] - pts[j][2]) ** 2
+                <= eps * eps
+            ]
+            for i in range(n)
+        }
+        core = {i for i in range(n) if len(nbrs[i]) >= min_pts}
+        # union-find over core-core pairs within eps
+        parent = {i: i for i in core}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in core:
+            for j in nbrs[i]:
+                if j in core:
+                    a, b = find(i), find(j)
+                    if a != b:
+                        parent[a] = b
+        comp = {}
+        for i in core:
+            comp.setdefault(find(i), []).append(i)
+        label = {}
+        for members in comp.values():
+            lab = min(ids[i] for i in members)
+            for i in members:
+                label[i] = lab
+        out = {}
+        for i in range(n):
+            if i in core:
+                out[ids[i]] = (label[i], True, len(nbrs[i]))
+            else:
+                in_range = [label[j] for j in nbrs[i] if j in core]
+                out[ids[i]] = (
+                    min(in_range) if in_range else "",
+                    False,
+                    len(nbrs[i]),
+                )
+        return out
+
+    def test_hand_computed_clusters_border_noise(self, spark):
+        # cluster A: a,b,c mutually within eps (cores at min_pts=3);
+        # border: d within eps of c only (n_nbrs=2, non-core);
+        # noise: e far away; cluster B: f,g,h colinear chain
+        pts = [
+            ("a", 0.0, 0.0),
+            ("b", 0.6, 0.0),
+            ("c", 0.3, 0.5),
+            ("d", 0.3, 1.4),
+            ("e", 50.0, 50.0),
+            ("f", 10.0, 10.0),
+            ("g", 10.9, 10.0),
+            ("h", 10.45, 10.6),
+        ]
+        got = self._run(spark, pts, eps=1.0, min_pts=3)
+        assert got == self._reference(pts, 1.0, 3)
+        assert got["a"] == ("a", True, 3)
+        assert got["d"] == ("a", False, 2)   # border via c
+        assert got["e"] == ("", False, 1)    # noise
+        assert got["f"][0] == "f" and got["f"][1]
+
+    def test_random_equals_serial_reference(self, spark):
+        import random
+
+        rng = random.Random(41)
+        pts = [
+            (f"p{i:03d}", rng.uniform(0, 10), rng.uniform(0, 10))
+            for i in range(180)
+        ]
+        eps, min_pts = 0.8, 4
+        assert self._run(spark, pts, eps, min_pts) == self._reference(
+            pts, eps, min_pts
+        )
+
+    def test_exact_eps_boundary_pair_counts(self, spark):
+        # two points exactly eps apart, far from the origin (cell
+        # division rounding stress): each must see the other
+        pts = [("a", 4000.0, 7000.0), ("b", 4000.0 + 2.5, 7000.0)]
+        got = self._run(spark, pts, eps=2.5, min_pts=2)
+        assert got["a"] == ("a", True, 2)
+        assert got["b"] == ("a", True, 2)
+
+    def test_chain_is_one_cluster_min_label(self, spark):
+        # a long chain of cores: min id propagates end to end
+        pts = [(f"n{i:02d}", float(i), 0.0) for i in range(40)]
+        got = self._run(spark, pts, eps=1.0, min_pts=2)
+        assert all(v[0] == "n00" and v[1] for v in got.values())
+
+    def test_validates_inputs(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import dbscan
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"image_id": ["a"], "lon": [0.0], "lat": [0.0]})
+        )
+        with pytest.raises(ValueError):
+            dbscan(df, eps=0.0, min_pts=2)
+        with pytest.raises(ValueError):
+            dbscan(df, eps=1.0, min_pts=0)
