@@ -4526,6 +4526,48 @@ LEFT JOIN nbr b ON b.id = n.id
 """
 
 
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epanechnikov splat heatmap (operators/spatial.py::kde_heatmap)
+    of the synthetic image points: bandwidth 0.1 deg on a 0.05-deg
+    grid (splat radius R=2, a 25-offset plan-time explode). One
+    map-side-combinable groupBy on the cell id; no driver collect.
+    The oracle replays the identical splat/refine arithmetic in
+    DuckDB; round-6 absorbs summation-order noise."""
+    from ksj2gp_spark.operators.spatial import kde_heatmap
+
+    imgs = _images_from_customer(spark, sf_dir)
+    return kde_heatmap(imgs, bandwidth=0.1, cell_size=0.05)
+
+
+_KDE_SQL = f"""
+WITH {_IMAGES_CTE.strip()},
+offs AS (
+  SELECT di.x AS di, dj.x AS dj
+  FROM range(-2, 3) di(x) CROSS JOIN range(-2, 3) dj(x)
+),
+splat AS (
+  SELECT i.lon AS x, i.lat AS y,
+         CAST(floor((i.lon + 180.0) / 0.05) AS BIGINT) + o.di AS ci,
+         CAST(floor((i.lat + 90.0) / 0.05) AS BIGINT) + o.dj AS cj
+  FROM images i CROSS JOIN offs o
+),
+refined AS (
+  SELECT ci, cj,
+         (x - ((ci + 0.5) * 0.05 - 180.0))
+           * (x - ((ci + 0.5) * 0.05 - 180.0))
+         + (y - ((cj + 0.5) * 0.05 - 90.0))
+           * (y - ((cj + 0.5) * 0.05 - 90.0)) AS d2
+  FROM splat
+)
+SELECT (ci + 0.5) * 0.05 - 180.0 AS cell_x,
+       (cj + 0.5) * 0.05 - 90.0 AS cell_y,
+       count(*) AS n_pts,
+       round(sum(1.0 - d2 / (0.1 * 0.1)), 6) AS kde
+FROM refined WHERE d2 < 0.1 * 0.1
+GROUP BY ci, cj
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -4631,6 +4673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geary_c": q_geary_c,
         "ripley_k": q_ripley_k,
         "dbscan_clusters": q_dbscan,
+        "kde_heatmap": q_kde_heatmap,
     }
 
 
@@ -4755,4 +4798,5 @@ GROUP BY p.admin_code
         "geary_c": _GEARY_SQL,
         "ripley_k": _ripley_sql(),
         "dbscan_clusters": _DBSCAN_SQL,
+        "kde_heatmap": _KDE_SQL,
     }

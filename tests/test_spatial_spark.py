@@ -1265,3 +1265,96 @@ class TestDbscan:
             dbscan(df, eps=0.0, min_pts=2)
         with pytest.raises(ValueError):
             dbscan(df, eps=1.0, min_pts=0)
+
+
+class TestKdeHeatmap:
+    """Epanechnikov splat heatmap (operators/spatial.py::kde_heatmap)."""
+
+    @staticmethod
+    def _run(spark, pts, h, s, weights=None):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import kde_heatmap
+
+        pdf = pd.DataFrame(
+            {"lon": [p[0] for p in pts], "lat": [p[1] for p in pts]}
+        )
+        if weights is not None:
+            pdf["wt"] = weights
+        df = spark.createDataFrame(pdf)
+        out = kde_heatmap(
+            df,
+            bandwidth=h,
+            cell_size=s,
+            weight_col="wt" if weights is not None else None,
+        ).toPandas()
+        return {
+            (round(r.cell_x, 9), round(r.cell_y, 9)): (int(r.n_pts), r.kde)
+            for r in out.itertuples()
+        }
+
+    @staticmethod
+    def _reference(pts, h, s, weights=None):
+        import math
+
+        weights = weights or [1.0] * len(pts)
+        out = {}
+        R = int(math.ceil(h / s))
+        for (x, y), w in zip(pts, weights):
+            pi = math.floor((x + 180.0) / s)
+            pj = math.floor((y + 90.0) / s)
+            for di in range(-R, R + 1):
+                for dj in range(-R, R + 1):
+                    cx = (pi + di + 0.5) * s - 180.0
+                    cy = (pj + dj + 0.5) * s - 90.0
+                    d2 = (x - cx) ** 2 + (y - cy) ** 2
+                    if d2 < h * h:
+                        n, k = out.get((round(cx, 9), round(cy, 9)), (0, 0.0))
+                        out[(round(cx, 9), round(cy, 9))] = (
+                            n + 1,
+                            k + w * (1.0 - d2 / (h * h)),
+                        )
+        return {k: (n, round(v, 6)) for k, (n, v) in out.items()}
+
+    def test_single_point_center_of_cell(self, spark):
+        # point dead-center of a cell: kernel max (weight 1.0) at its
+        # own cell center, symmetric decay on the 4-neighborhood
+        got = self._run(spark, [(0.025, 0.025)], h=0.1, s=0.05)
+        assert got[(0.025, 0.025)] == (1, 1.0)
+        for nb in [(0.075, 0.025), (-0.025, 0.025),
+                   (0.025, 0.075), (0.025, -0.025)]:
+            assert got[nb] == (1, 0.75)
+
+    def test_random_equals_serial_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pts = [
+            (rng.uniform(-2, 2), rng.uniform(-2, 2)) for _ in range(300)
+        ]
+        got = self._run(spark, pts, h=0.3, s=0.1)
+        assert got == self._reference(pts, 0.3, 0.1)
+
+    def test_weighted_points(self, spark):
+        pts = [(10.02, 10.02), (10.03, 10.03)]
+        wts = [2.0, 0.5]
+        got = self._run(spark, pts, h=0.2, s=0.1, weights=wts)
+        assert got == self._reference(pts, 0.2, 0.1, wts)
+
+    def test_sparse_cells_never_materialize(self, spark):
+        # one point, h=1 cell: touched cells bounded by (2R+1)^2
+        got = self._run(spark, [(100.0, 50.0)], h=0.05, s=0.05)
+        assert 0 < len(got) <= 9
+
+    def test_validates_inputs(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import kde_heatmap
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": [0.0], "lat": [0.0]})
+        )
+        with pytest.raises(ValueError):
+            kde_heatmap(df, bandwidth=0.0, cell_size=0.1)
+        with pytest.raises(ValueError):
+            kde_heatmap(df, bandwidth=1.0, cell_size=0.0)
+        with pytest.raises(ValueError):
+            kde_heatmap(df, bandwidth=1.0, cell_size=0.05)
