@@ -4383,6 +4383,60 @@ SELECT node, CAST(hop AS INTEGER) AS hop FROM walk
 """
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (operators/graph.py::
+    sssp_distances, frontier Bellman-Ford) over the consecutive-line
+    co-purchase graph with deterministic integer weights
+    w = 1 + (a + b) % 7, source = min part id. Integer distances are
+    exact — the oracle is a distance-capped recursive CTE (cap 112 =
+    7 x the BFS diameter bound the bfs_hops oracle already proves, so
+    no optimal path can exceed it)."""
+    from ksj2gp_spark.operators.graph import sssp_distances
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    edges = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.o") == F.col("y.o"))
+            & (F.col("x.ln") + F.lit(1) == F.col("y.ln"))
+            & (F.col("x.p") != F.col("y.p")),
+        )
+        .select(
+            F.least("x.p", "y.p").alias("src"),
+            F.greatest("x.p", "y.p").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "weight",
+            F.lit(1) + (F.col("src") + F.col("dst")) % F.lit(7),
+        )
+    )
+    return sssp_distances(edges, max_iter=120)
+
+
+_SSSP_SQL = f"""
+WITH {_CHAIN_EDGES_SQL.strip()},
+ew AS (SELECT a, b, 1 + (a + b) % 7 AS w FROM e0),
+e AS (SELECT a AS u, b AS v, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+src AS (SELECT min(u) AS s FROM e),
+walk AS (
+  WITH RECURSIVE rr(node, d) AS (
+    SELECT s, 0 FROM src
+    UNION
+    SELECT e.v, rr.d + e.w FROM rr JOIN e ON e.u = rr.node
+    WHERE rr.d + e.w <= 112
+  )
+  SELECT node, min(d) AS d FROM rr GROUP BY node
+)
+SELECT node, CAST(d AS BIGINT) AS dist FROM walk
+"""
+
+
 def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Geary's C (operators/spatial.py::geary_c) of per-cell
     image counts over the tile raster — the local-contrast complement
@@ -4674,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "dbscan_clusters": q_dbscan,
         "kde_heatmap": q_kde_heatmap,
+        "sssp_dists": q_sssp,
     }
 
 
@@ -4799,4 +4854,5 @@ GROUP BY p.admin_code
         "ripley_k": _ripley_sql(),
         "dbscan_clusters": _DBSCAN_SQL,
         "kde_heatmap": _KDE_SQL,
+        "sssp_dists": _SSSP_SQL,
     }

@@ -499,3 +499,102 @@ def bfs_distances(
         dist = dist.unionAll(nxt).localCheckpoint()
         frontier = nxt.select("node")
     raise RuntimeError(f"bfs_distances exceeded max_iter={max_iter}")
+
+
+def sssp_distances(
+    edges: DataFrame,
+    source=None,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Single-source shortest WEIGHTED distances (frontier
+    Bellman-Ford, public textbook algorithm) over an undirected
+    graph with strictly positive edge weights. Returns (node, dist)
+    for every node reachable from ``source`` (default: the minimum
+    node id — deterministic, recursive-CTE-reproducible). Integer
+    weights give exact integer distances — the contract query uses
+    them so no FP canon is needed.
+
+    Frontier relaxation: each round joins only the IMPROVED frontier
+    against the edge list (equi-join + groupBy(min) + an anti-join
+    merge into the settled map), so a round's work is proportional
+    to the frontier's out-edges, not |E|; after k rounds every
+    shortest path of <= k hops is final, and termination is exact
+    (empty improvement set). ``localCheckpoint`` per round keeps the
+    plan O(1) in iterations. Distance labels shuffle as (node, dist)
+    pairs only.
+
+    Positive weights are VALIDATED (one bounded min() aggregate —
+    a zero or negative weight breaks Bellman-Ford's settling
+    argument and the oracle's distance-capped recursion).
+
+    Raises ``RuntimeError`` past ``max_iter`` rounds (a bound on the
+    hop count of the longest shortest path, not a convergence
+    guess).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).alias("a"),
+                F.col(src).alias("b"),
+                F.col(weight).alias("w"),
+            )
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    wmin = sym.agg(F.min("w")).collect()[0][0]
+    if wmin is not None and wmin <= 0:
+        raise ValueError(
+            f"sssp_distances requires strictly positive weights "
+            f"(min weight = {wmin})"
+        )
+    if source is None:
+        source = sym.agg(F.min("a")).collect()[0][0]
+    id_t = sym.schema["a"].dataType.simpleString()
+    w_t = sym.schema["w"].dataType.simpleString()
+    dist = spark.createDataFrame(
+        [(source, 0)], schema=f"node {id_t}, dist {w_t}"
+    ).localCheckpoint()
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(
+                F.col("b").alias("node"),
+                (frontier["dist"] + sym["w"]).alias("_nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("_nd").alias("_nd"))
+        )
+        improved = (
+            cand.join(
+                dist.select(
+                    F.col("node").alias("_n"), F.col("dist").alias("_d")
+                ),
+                cand["node"] == F.col("_n"),
+                "left",
+            )
+            .filter(F.col("_d").isNull() | (F.col("_nd") < F.col("_d")))
+            .select("node", F.col("_nd").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            return dist
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionAll(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    raise RuntimeError(f"sssp_distances exceeded max_iter={max_iter}")

@@ -586,3 +586,84 @@ class TestBfsDistances:
         src = min(min(e) for e in edges)
         got = {r["node"]: r["hop"] for r in bfs_distances(df).collect()}
         assert got == self._brute(edges, src)
+
+
+class TestSsspDistances:
+    """Weighted SSSP (operators/graph.py::sssp_distances)."""
+
+    @staticmethod
+    def _run(spark, edges, source=None):
+        import pandas as pd
+        from ksj2gp_spark.operators.graph import sssp_distances
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst", "weight"])
+        )
+        out = sssp_distances(df, source=source).toPandas()
+        return {r.node: r.dist for r in out.itertuples()}
+
+    @staticmethod
+    def _dijkstra(edges, source):
+        import heapq
+
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        dist = {source: 0}
+        pq = [(0, source)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    def test_cheap_detour_beats_direct_edge(self, spark):
+        # a-d direct costs 10; a-b-c-d costs 3
+        edges = [("a", "d", 10), ("a", "b", 1), ("b", "c", 1),
+                 ("c", "d", 1), ("x", "y", 2)]
+        got = self._run(spark, edges)
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_random_graph_equals_dijkstra(self, spark):
+        import random
+
+        rng = random.Random(17)
+        n = 120
+        edges = []
+        for i in range(n):
+            for _ in range(3):
+                j = rng.randrange(n)
+                if i != j:
+                    edges.append(
+                        (f"v{i:03d}", f"v{j:03d}", rng.randint(1, 9))
+                    )
+        got = self._run(spark, edges)
+        assert got == self._dijkstra(edges, "v000")
+
+    def test_parallel_edges_keep_cheapest(self, spark):
+        edges = [("a", "b", 5), ("b", "a", 2), ("a", "b", 7)]
+        got = self._run(spark, edges)
+        assert got == {"a": 0, "b": 2}
+
+    def test_explicit_source_and_unreachable_absent(self, spark):
+        edges = [("a", "b", 3), ("c", "d", 1)]
+        got = self._run(spark, edges, source="c")
+        assert got == {"c": 0, "d": 1}
+
+    def test_rejects_nonpositive_weights(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.graph import sssp_distances
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [("a", "b", 0)], columns=["src", "dst", "weight"]
+            )
+        )
+        with pytest.raises(ValueError):
+            sssp_distances(df)
