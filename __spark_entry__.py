@@ -4622,6 +4622,99 @@ GROUP BY ci, cj
 """
 
 
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory stay-point detection (operators/spatial.py::
+    stay_points — the spatial gaps-and-islands): deterministic
+    synthetic trajectories derived from events (each user camps in a
+    15-ping block with 0.02-deg jitter then jumps 0.5 deg), step
+    threshold 0.05 deg, stays < 5 pings dropped. One shuffle on the
+    user key; the oracle replays the identical windows in DuckDB —
+    exact integer microsecond durations, round-6 centroids."""
+    from ksj2gp_spark.operators.spatial import stay_points
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    seq = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts")
+    )
+    blk = F.floor((seq - F.lit(1)) / F.lit(15.0))
+    jx = (
+        ((F.col("event_id") * F.lit(97) + F.lit(13)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.02)
+    jy = (
+        ((F.col("event_id") * F.lit(31) + F.lit(7)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.02)
+    pings = ev.select(
+        "user_id",
+        "ts",
+        (
+            F.lit(135.0)
+            + (F.col("user_id") % F.lit(10)).cast("double")
+            + blk * F.lit(0.5)
+            + jx
+        ).alias("lon"),
+        (
+            F.lit(34.0)
+            + (F.col("user_id") % F.lit(7)).cast("double") * F.lit(0.5)
+            + blk * F.lit(0.25)
+            + jy
+        ).alias("lat"),
+    )
+    return stay_points(pings, max_step=0.05, min_pings=5)
+
+
+_STAY_SQL = f"""
+WITH seqd AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS seq
+  FROM events
+),
+pings AS (
+  SELECT user_id, ts,
+         135.0 + CAST(user_id % 10 AS DOUBLE)
+           + floor((seq - 1) / 15.0) * 0.5
+           + ((event_id * 97 + 13) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.02
+           AS lon,
+         34.0 + CAST(user_id % 7 AS DOUBLE) * 0.5
+           + floor((seq - 1) / 15.0) * 0.25
+           + ((event_id * 31 + 7) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.02
+           AS lat
+  FROM seqd
+),
+lagged AS (
+  SELECT user_id, ts, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS px,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS py
+  FROM pings
+),
+flagged AS (
+  SELECT user_id, ts, lon, lat,
+         CASE WHEN px IS NULL
+                OR (lon - px) * (lon - px) + (lat - py) * (lat - py)
+                   > 0.05 * 0.05
+              THEN 1 ELSE 0 END AS new_seg
+  FROM lagged
+),
+segd AS (
+  SELECT user_id, ts, lon, lat,
+         SUM(new_seg) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS seg
+  FROM flagged
+)
+SELECT user_id, CAST(seg AS BIGINT) AS stay_seq, count(*) AS n_pings,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       round(avg(lon), 6) AS cx, round(avg(lat), 6) AS cy
+FROM segd
+GROUP BY user_id, seg
+HAVING count(*) >= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -4729,6 +4822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan,
         "kde_heatmap": q_kde_heatmap,
         "sssp_dists": q_sssp,
+        "stay_points": q_stay_points,
     }
 
 
@@ -4855,4 +4949,5 @@ GROUP BY p.admin_code
         "dbscan_clusters": _DBSCAN_SQL,
         "kde_heatmap": _KDE_SQL,
         "sssp_dists": _SSSP_SQL,
+        "stay_points": _STAY_SQL,
     }

@@ -2106,3 +2106,79 @@ def kde_heatmap(
             "kde",
         )
     )
+
+
+def stay_points(
+    pings: DataFrame,
+    max_step: float,
+    min_pings: int = 2,
+    min_duration_us: int = 0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Trajectory stay-point (stop) detection — the spatial
+    gaps-and-islands: a stay is a MAXIMAL run of a user's
+    time-consecutive pings where each step to the previous ping is
+    <= ``max_step`` (planar distance); runs shorter than
+    ``min_pings`` pings or ``min_duration_us`` microseconds are
+    dropped. Emits one row per stay — (user, stay_seq, n_pings,
+    start_ts, end_ts, duration_us, cx, cy) with the centroid rounded
+    to 6 decimals (summation-order canon) and duration in exact
+    integer microseconds. The step rule (distance to the PREVIOUS
+    ping, not to the stay anchor) makes the segmentation a pure
+    window computation — order-deterministic given unique (user, ts)
+    pairs, which the caller must guarantee.
+
+    The temporal complement of sessionization (events' time-gap
+    islands): here the island boundary is a SPATIAL jump. Scale
+    shape: ONE shuffle on the user key; both window passes (lag +
+    running segment count) and the final groupBy ride the same
+    partitioning; per-task memory is bounded by a single user's ping
+    count. All codegen'd expressions — no UDF, no driver collect.
+    """
+    from pyspark.sql import Window
+
+    if max_step <= 0:
+        raise ValueError("max_step must be positive")
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    px = F.lag(x_col).over(w)
+    py = F.lag(y_col).over(w)
+    step2 = (F.col(x_col) - px) * (F.col(x_col) - px) + (
+        F.col(y_col) - py
+    ) * (F.col(y_col) - py)
+    new_seg = F.when(
+        px.isNull() | (step2 > F.lit(float(max_step) ** 2)), 1
+    ).otherwise(0)
+    seg = pings.withColumn("_seg", F.sum(new_seg).over(w))
+    return (
+        seg.groupBy(user_col, "_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            (
+                # cast handles TIMESTAMP_NTZ; the session-tz shift is
+                # identical at both endpoints so the difference is exact
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            ).alias("duration_us"),
+            F.round(F.avg(x_col), 6).alias("cx"),
+            F.round(F.avg(y_col), 6).alias("cy"),
+        )
+        .filter(
+            (F.col("n_pings") >= F.lit(int(min_pings)))
+            & (F.col("duration_us") >= F.lit(int(min_duration_us)))
+        )
+        .select(
+            user_col,
+            F.col("_seg").alias("stay_seq"),
+            "n_pings",
+            "start_ts",
+            "end_ts",
+            "duration_us",
+            "cx",
+            "cy",
+        )
+    )

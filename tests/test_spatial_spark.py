@@ -1358,3 +1358,101 @@ class TestKdeHeatmap:
             kde_heatmap(df, bandwidth=1.0, cell_size=0.0)
         with pytest.raises(ValueError):
             kde_heatmap(df, bandwidth=1.0, cell_size=0.05)
+
+
+class TestStayPoints:
+    """Trajectory stop detection (operators/spatial.py::stay_points)."""
+
+    @staticmethod
+    def _run(spark, rows, max_step, min_pings=2, min_dur=0):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import stay_points
+
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "ts", "lon", "lat"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        df = spark.createDataFrame(pdf)
+        out = stay_points(
+            df,
+            max_step=max_step,
+            min_pings=min_pings,
+            min_duration_us=min_dur,
+        ).toPandas()
+        return sorted(
+            (r.user_id, int(r.stay_seq), int(r.n_pings),
+             int(r.duration_us), round(r.cx, 6), round(r.cy, 6))
+            for r in out.itertuples()
+        )
+
+    def test_two_stays_split_by_jump(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 10.00, 5.00),
+            (1, "2024-01-01 00:10:00", 10.01, 5.00),
+            (1, "2024-01-01 00:20:00", 10.02, 5.01),
+            (1, "2024-01-01 01:00:00", 20.00, 5.00),  # jump
+            (1, "2024-01-01 01:10:00", 20.01, 5.00),
+        ]
+        got = self._run(spark, rows, max_step=0.1)
+        assert got == [
+            (1, 1, 3, 1200_000000, 10.01, round((5.00 + 5.00 + 5.01) / 3, 6)),
+            (1, 2, 2, 600_000000, 20.005, 5.0),
+        ]
+
+    def test_min_pings_and_duration_filters(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.0, 0.0),
+            (1, "2024-01-01 00:00:01", 0.0, 0.0),
+            (1, "2024-01-01 02:00:00", 9.0, 9.0),
+            (1, "2024-01-01 02:30:00", 9.0, 9.0),
+            (1, "2024-01-01 03:00:00", 9.0, 9.0),
+        ]
+        # min_pings=3 drops the first 2-ping stay
+        got = self._run(spark, rows, max_step=0.5, min_pings=3)
+        assert [g[2] for g in got] == [3]
+        # min duration 1h (in us) drops the 1-second stay too
+        got = self._run(
+            spark, rows, max_step=0.5, min_pings=2,
+            min_dur=3600 * 1_000_000,
+        )
+        assert [g[3] for g in got] == [3600 * 1_000_000]
+
+    def test_step_rule_is_to_previous_not_anchor(self, spark):
+        # drifting chain: each step 0.04 <= max_step, total drift 0.16
+        # -> ONE stay under the step rule (anchor rule would split)
+        rows = [
+            (7, f"2024-01-01 00:0{i}:00", 0.04 * i, 0.0)
+            for i in range(5)
+        ]
+        got = self._run(spark, rows, max_step=0.05)
+        assert len(got) == 1 and got[0][2] == 5
+
+    def test_exact_boundary_step_stays(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.0, 0.0),
+            (1, "2024-01-01 00:01:00", 0.05, 0.0),  # exactly max_step
+        ]
+        got = self._run(spark, rows, max_step=0.05)
+        assert len(got) == 1 and got[0][2] == 2
+
+    def test_multi_user_isolation(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.0, 0.0),
+            (2, "2024-01-01 00:00:30", 0.0, 0.0),
+            (1, "2024-01-01 00:01:00", 0.01, 0.0),
+            (2, "2024-01-01 00:01:30", 0.01, 0.0),
+        ]
+        got = self._run(spark, rows, max_step=0.1)
+        assert [(g[0], g[2]) for g in got] == [(1, 2), (2, 2)]
+
+    def test_validates_inputs(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import stay_points
+
+        pdf = pd.DataFrame(
+            {"user_id": [1], "ts": pd.to_datetime(["2024-01-01"]),
+             "lon": [0.0], "lat": [0.0]}
+        )
+        df = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError):
+            stay_points(df, max_step=0.0)
