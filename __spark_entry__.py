@@ -4715,6 +4715,79 @@ HAVING count(*) >= 5
 """
 
 
+_TEXTRANK_ITERS = 6
+_TEXTRANK_DAMPING = 0.85
+_TEXTRANK_MIN_CO = 60
+_TEXTRANK_TOP_N = 40
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators/text.py::
+    textrank_keywords, Mihalcea & Tarau 2004) over documents: top-40
+    tokens by PageRank centrality on the adjacent-token co-occurrence
+    graph (canonical pairs, count >= 60 — the threshold that leaves a
+    degree-6..23 structure instead of a rank-uniform complete graph).
+    The oracle replays the graph
+    build AND every PageRank iteration as chained CTEs; the top-n cut
+    orders by (round-6 rank desc, token) so the boundary is
+    engine-portable."""
+    from ksj2gp_spark.operators.text import textrank_keywords
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return textrank_keywords(
+        d,
+        min_cooccur=_TEXTRANK_MIN_CO,
+        iterations=_TEXTRANK_ITERS,
+        damping=_TEXTRANK_DAMPING,
+        top_n=_TEXTRANK_TOP_N,
+    )
+
+
+def _textrank_sql(
+    iters: int = _TEXTRANK_ITERS,
+    d: float = _TEXTRANK_DAMPING,
+    min_co: int = _TEXTRANK_MIN_CO,
+    top_n: int = _TEXTRANK_TOP_N,
+) -> str:
+    pre = f"""
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+rawp AS (
+  SELECT least(ws[i], ws[i + 1]) AS a, greatest(ws[i], ws[i + 1]) AS b
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) t(i)
+  WHERE len(ws) >= 2 AND ws[i] <> ws[i + 1]
+),
+ed AS (SELECT a, b FROM rawp GROUP BY a, b HAVING count(*) >= {min_co}),
+e AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
+nodes AS (SELECT DISTINCT u AS node FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT u AS node, count(*) AS od FROM e GROUP BY u),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+pr{k} AS (
+  SELECT nd.node,
+         (1.0 - {d!r}) / (SELECT n FROM nn)
+         + {d!r} * coalesce(s.v, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.v AS node, sum(p.rank / o.od) AS v
+    FROM pr{k - 1} p
+    JOIN e ON e.u = p.node
+    JOIN outdeg o ON o.node = p.node
+    GROUP BY e.v
+  ) s ON s.node = nd.node
+)""")
+    return (
+        pre
+        + "".join(steps)
+        + f"""
+SELECT node AS token, round(rank, 6) AS rank
+FROM pr{iters}
+ORDER BY round(rank, 6) DESC, node
+LIMIT {top_n}"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -4823,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_heatmap": q_kde_heatmap,
         "sssp_dists": q_sssp,
         "stay_points": q_stay_points,
+        "textrank_keywords": q_textrank,
     }
 
 
@@ -4950,4 +5024,5 @@ GROUP BY p.admin_code
         "kde_heatmap": _KDE_SQL,
         "sssp_dists": _SSSP_SQL,
         "stay_points": _STAY_SQL,
+        "textrank_keywords": _textrank_sql(),
     }

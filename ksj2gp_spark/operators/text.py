@@ -557,3 +557,68 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    min_cooccur: int = 3,
+    iterations: int = 6,
+    damping: float = 0.85,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau
+    2004, public): tokens are graph nodes, adjacent-token
+    co-occurrence (window 1, canonical unordered pair, count >=
+    ``min_cooccur``) gives the edges, and fixed-iteration PageRank
+    scores centrality. Emits the ``top_n`` tokens as (token, rank),
+    rank rounded to 6 decimals, ordered and CUT deterministically by
+    (rank desc, token) — the tie-break makes the top-n boundary
+    engine-portable.
+
+    Composition, not re-implementation: the bigram explode is the
+    :func:`bigram_pmi` scan fusion (zip_with of the token array with
+    its tail, whole-stage codegen), the scoring loop is
+    :func:`~ksj2gp_spark.operators.graph.pagerank` verbatim. The
+    symmetrized co-occurrence graph has no dangling nodes (every
+    kept token has an edge), so rank mass conservation needs no
+    dangling fix-up in the oracle replay.
+
+    Scale shape: token STRINGS shuffle only after the count
+    aggregation (vocab-sized, not corpus-sized); the PageRank loop
+    moves (token, rank) pairs over the pre-aggregated edge list; the
+    top-n is TakeOrderedAndProject (per-partition heads, no global
+    sort).
+    """
+    from .graph import pagerank
+
+    toks = F.split(F.col(text_col), " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(
+        F.least(F.col("p.a"), F.col("p.b")).alias("a"),
+        F.greatest(F.col("p.a"), F.col("p.b")).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(int(min_cooccur)))
+        .select("a", "b")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    ranks = pagerank(
+        sym, src="a", dst="b", iterations=iterations, damping=damping
+    )
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(int(top_n))
+        .select(F.col("node").alias("token"), "rank")
+    )

@@ -1660,3 +1660,42 @@ class TestGroupTrend:
 
         r = group_trend(corpus, "g", "x", "y").collect()[0]
         assert r["slope"] == 0.0 and r["r2"] == 1.0
+
+
+class TestTextrankKeywords:
+    @staticmethod
+    def _run(spark, texts, **kw):
+        import pandas as pd
+        from ksj2gp_spark.operators.text import textrank_keywords
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return textrank_keywords(df, **kw).toPandas()
+
+    def test_hub_token_ranks_first(self, spark):
+        # 'hub' co-occurs with every spoke >=3x; spokes only with hub:
+        # the star center must out-rank every spoke
+        texts = ["hub a hub b hub c hub d"] * 3
+        out = self._run(spark, texts, min_cooccur=3, top_n=10)
+        assert out.iloc[0]["token"] == "hub"
+        assert set(out["token"]) == {"hub", "a", "b", "c", "d"}
+        # symmetric spokes tie -> ordered by token (deterministic cut)
+        spokes = out[out.token != "hub"]
+        assert list(spokes["token"]) == sorted(spokes["token"])
+        assert spokes["rank"].nunique() == 1
+
+    def test_rank_mass_conserves(self, spark):
+        texts = ["a b a b c d c d"] * 4
+        out = self._run(spark, texts, min_cooccur=2, top_n=100)
+        assert abs(out["rank"].sum() - 1.0) < 1e-4
+
+    def test_min_cooccur_prunes_rare_pairs(self, spark):
+        texts = ["a b a b a b", "x y"]
+        out = self._run(spark, texts, min_cooccur=2, top_n=10)
+        assert set(out["token"]) == {"a", "b"}
+
+    def test_top_n_cut(self, spark):
+        texts = ["a b a b c d c d e f e f"] * 3
+        out = self._run(spark, texts, min_cooccur=2, top_n=3)
+        assert len(out) == 3
