@@ -4715,6 +4715,81 @@ HAVING count(*) >= 5
 """
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/spatial.py::
+    od_matrix): the stay_points trajectories aggregated into 0.5-deg
+    cell-pair trip flows. Pure composition — stay segmentation, one
+    more lag window on the same user partitioning, and a four-int
+    map-side-combinable groupBy. The oracle replays stays + trips +
+    flows in one DuckDB query."""
+    from ksj2gp_spark.operators.spatial import od_matrix
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    seq = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts")
+    )
+    blk = F.floor((seq - F.lit(1)) / F.lit(15.0))
+    jx = (
+        ((F.col("event_id") * F.lit(97) + F.lit(13)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.02)
+    jy = (
+        ((F.col("event_id") * F.lit(31) + F.lit(7)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.02)
+    pings = ev.select(
+        "user_id",
+        "ts",
+        (
+            F.lit(135.0)
+            + (F.col("user_id") % F.lit(10)).cast("double")
+            + blk * F.lit(0.5)
+            + jx
+        ).alias("lon"),
+        (
+            F.lit(34.0)
+            + (F.col("user_id") % F.lit(7)).cast("double") * F.lit(0.5)
+            + blk * F.lit(0.25)
+            + jy
+        ).alias("lat"),
+    )
+    return od_matrix(pings, max_step=0.05, cell_size=0.5, min_pings=5)
+
+
+def _od_matrix_sql() -> str:
+    stays_core = _STAY_SQL.strip().rsplit("SELECT user_id,", 1)[0].rstrip()
+    return f"""{stays_core},
+stays AS (
+  SELECT user_id, min(ts) AS start_ts,
+         round(avg(lon), 6) AS cx, round(avg(lat), 6) AS cy
+  FROM segd
+  GROUP BY user_id, seg
+  HAVING count(*) >= 5
+),
+celled AS (
+  SELECT user_id, start_ts,
+         CAST(floor((cx + 180.0) / 0.5) AS BIGINT) AS ci,
+         CAST(floor((cy + 90.0) / 0.5) AS BIGINT) AS cj
+  FROM stays
+),
+trips AS (
+  SELECT user_id,
+         lag(ci) OVER (PARTITION BY user_id ORDER BY start_ts) AS pi,
+         lag(cj) OVER (PARTITION BY user_id ORDER BY start_ts) AS pj,
+         ci, cj
+  FROM celled
+)
+SELECT (pi + 0.5) * 0.5 - 180.0 AS from_x,
+       (pj + 0.5) * 0.5 - 90.0 AS from_y,
+       (ci + 0.5) * 0.5 - 180.0 AS to_x,
+       (cj + 0.5) * 0.5 - 90.0 AS to_y,
+       count(*) AS n_trips
+FROM trips WHERE pi IS NOT NULL
+GROUP BY pi, pj, ci, cj
+"""
+
+
 _TEXTRANK_ITERS = 6
 _TEXTRANK_DAMPING = 0.85
 _TEXTRANK_MIN_CO = 60
@@ -4897,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_dists": q_sssp,
         "stay_points": q_stay_points,
         "textrank_keywords": q_textrank,
+        "od_matrix": q_od_matrix,
     }
 
 
@@ -5025,4 +5101,5 @@ GROUP BY p.admin_code
         "sssp_dists": _SSSP_SQL,
         "stay_points": _STAY_SQL,
         "textrank_keywords": _textrank_sql(),
+        "od_matrix": _od_matrix_sql(),
     }

@@ -2182,3 +2182,81 @@ def stay_points(
             "cy",
         )
     )
+
+
+def od_matrix(
+    pings: DataFrame,
+    max_step: float,
+    cell_size: float,
+    min_pings: int = 2,
+    min_duration_us: int = 0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Origin-destination flow matrix from raw trajectories — the
+    classic mobility-analytics product: :func:`stay_points` segments
+    each user's pings into stays, consecutive stays (by start time)
+    form a trip, and trips aggregate into per-cell-pair flows.
+    Emits (from_x, from_y, to_x, to_y, n_trips) where from/to are
+    the ``cell_size`` grid-cell CENTERS containing the stay
+    centroids (same-cell trips kept — an auditable "local move"
+    flow, not silently dropped).
+
+    Pure composition: the stay segmentation is stay_points verbatim
+    (ONE user-key shuffle); the trip pairing is one more lag window
+    over the SAME user partitioning (stays are user-bounded rows, so
+    no new exchange of ping-sized data); the flow aggregation is a
+    map-side-combinable groupBy on four small integers. Stay
+    centroids are rounded to 6 decimals BEFORE cell assignment (the
+    stay_points output contract), so the cell id is computed from
+    engine-portable doubles.
+    """
+    from pyspark.sql import Window
+
+    if cell_size <= 0:
+        raise ValueError("cell_size must be positive")
+    s = float(cell_size)
+    stays = stay_points(
+        pings,
+        max_step=max_step,
+        min_pings=min_pings,
+        min_duration_us=min_duration_us,
+        user_col=user_col,
+        ts_col=ts_col,
+        x_col=x_col,
+        y_col=y_col,
+    )
+    ci = F.floor((F.col("cx") + F.lit(180.0)) / F.lit(s)).cast("long")
+    cj = F.floor((F.col("cy") + F.lit(90.0)) / F.lit(s)).cast("long")
+    w = Window.partitionBy(user_col).orderBy("start_ts")
+    celled = stays.select(
+        user_col, "start_ts", ci.alias("_ci"), cj.alias("_cj")
+    ).select(
+        user_col,
+        F.lag("_ci").over(w).alias("_pi"),
+        F.lag("_cj").over(w).alias("_pj"),
+        "_ci",
+        "_cj",
+    )
+    return (
+        celled.filter(F.col("_pi").isNotNull())
+        .groupBy("_pi", "_pj", "_ci", "_cj")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+        .select(
+            ((F.col("_pi") + F.lit(0.5)) * F.lit(s) - F.lit(180.0)).alias(
+                "from_x"
+            ),
+            ((F.col("_pj") + F.lit(0.5)) * F.lit(s) - F.lit(90.0)).alias(
+                "from_y"
+            ),
+            ((F.col("_ci") + F.lit(0.5)) * F.lit(s) - F.lit(180.0)).alias(
+                "to_x"
+            ),
+            ((F.col("_cj") + F.lit(0.5)) * F.lit(s) - F.lit(90.0)).alias(
+                "to_y"
+            ),
+            "n_trips",
+        )
+    )

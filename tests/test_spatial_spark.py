@@ -1456,3 +1456,79 @@ class TestStayPoints:
         df = spark.createDataFrame(pdf)
         with pytest.raises(ValueError):
             stay_points(df, max_step=0.0)
+
+
+class TestOdMatrix:
+    """OD flow matrix (operators/spatial.py::od_matrix)."""
+
+    @staticmethod
+    def _run(spark, rows, max_step, cell_size, **kw):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import od_matrix
+
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "lon", "lat"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        df = spark.createDataFrame(pdf)
+        out = od_matrix(
+            df, max_step=max_step, cell_size=cell_size, **kw
+        ).toPandas()
+        return sorted(
+            (round(r.from_x, 6), round(r.from_y, 6),
+             round(r.to_x, 6), round(r.to_y, 6), int(r.n_trips))
+            for r in out.itertuples()
+        )
+
+    def test_two_users_same_flow_aggregates(self, spark):
+        # both users: stay near (10.0n) then jump to stay near (20.0n)
+        rows = []
+        for u in (1, 2):
+            rows += [
+                (u, f"2024-01-0{u} 00:00:00", 10.01, 5.01),
+                (u, f"2024-01-0{u} 00:10:00", 10.02, 5.01),
+                (u, f"2024-01-0{u} 01:00:00", 20.01, 5.01),
+                (u, f"2024-01-0{u} 01:10:00", 20.02, 5.01),
+            ]
+        got = self._run(spark, rows, max_step=0.1, cell_size=1.0)
+        assert got == [(10.5, 5.5, 20.5, 5.5, 2)]
+
+    def test_three_stays_two_trips(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.1, 0.1),
+            (1, "2024-01-01 00:10:00", 0.1, 0.1),
+            (1, "2024-01-01 01:00:00", 5.1, 0.1),
+            (1, "2024-01-01 01:10:00", 5.1, 0.1),
+            (1, "2024-01-01 02:00:00", 0.1, 0.1),
+            (1, "2024-01-01 02:10:00", 0.1, 0.1),
+        ]
+        got = self._run(spark, rows, max_step=0.5, cell_size=1.0)
+        assert got == [(0.5, 0.5, 5.5, 0.5, 1), (5.5, 0.5, 0.5, 0.5, 1)]
+
+    def test_single_stay_no_trips(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.0, 0.0),
+            (1, "2024-01-01 00:10:00", 0.01, 0.0),
+        ]
+        assert self._run(spark, rows, max_step=0.1, cell_size=1.0) == []
+
+    def test_same_cell_trip_kept(self, spark):
+        # two distinct stays whose centroids share a cell
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.10, 0.10),
+            (1, "2024-01-01 00:10:00", 0.10, 0.10),
+            (1, "2024-01-01 01:00:00", 0.90, 0.10),  # jump > max_step
+            (1, "2024-01-01 01:10:00", 0.90, 0.10),
+        ]
+        got = self._run(spark, rows, max_step=0.5, cell_size=1.0)
+        assert got == [(0.5, 0.5, 0.5, 0.5, 1)]
+
+    def test_validates_cell_size(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import od_matrix
+
+        pdf = pd.DataFrame(
+            {"user_id": [1], "ts": pd.to_datetime(["2024-01-01"]),
+             "lon": [0.0], "lat": [0.0]}
+        )
+        df = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError):
+            od_matrix(df, max_step=0.1, cell_size=0.0)
