@@ -4715,6 +4715,98 @@ HAVING count(*) >= 5
 """
 
 
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot-spot analysis (operators/spatial.py::
+    emerging_hotspots): the tile raster split into 4 deterministic
+    time bins (custkey % 4) with a planted per-bin growth term
+    t * (cell % 5), per-bin Gi* z-scores (round-6) and the exact-
+    integer Mann-Kendall S per cell. The oracle replays bins, Gi*,
+    and the sign sum in one DuckDB query."""
+    from ksj2gp_spark.operators.spatial import emerging_hotspots
+
+    tiles = _tiles(spark, sf_dir)
+    binned = tiles.select(
+        "cell",
+        (F.substring("image_id", 4, 8).cast("long") % F.lit(4)).alias(
+            "t_bin"
+        ),
+    )
+    cells = binned.groupBy("cell", "t_bin").agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            + (F.col("t_bin") * (F.col("cell") % F.lit(5))).cast("double")
+        ).alias("value")
+    )
+    return emerging_hotspots(cells, res=GRID_RES)
+
+
+_EMERGING_SQL = f"""
+WITH tiles AS ({{tiles}}),
+binned AS (
+  SELECT cell, CAST(substring(image_id, 4, 8) AS BIGINT) % 4 AS t
+  FROM tiles
+),
+cells AS (
+  SELECT cell, t,
+         CAST(count(*) AS DOUBLE) + CAST(t * (cell % 5) AS DOUBLE) AS v
+  FROM binned GROUP BY cell, t
+),
+stats AS (
+  SELECT t, count(*) AS n, avg(v) AS xbar, stddev_pop(v) AS s
+  FROM cells GROUP BY t
+  HAVING count(*) >= 2 AND stddev_pop(v) > 0
+),
+decoded AS (
+  SELECT cell, t, v,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT t,
+         {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x)
+           AS cell,
+         v
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+),
+nbr AS (
+  SELECT s.t, s.cell, count(*) AS w_i, sum(s.v) AS si
+  FROM scattered s
+  JOIN (SELECT DISTINCT cell, t FROM cells) p
+    ON s.cell = p.cell AND s.t = p.t
+  GROUP BY s.t, s.cell
+),
+z AS (
+  SELECT nbr.t, nbr.cell,
+         round(
+           (nbr.si - st.xbar * nbr.w_i)
+           / (st.s * sqrt((CAST(st.n AS DOUBLE) * nbr.w_i
+                           - nbr.w_i * nbr.w_i)
+                          / CAST(st.n - 1 AS DOUBLE))),
+           6
+         ) AS z
+  FROM nbr JOIN stats st ON st.t = nbr.t
+  WHERE nbr.w_i < st.n
+),
+mk AS (
+  SELECT a.cell,
+         SUM(CASE WHEN b.z > a.z THEN 1
+                  WHEN b.z < a.z THEN -1 ELSE 0 END) AS s_mk
+  FROM z a JOIN z b ON a.cell = b.cell AND a.t < b.t
+  GROUP BY a.cell
+),
+nb AS (SELECT cell, count(*) AS n_bins FROM z GROUP BY cell)
+SELECT nb.cell, nb.n_bins,
+       CAST(COALESCE(mk.s_mk, 0) AS BIGINT) AS s_mk,
+       CASE WHEN mk.s_mk > 0 THEN 'intensifying'
+            WHEN mk.s_mk < 0 THEN 'diminishing'
+            ELSE 'flat' END AS trend
+FROM nb LEFT JOIN mk ON mk.cell = nb.cell
+"""
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination flow matrix (operators/spatial.py::
     od_matrix): the stay_points trajectories aggregated into 0.5-deg
@@ -4973,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "textrank_keywords": q_textrank,
         "od_matrix": q_od_matrix,
+        "emerging_hotspots": q_emerging_hotspots,
     }
 
 
@@ -5102,4 +5195,5 @@ GROUP BY p.admin_code
         "stay_points": _STAY_SQL,
         "textrank_keywords": _textrank_sql(),
         "od_matrix": _od_matrix_sql(),
+        "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
     }

@@ -2260,3 +2260,127 @@ def od_matrix(
             "n_trips",
         )
     )
+
+
+def emerging_hotspots(
+    cells_df: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    t_col: str = "t_bin",
+    value_col: str = "value",
+) -> DataFrame:
+    """Emerging hot-spot analysis (the space-time composition of
+    desktop GIS, public method: per-time-bin Getis-Ord Gi* z-scores +
+    a Mann-Kendall monotone-trend test per cell). Input is a sparse
+    (cell, t_bin, value) space-time raster; output one row per cell —
+    (cell, n_bins, s_mk, trend) where s_mk = sum over bin pairs
+    i < j of sign(z_j - z_i) (the exact-integer Mann-Kendall S) and
+    trend is 'intensifying' / 'diminishing' / 'flat' by its sign.
+
+    Determinism policy: the per-bin z-scores are rounded to 6
+    decimals BEFORE the sign comparisons, so a cross-engine 1e-15
+    summation difference can never flip a Mann-Kendall sign. Bins
+    with fewer than 2 present cells or zero variance are dropped
+    (degenerate Gi* denominator) — an explicit rule, not an NaN
+    surprise.
+
+    Scale shape: per-bin global stats are ONE map-side-combinable
+    groupBy broadcast back (bins are few — a plan-time-scale
+    dimension, never data-scale); the neighbor scatter is the
+    focal/Gi* 8+self offset explode with t_bin riding the join key
+    (so all bins process in ONE pass, not T jobs); the Mann-Kendall
+    pair join is a self-equi-join on the cell id — T(T-1)/2 rows per
+    cell with T = bins, a constant factor. No driver collect at all
+    (the per-bin stats stay distributed, unlike single-raster
+    gi_star's scalar collect).
+    """
+    stats = (
+        cells_df.groupBy(t_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(value_col).alias("_xbar"),
+            F.stddev_pop(value_col).alias("_s"),
+        )
+        .filter((F.col("_n") >= 2) & (F.col("_s") > 0))
+    )
+    base = F.lit(int(res)) * F.lit(1 << 58)
+    i = F.shiftright(F.col(cell_col) - base, 29)
+    j = F.col(cell_col) % F.lit(1 << 29)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    scattered = cells_df.select(
+        F.col(t_col).alias("_t"),
+        F.col(value_col).alias("_v"),
+        i.alias("_i"),
+        j.alias("_j"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_t",
+        (
+            base
+            + (F.col("_i") + F.col("_o.di")) * F.lit(1 << 29)
+            + (F.col("_j") + F.col("_o.dj"))
+        ).alias(cell_col),
+        "_v",
+    )
+    nbr = scattered.groupBy("_t", cell_col).agg(
+        F.count(F.lit(1)).alias("_wi"), F.sum("_v").alias("_si")
+    )
+    denom = F.col("_s") * F.sqrt(
+        (
+            F.col("_n").cast("double") * F.col("_wi")
+            - F.col("_wi") * F.col("_wi")
+        )
+        / (F.col("_n") - F.lit(1)).cast("double")
+    )
+    z = (
+        cells_df.select(F.col(t_col).alias("_t"), cell_col)
+        .join(nbr, ["_t", cell_col])
+        .join(
+            F.broadcast(stats.withColumnRenamed(t_col, "_t")), "_t"
+        )
+        # w_i == n means the cell's neighborhood covers the ENTIRE
+        # field for that bin — Gi*'s denominator is 0 and the score
+        # undefined; drop explicitly (tiny fields), don't NaN/throw
+        .filter(F.col("_wi") < F.col("_n"))
+        .select(
+            "_t",
+            cell_col,
+            F.round(
+                (F.col("_si") - F.col("_xbar") * F.col("_wi")) / denom, 6
+            ).alias("_z"),
+        )
+    )
+    a = z.select(
+        cell_col, F.col("_t").alias("_ta"), F.col("_z").alias("_za")
+    )
+    b = z.select(
+        F.col(cell_col).alias("_c2"),
+        F.col("_t").alias("_tb"),
+        F.col("_z").alias("_zb"),
+    )
+    mk = (
+        a.join(b, a[cell_col] == b["_c2"])
+        .filter(F.col("_ta") < F.col("_tb"))
+        .groupBy(cell_col)
+        .agg(
+            F.sum(F.signum(F.col("_zb") - F.col("_za")))
+            .cast("long")
+            .alias("s_mk")
+        )
+    )
+    nbins = z.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n_bins"))
+    return (
+        nbins.join(mk, cell_col, "left")
+        .select(
+            cell_col,
+            "n_bins",
+            F.coalesce("s_mk", F.lit(0)).alias("s_mk"),
+            F.when(F.col("s_mk") > 0, F.lit("intensifying"))
+            .when(F.col("s_mk") < 0, F.lit("diminishing"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )

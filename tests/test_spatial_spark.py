@@ -1532,3 +1532,149 @@ class TestOdMatrix:
         df = spark.createDataFrame(pdf)
         with pytest.raises(ValueError):
             od_matrix(df, max_step=0.1, cell_size=0.0)
+
+
+class TestEmergingHotspots:
+    """Space-time Gi* + Mann-Kendall (operators/spatial.py::
+    emerging_hotspots)."""
+
+    RES = 10
+
+    def _cell(self, i, j):
+        return self.RES * (1 << 58) + i * (1 << 29) + j
+
+    def _run(self, spark, rows):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import emerging_hotspots
+
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell", "t_bin", "value"])
+        )
+        out = emerging_hotspots(df, res=self.RES).toPandas()
+        return {
+            r.cell: (int(r.n_bins), int(r.s_mk), r.trend)
+            for r in out.itertuples()
+        }
+
+    @staticmethod
+    def _reference(rows):
+        """Serial replay: per-bin Gi* (Moore incl. self, present
+        cells only, round-6) + Mann-Kendall sign sum."""
+        import math
+        from collections import defaultdict
+
+        bybin = defaultdict(dict)
+        for cell, t, v in rows:
+            bybin[t][cell] = float(v)
+        RES = TestEmergingHotspots.RES
+        base = RES * (1 << 58)
+        z = defaultdict(dict)
+        for t, cells in bybin.items():
+            vals = list(cells.values())
+            n = len(vals)
+            if n < 2:
+                continue
+            xbar = sum(vals) / n
+            s = math.sqrt(sum(v * v for v in vals) / n - xbar * xbar)
+            if s <= 0:
+                continue
+            for cell in cells:
+                i, j = (cell - base) >> 29, cell % (1 << 29)
+                nb = [
+                    bybin[t].get(base + (i + di) * (1 << 29) + (j + dj))
+                    for di in (-1, 0, 1)
+                    for dj in (-1, 0, 1)
+                ]
+                nb = [v for v in nb if v is not None]
+                w = len(nb)
+                if w >= n:
+                    continue
+                den = s * math.sqrt((n * w - w * w) / (n - 1))
+                z[cell][t] = round((sum(nb) - xbar * w) / den, 6)
+        out = {}
+        for cell, zs in z.items():
+            ts = sorted(zs)
+            smk = sum(
+                (zs[b] > zs[a]) - (zs[b] < zs[a])
+                for x, a in enumerate(ts)
+                for b in ts[x + 1:]
+            )
+            trend = (
+                "intensifying" if smk > 0
+                else "diminishing" if smk < 0 else "flat"
+            )
+            out[cell] = (len(ts), smk, trend)
+        return out
+
+    def test_planted_intensifying_cell(self, spark):
+        # 5x5 field with fixed spatial variance (Gi* is affine-
+        # invariant per bin, so a flat field + proportional growth
+        # would standardize away); cell (1,1) grows moderately so the
+        # global sd doesn't swallow the rise
+        rows = []
+        for t in range(3):
+            for i in range(5):
+                for j in range(5):
+                    v = 1.0 + ((3 * i + 5 * j) % 7) * 0.1
+                    if (i, j) == (1, 1):
+                        v += 0.3 * t
+                    rows.append((self._cell(i, j), t, v))
+        got = self._run(spark, rows)
+        ref = self._reference(rows)
+        assert got == ref
+        assert got[self._cell(1, 1)] == (3, 3, "intensifying")
+        # every cell saw all 3 bins
+        assert all(v[0] == 3 for v in got.values())
+
+    def test_random_field_equals_reference(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (self._cell(i, j), t, rng.uniform(0, 10))
+            for t in range(4)
+            for i in range(6)
+            for j in range(6)
+            if rng.random() < 0.8
+        ]
+        assert self._run(spark, rows) == self._reference(rows)
+
+    def test_flat_field_is_flat(self, spark):
+        import random
+
+        rng = random.Random(3)
+        vals = {(i, j): rng.uniform(1, 2) for i in range(5) for j in range(5)}
+        rows = [
+            (self._cell(i, j), t, vals[(i, j)])
+            for t in range(3)
+            for (i, j) in vals
+        ]
+        got = self._run(spark, rows)
+        # identical values every bin -> z identical -> S = 0
+        assert all(v == (3, 0, "flat") for v in got.values())
+
+    def test_degenerate_bins_dropped(self, spark):
+        # bin 0: fine (far cell keeps w_i < n); bin 1: single cell
+        # (n < 2); bin 2: zero variance; bin 3: every neighborhood
+        # covers the whole 2-cell field (w_i == n)
+        rows = [
+            (self._cell(0, 0), 0, 1.0), (self._cell(1, 0), 0, 2.0),
+            (self._cell(9, 9), 0, 5.0),
+            (self._cell(0, 0), 1, 5.0),
+            (self._cell(0, 0), 2, 3.0), (self._cell(9, 9), 2, 3.0),
+            (self._cell(0, 0), 3, 1.0), (self._cell(1, 0), 3, 2.0),
+        ]
+        got = self._run(spark, rows)
+        ref = self._reference(rows)
+        assert got == ref
+        # only bin 0 survives -> every present cell has n_bins=1, S=0
+        assert got[self._cell(0, 0)] == (1, 0, "flat")
+        assert got[self._cell(1, 0)] == (1, 0, "flat")
+        assert got[self._cell(9, 9)] == (1, 0, "flat")
+
+    def test_single_bin_no_pairs(self, spark):
+        # far-apart cells (w_i=1 < n=2) so both survive the guard
+        rows = [(self._cell(0, 0), 0, 1.0), (self._cell(9, 9), 0, 4.0)]
+        got = self._run(spark, rows)
+        assert len(got) == 2
+        assert all(v == (1, 0, "flat") for v in got.values())
