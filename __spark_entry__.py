@@ -4715,6 +4715,68 @@ HAVING count(*) >= 5
 """
 
 
+def q_areal_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted areal interpolation (operators/spatial.py::
+    areal_interpolate): the admin rectangle layer's planted value
+    (admin_code % 97) reaggregated onto the convex overlay windows —
+    est(t) = sum v_src * A(src∩t)/A(src) through the exact clip
+    kernel; the oracle computes the same shares in closed form on the
+    rectangle bounds."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as _wkb_mod
+    from ksj2gp_spark.operators.spatial import areal_interpolate
+
+    layer = fixtures.polygon_layer()
+    left = spark.createDataFrame(
+        layer[["polygon_id", "geometry", "行政区域コード"]]
+    ).select(
+        "polygon_id",
+        "geometry",
+        (F.col("行政区域コード").cast("long") % F.lit(97))
+        .cast("double")
+        .alias("pop"),
+    )
+    wins = pd.DataFrame(
+        {
+            "polygon_id": [w[0] for w in _OVERLAY_WINDOWS],
+            "geometry": [
+                _wkb_mod.polygon(
+                    [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+                )
+                for _, x0, y0, x1, y1 in _OVERLAY_WINDOWS
+            ],
+        }
+    )
+    return areal_interpolate(
+        left, wins, value_col="pop", scheme="grid", res=10
+    )
+
+
+def _areal_sql() -> str:
+    rows = ", ".join(
+        f"('{w}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for w, x0, y0, x1, y1 in _OVERLAY_WINDOWS
+    )
+    return f"""
+WITH {_polys_values_sql()},
+wins(win_id, wx0, wy0, wx1, wy1) AS (VALUES {rows}),
+pairs AS (
+  SELECT p.polygon_id, w.win_id,
+         (least(p.xmax, w.wx1) - greatest(p.xmin, w.wx0))
+         * (least(p.ymax, w.wy1) - greatest(p.ymin, w.wy0)) AS ia,
+         (p.xmax - p.xmin) * (p.ymax - p.ymin) AS sa,
+         CAST(CAST(p.admin_code AS BIGINT) % 97 AS DOUBLE) AS v
+  FROM polys p JOIN wins w
+    ON least(p.xmax, w.wx1) > greatest(p.xmin, w.wx0)
+   AND least(p.ymax, w.wy1) > greatest(p.ymin, w.wy0)
+)
+SELECT win_id AS target_id, count(*) AS n_sources,
+       round(sum(v * ia / sa), 6) AS est_value
+FROM pairs GROUP BY win_id
+"""
+
+
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emerging hot-spot analysis (operators/spatial.py::
     emerging_hotspots): the tile raster split into 4 deterministic
@@ -5066,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank,
         "od_matrix": q_od_matrix,
         "emerging_hotspots": q_emerging_hotspots,
+        "areal_interpolate": q_areal_interpolate,
     }
 
 
@@ -5196,4 +5259,5 @@ GROUP BY p.admin_code
         "textrank_keywords": _textrank_sql(),
         "od_matrix": _od_matrix_sql(),
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
+        "areal_interpolate": _areal_sql(),
     }

@@ -1678,3 +1678,87 @@ class TestEmergingHotspots:
         got = self._run(spark, rows)
         assert len(got) == 2
         assert all(v == (1, 0, "flat") for v in got.values())
+
+
+class TestArealInterpolate:
+    """Area-weighted reaggregation (operators/spatial.py::
+    areal_interpolate)."""
+
+    @staticmethod
+    def _sources(spark):
+        from ksj2gp_spark.geo import wkb as _wkb
+
+        sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "polygon_id": ["rect", "donut", "ushape"],
+                    "geometry": [
+                        _wkb.polygon(sq(130, 30, 132, 32)),          # A=4
+                        _wkb.polygon(
+                            sq(134, 30, 138, 34), sq(135, 31, 137, 33)
+                        ),                                            # A=12
+                        _wkb.polygon(
+                            [(140, 30), (143, 30), (143, 33), (142, 33),
+                             (142, 31), (141, 31), (141, 33), (140, 33)]
+                        ),                                            # A=7
+                    ],
+                    "pop": [8.0, 6.0, 14.0],
+                }
+            )
+        )
+
+    def test_hand_computed_estimates(self, spark):
+        from ksj2gp_spark.geo import wkb as _wkb
+        from ksj2gp_spark.operators.spatial import areal_interpolate
+
+        sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        wins = pd.DataFrame(
+            {
+                "polygon_id": ["w_rect", "w_half", "w_band"],
+                "geometry": [
+                    _wkb.polygon(sq(131, 31, 133, 33)),   # ∩rect = 1
+                    _wkb.polygon(sq(134, 30, 136, 34)),   # ∩donut = 6
+                    _wkb.polygon(sq(140, 32, 143, 33)),   # ∩ushape = 2
+                ],
+            }
+        )
+        out = areal_interpolate(
+            self._sources(spark), wins, value_col="pop",
+            scheme="grid", res=8,
+        ).toPandas()
+        got = {
+            r.target_id: (int(r.n_sources), r.est_value)
+            for r in out.itertuples()
+        }
+        assert got == {
+            "w_rect": (1, 2.0),     # 8 * 1/4
+            "w_half": (1, 3.0),     # 6 * 6/12
+            "w_band": (1, 4.0),     # 14 * 2/7
+        }
+
+    def test_partition_conserves_total(self, spark):
+        # four quadrant windows exactly tile the rect source: the
+        # estimates must sum to its full value
+        from ksj2gp_spark.geo import wkb as _wkb
+        from ksj2gp_spark.operators.spatial import areal_interpolate
+
+        sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        wins = pd.DataFrame(
+            {
+                "polygon_id": ["q1", "q2", "q3", "q4"],
+                "geometry": [
+                    _wkb.polygon(sq(130, 30, 131, 31)),
+                    _wkb.polygon(sq(131, 30, 132, 31)),
+                    _wkb.polygon(sq(130, 31, 131, 32)),
+                    _wkb.polygon(sq(131, 31, 132, 32)),
+                ],
+            }
+        )
+        out = areal_interpolate(
+            self._sources(spark), wins, value_col="pop",
+            scheme="grid", res=8,
+        ).toPandas()
+        assert len(out) == 4
+        assert abs(out["est_value"].sum() - 8.0) < 1e-9
+        assert (out["est_value"] == 2.0).all()
