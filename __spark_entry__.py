@@ -4715,6 +4715,102 @@ HAVING count(*) >= 5
 """
 
 
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-K (operators/spatial.py::cross_k): attraction
+    between even- and odd-custkey image points (interleaved in the
+    same prefecture bands, so K_ab >> pi r^2). Spark runs the 3x3
+    cell-bucket pair join; the oracle is the brute-force cross join
+    between the two sets."""
+    from ksj2gp_spark.operators.spatial import cross_k
+
+    imgs = _images_from_customer(spark, sf_dir)
+    key = F.substring("image_id", 4, 8).cast("long")
+    a = imgs.filter(key % 2 == 0)
+    b = imgs.filter(key % 2 == 1)
+    return cross_k(a, b, radii=_RIPLEY_RADII, area=_RIPLEY_AREA)
+
+
+def _cross_k_sql() -> str:
+    sels = []
+    for r in _RIPLEY_RADII:
+        r2 = float(r) * float(r)
+        sels.append(f"""
+SELECT CAST({float(r)!r} AS DOUBLE) AS r,
+       (SELECT count(*) FROM pairs WHERE d2 <= {r2!r}) AS n_pairs,
+       round(
+         {float(_RIPLEY_AREA)!r}
+         * (SELECT count(*) FROM pairs WHERE d2 <= {r2!r})
+         / (SELECT d FROM nn), 6) AS k_ab""")
+    return (
+        f"WITH {_IMAGES_CTE.strip()},\n"
+        "ia AS (SELECT * FROM images\n"
+        "       WHERE CAST(substring(image_id, 4, 8) AS BIGINT) % 2 = 0),\n"
+        "ib AS (SELECT * FROM images\n"
+        "       WHERE CAST(substring(image_id, 4, 8) AS BIGINT) % 2 = 1),\n"
+        "pairs AS (\n"
+        "  SELECT (a.lon - b.lon) * (a.lon - b.lon)\n"
+        "         + (a.lat - b.lat) * (a.lat - b.lat) AS d2\n"
+        "  FROM ia a CROSS JOIN ib b\n"
+        "),\n"
+        "nn AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ia)\n"
+        "            * (SELECT CAST(count(*) AS DOUBLE) FROM ib) AS d)\n"
+        + " UNION ALL ".join(sels)
+    )
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (operators/spatial.py::join_counts) over
+    the tile raster labeled hot/cold by per-cell image count >= 10:
+    exact integer BB/WW/BW neighbor-pair counts — the categorical
+    complement to Moran's I over the identical cells."""
+    from ksj2gp_spark.operators.spatial import join_counts
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "cell",
+            F.when(F.col("_n") >= 10, F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("label"),
+        )
+    )
+    return join_counts(cells, res=GRID_RES)
+
+
+_JOIN_COUNTS_SQL = f"""
+WITH tiles AS ({{tiles}}),
+cells AS (
+  SELECT cell,
+         CASE WHEN count(*) >= 10 THEN 'hot' ELSE 'cold' END AS label
+  FROM tiles GROUP BY cell
+),
+decoded AS (
+  SELECT cell, label,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT label AS la,
+         {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x)
+           AS cell
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+  WHERE NOT (di.x = 0 AND dj.x = 0)
+),
+pairs AS (
+  SELECT s.la, c.label AS lb
+  FROM scattered s JOIN cells c ON c.cell = s.cell
+)
+SELECT least(la, lb) AS label_lo, greatest(la, lb) AS label_hi,
+       CAST(count(*) / 2 AS BIGINT) AS n_joins
+FROM pairs GROUP BY least(la, lb), greatest(la, lb)
+"""
+
+
 def q_areal_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Area-weighted areal interpolation (operators/spatial.py::
     areal_interpolate): the admin rectangle layer's planted value
@@ -5129,6 +5225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
+        "cross_k": q_cross_k,
+        "join_counts": q_join_counts,
     }
 
 
@@ -5260,4 +5358,6 @@ GROUP BY p.admin_code
         "od_matrix": _od_matrix_sql(),
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
+        "cross_k": _cross_k_sql(),
+        "join_counts": _JOIN_COUNTS_SQL.format(tiles=_TILES_SQL.strip()),
     }

@@ -2458,3 +2458,142 @@ def areal_interpolate(
             F.col("_tgt").alias("target_id"), "n_sources", "est_value"
         )
     )
+
+
+def cross_k(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radii: list[float],
+    area: float,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K (Ripley 1977 / Lotwick &
+    Silverman 1982, public): K_ab(r) = area/(n_a*n_b) * #{(a, b)
+    pairs with d <= r} — the attraction/repulsion statistic between
+    two point processes (K_ab > pi*r^2: type-b points cluster around
+    type-a points). One row per radius: (r, n_pairs, k_ab round 6).
+
+    Same scale shape as :func:`ripley_k` — 3x3 cell-bucket scatter
+    join sized by max(radii) with the (1+1e-9) anti-straddle margin,
+    ALL radii answered by one conditional aggregation over the
+    candidate pairs; no ordered-pair halving (a-b pairs are already
+    directed across the two sets). Bounded driver collects: the two
+    set counts.
+    """
+    if not radii:
+        raise ValueError("cross_k needs at least one radius")
+    rmax = float(max(radii))
+    if rmax <= 0:
+        raise ValueError("radii must be positive")
+    n_a = points_a.count()
+    n_b = points_b.count()
+    cell = rmax * (1.0 + 1e-9)
+    ca_i = F.floor(F.col(x_col) / F.lit(cell))
+    ca_j = F.floor(F.col(y_col) / F.lit(cell))
+    left = points_a.select(
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+        ca_i.alias("_ci"),
+        ca_j.alias("_cj"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    right = points_b.select(
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+        ca_i.alias("_bi"),
+        ca_j.alias("_bj"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_xb",
+        "_yb",
+        (F.col("_bi") + F.col("_o.di")).alias("_ci"),
+        (F.col("_bj") + F.col("_o.dj")).alias("_cj"),
+    )
+    d2 = (
+        (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))
+        + (F.col("_ya") - F.col("_yb")) * (F.col("_ya") - F.col("_yb"))
+    )
+    cand = left.join(right, ["_ci", "_cj"]).select(d2.alias("_d2"))
+    aggs = cand.agg(
+        *[
+            F.sum(
+                (F.col("_d2") <= F.lit(float(r) * float(r))).cast("long")
+            ).alias(f"_c{k}")
+            for k, r in enumerate(radii)
+        ]
+    )
+    stack_expr = ", ".join(
+        f"CAST({float(r)!r} AS DOUBLE), _c{k}" for k, r in enumerate(radii)
+    )
+    return aggs.selectExpr(
+        f"stack({len(radii)}, {stack_expr}) AS (r, n_pairs)"
+    ).select(
+        "r",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.round(
+            F.lit(float(area))
+            * F.coalesce("n_pairs", F.lit(0))
+            / F.lit(float(n_a) * float(n_b)),
+            6,
+        ).alias("k_ab"),
+    )
+
+
+def join_counts(
+    cells_df: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    label_col: str = "label",
+) -> DataFrame:
+    """Join-count statistics (Moran 1948 / Cliff & Ord, public) — the
+    spatial-autocorrelation test for CATEGORICAL rasters: over the
+    Moore-adjacency graph of present cells, count unordered neighbor
+    pairs by label combination. Emits one row per observed
+    (label_lo, label_hi) pair — (label_lo, label_hi, n_joins) with
+    label_lo <= label_hi — plus the exact total join count implied by
+    sum(n_joins). Same-label counts (the "BB/WW joins") measure
+    clustering; cross-label ("BW") measures interspersion. Exact
+    integers end to end — no FP canon anywhere.
+
+    Scale shape: the focal/Moran scatter — each present cell
+    scatters its label to its 8 neighbor centers, ONE equi-join
+    against present cells yields every adjacent pair exactly twice
+    (once per direction), and the canonical (lo, hi) groupBy halves
+    it back deterministically. The weight matrix never exists; no
+    driver collect at all.
+    """
+    base = F.lit(int(res)) * F.lit(1 << 58)
+    i = F.shiftright(F.col(cell_col) - base, 29)
+    j = F.col(cell_col) % F.lit(1 << 29)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+    )
+    scattered = cells_df.select(
+        F.col(label_col).alias("_la"),
+        i.alias("_i"),
+        j.alias("_j"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_la",
+        (
+            base
+            + (F.col("_i") + F.col("_o.di")) * F.lit(1 << 29)
+            + (F.col("_j") + F.col("_o.dj"))
+        ).alias(cell_col),
+    )
+    pairs = scattered.join(
+        cells_df.select(cell_col, F.col(label_col).alias("_lb")),
+        cell_col,
+    )
+    return (
+        pairs.groupBy(
+            F.least("_la", "_lb").alias("label_lo"),
+            F.greatest("_la", "_lb").alias("label_hi"),
+        )
+        .agg((F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_joins"))
+    )

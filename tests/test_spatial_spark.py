@@ -1762,3 +1762,151 @@ class TestArealInterpolate:
         assert len(out) == 4
         assert abs(out["est_value"].sum() - 8.0) < 1e-9
         assert (out["est_value"] == 2.0).all()
+
+
+class TestCrossK:
+    """Bivariate Ripley cross-K (operators/spatial.py::cross_k)."""
+
+    @staticmethod
+    def _run(spark, pts_a, pts_b, radii, area):
+        from ksj2gp_spark.operators.spatial import cross_k
+
+        da = spark.createDataFrame(
+            pd.DataFrame({"lon": [p[0] for p in pts_a],
+                          "lat": [p[1] for p in pts_a]})
+        )
+        db = spark.createDataFrame(
+            pd.DataFrame({"lon": [p[0] for p in pts_b],
+                          "lat": [p[1] for p in pts_b]})
+        )
+        out = cross_k(da, db, radii=radii, area=area).toPandas()
+        return {r.r: (int(r.n_pairs), r.k_ab) for r in out.itertuples()}
+
+    @staticmethod
+    def _reference(pts_a, pts_b, radii, area):
+        out = {}
+        for r in radii:
+            n = sum(
+                1
+                for xa, ya in pts_a
+                for xb, yb in pts_b
+                if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+            )
+            out[r] = (
+                n,
+                round(area * n / (len(pts_a) * len(pts_b)), 6),
+            )
+        return out
+
+    def test_hand_computed_pairs(self, spark):
+        a = [(0.0, 0.0), (10.0, 0.0)]
+        b = [(1.0, 0.0), (10.5, 0.0), (50.0, 50.0)]
+        got = self._run(spark, a, b, [1.0, 2.0], area=100.0)
+        assert got == self._reference(a, b, [1.0, 2.0], 100.0)
+        assert got[1.0][0] == 2  # (0,0)-(1,0) and (10,0)-(10.5,0)
+
+    def test_exact_rmax_boundary_far_from_origin(self, spark):
+        a = [(7000.0, 9000.0)]
+        b = [(7000.0 + 3.0, 9000.0)]
+        got = self._run(spark, a, b, [3.0], area=1.0)
+        assert got[3.0][0] == 1
+
+    def test_random_equals_reference(self, spark):
+        import random
+
+        rng = random.Random(23)
+        a = [(rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(80)]
+        b = [(rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(90)]
+        radii = [0.5, 1.0, 1.5]
+        assert self._run(spark, a, b, radii, 100.0) == self._reference(
+            a, b, radii, 100.0
+        )
+
+    def test_validates_inputs(self, spark):
+        from ksj2gp_spark.operators.spatial import cross_k
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": [0.0], "lat": [0.0]})
+        )
+        with pytest.raises(ValueError):
+            cross_k(df, df, radii=[], area=1.0)
+        with pytest.raises(ValueError):
+            cross_k(df, df, radii=[0.0], area=1.0)
+
+
+class TestJoinCounts:
+    """Join-count statistics (operators/spatial.py::join_counts)."""
+
+    RES = 10
+
+    def _cell(self, i, j):
+        return self.RES * (1 << 58) + i * (1 << 29) + j
+
+    def _run(self, spark, cells):
+        from ksj2gp_spark.operators.spatial import join_counts
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"cell": [c for c, _ in cells],
+                 "label": [l for _, l in cells]}
+            )
+        )
+        out = join_counts(df, res=self.RES).toPandas()
+        return {
+            (r.label_lo, r.label_hi): int(r.n_joins)
+            for r in out.itertuples()
+        }
+
+    @staticmethod
+    def _reference(cells):
+        from collections import Counter
+
+        lab = dict(cells)
+        out = Counter()
+        seen = set()
+        for c, la in cells:
+            i, j = (c - 10 * (1 << 58)) >> 29, c % (1 << 29)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if (di, dj) == (0, 0):
+                        continue
+                    nb = 10 * (1 << 58) + (i + di) * (1 << 29) + (j + dj)
+                    if nb in lab and (nb, c) not in seen:
+                        seen.add((c, nb))
+                        lo, hi = sorted([la, lab[nb]])
+                        out[(lo, hi)] += 1
+        return dict(out)
+
+    def test_checkerboard_is_all_cross_joins(self, spark):
+        # 4x4 checkerboard: rook joins are all BW; diagonal joins are
+        # same-label — exact counts known in closed form
+        cells = [
+            (self._cell(i, j), "B" if (i + j) % 2 == 0 else "W")
+            for i in range(4)
+            for j in range(4)
+        ]
+        got = self._run(spark, cells)
+        assert got == self._reference(cells)
+        # 4x4 grid: 24 rook joins (all BW) + 18 diagonal (all same)
+        assert got[("B", "W")] == 24
+        assert got[("B", "B")] + got[("W", "W")] == 18
+
+    def test_two_blocks_no_cross(self, spark):
+        cells = [(self._cell(i, j), "A") for i in range(2) for j in range(2)]
+        cells += [
+            (self._cell(i + 10, j), "B") for i in range(2) for j in range(2)
+        ]
+        got = self._run(spark, cells)
+        assert got == {("A", "A"): 6, ("B", "B"): 6}
+
+    def test_random_equals_reference(self, spark):
+        import random
+
+        rng = random.Random(5)
+        cells = [
+            (self._cell(i, j), rng.choice("XYZ"))
+            for i in range(6)
+            for j in range(6)
+            if rng.random() < 0.7
+        ]
+        assert self._run(spark, cells) == self._reference(cells)
