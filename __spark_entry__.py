@@ -4715,6 +4715,84 @@ HAVING count(*) >= 5
 """
 
 
+def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction (operators/spatial.py::knox_test)
+    over the user<30 event subset with deterministic positions
+    (per-user 1-deg base + 0.08-deg event jitter): same-user events
+    cluster in space, bursts cluster in time — knox_ratio measures
+    the joint excess. delta=0.05 deg, tau=6 h. The oracle is the
+    brute-force pair enumeration with identical integer-microsecond
+    and double arithmetic."""
+    from ksj2gp_spark.operators.spatial import knox_test
+
+    ev = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).filter(F.col("user_id") < 30)
+    jx = (
+        ((F.col("event_id") * F.lit(97) + F.lit(13)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.08)
+    jy = (
+        ((F.col("event_id") * F.lit(31) + F.lit(7)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.08)
+    pts = ev.select(
+        "event_id",
+        "ts",
+        (
+            F.lit(135.0)
+            + (F.col("user_id") % F.lit(10)).cast("double")
+            + jx
+        ).alias("lon"),
+        (
+            F.lit(34.0)
+            + (F.col("user_id") % F.lit(7)).cast("double") * F.lit(0.5)
+            + jy
+        ).alias("lat"),
+    )
+    return knox_test(pts, delta=0.05, tau_us=6 * 3600 * 10**6)
+
+
+_KNOX_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         epoch_us(ts) AS t,
+         135.0 + CAST(user_id % 10 AS DOUBLE)
+           + ((event_id * 97 + 13) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.08
+           AS lon,
+         34.0 + CAST(user_id % 7 AS DOUBLE) * 0.5
+           + ((event_id * 31 + 7) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.08
+           AS lat
+  FROM events WHERE user_id < 30
+),
+pairs AS (
+  SELECT
+    ((a.lon - b.lon) * (a.lon - b.lon)
+     + (a.lat - b.lat) * (a.lat - b.lat) <= 0.05 * 0.05) AS sp,
+    (abs(a.t - b.t) <= {6 * 3600 * 10**6}) AS tm
+  FROM pts a JOIN pts b ON a.event_id < b.event_id
+),
+agg AS (
+  SELECT count(*) AS n_pairs,
+         sum(CASE WHEN sp THEN 1 ELSE 0 END) AS n_space,
+         sum(CASE WHEN tm THEN 1 ELSE 0 END) AS n_time,
+         sum(CASE WHEN sp AND tm THEN 1 ELSE 0 END) AS n_spacetime
+  FROM pairs
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_space AS BIGINT) AS n_space,
+       CAST(n_time AS BIGINT) AS n_time,
+       CAST(n_spacetime AS BIGINT) AS n_spacetime,
+       round(
+         CAST(n_spacetime AS DOUBLE)
+         / (CAST(n_space AS DOUBLE) * CAST(n_time AS DOUBLE)
+            / CAST(n_pairs AS DOUBLE)),
+         6
+       ) AS knox_ratio
+FROM agg
+"""
+
+
 def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate cross-K (operators/spatial.py::cross_k): attraction
     between even- and odd-custkey image points (interleaved in the
@@ -5226,6 +5304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
+        "knox_spacetime": q_knox,
         "join_counts": q_join_counts,
     }
 
@@ -5359,5 +5438,6 @@ GROUP BY p.admin_code
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),
+        "knox_spacetime": _KNOX_SQL,
         "join_counts": _JOIN_COUNTS_SQL.format(tiles=_TILES_SQL.strip()),
     }

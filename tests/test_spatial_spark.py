@@ -1910,3 +1910,94 @@ class TestJoinCounts:
             if rng.random() < 0.7
         ]
         assert self._run(spark, cells) == self._reference(cells)
+
+
+class TestKnoxTest:
+    """Knox space-time interaction (operators/spatial.py::knox_test)."""
+
+    @staticmethod
+    def _run(spark, rows, delta, tau_us):
+        from ksj2gp_spark.operators.spatial import knox_test
+
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "lon", "lat"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        df = spark.createDataFrame(pdf)
+        out = knox_test(df, delta=delta, tau_us=tau_us).toPandas()
+        r = out.iloc[0]
+        return (int(r.n_pairs), int(r.n_space), int(r.n_time),
+                int(r.n_spacetime), r.knox_ratio)
+
+    @staticmethod
+    def _reference(rows, delta, tau_us):
+        import pandas as pd_
+
+        ts = pd_.to_datetime([r[1] for r in rows])
+        t = [int(x.value // 1000) for x in ts]  # micros
+        pts = [(r[2], r[3]) for r in rows]
+        n = len(rows)
+        ns = nt = nst = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sp = (pts[i][0] - pts[j][0]) ** 2 + (
+                    pts[i][1] - pts[j][1]
+                ) ** 2 <= delta * delta
+                tm = abs(t[i] - t[j]) <= tau_us
+                ns += sp
+                nt += tm
+                nst += sp and tm
+        npairs = n * (n - 1) // 2
+        exp = ns * nt / npairs if npairs and ns and nt else 0.0
+        ratio = round(nst / exp, 6) if exp > 0 else 0.0
+        return (npairs, ns, nt, nst, ratio)
+
+    def test_hand_computed_clustered_outbreak(self, spark):
+        # 3 events same place same hour + 2 far/late -> strong excess
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.00, 0.00),
+            (2, "2024-01-01 00:10:00", 0.01, 0.00),
+            (3, "2024-01-01 00:20:00", 0.00, 0.01),
+            (4, "2024-06-01 00:00:00", 5.00, 5.00),
+            (5, "2024-01-01 00:05:00", 9.00, 9.00),  # time-close only
+        ]
+        got = self._run(spark, rows, delta=0.05, tau_us=3600 * 10**6)
+        assert got == self._reference(rows, 0.05, 3600 * 10**6)
+        assert got[3] == 3 and got[4] > 1.0
+
+    def test_random_equals_reference(self, spark):
+        import random
+
+        rng = random.Random(31)
+        rows = [
+            (
+                i,
+                f"2024-01-01 {rng.randrange(24):02d}:"
+                f"{rng.randrange(60):02d}:{rng.randrange(60):02d}",
+                rng.uniform(0, 1),
+                rng.uniform(0, 1),
+            )
+            for i in range(120)
+        ]
+        got = self._run(spark, rows, delta=0.2, tau_us=2 * 3600 * 10**6)
+        assert got == self._reference(rows, 0.2, 2 * 3600 * 10**6)
+
+    def test_exact_boundaries_count(self, spark):
+        # pair exactly delta apart AND exactly tau apart: both <= -> in
+        rows = [
+            (1, "2024-01-01 00:00:00", 1000.0, 2000.0),
+            (2, "2024-01-01 01:00:00", 1000.0 + 0.25, 2000.0),
+        ]
+        got = self._run(spark, rows, delta=0.25, tau_us=3600 * 10**6)
+        assert got[1] == 1 and got[2] == 1 and got[3] == 1
+
+    def test_validates_inputs(self, spark):
+        from ksj2gp_spark.operators.spatial import knox_test
+
+        pdf = pd.DataFrame(
+            {"event_id": [1], "ts": pd.to_datetime(["2024-01-01"]),
+             "lon": [0.0], "lat": [0.0]}
+        )
+        df = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError):
+            knox_test(df, delta=0.0, tau_us=1)
+        with pytest.raises(ValueError):
+            knox_test(df, delta=1.0, tau_us=0)
