@@ -4715,6 +4715,152 @@ HAVING count(*) >= 5
 """
 
 
+def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count CSR test (operators/spatial.py::quadrat_test)
+    over the image points at 0.1-deg quadrats — the banded
+    distribution rejects CSR with chi2 >> k-1. Empty quadrats enter
+    in closed form; the oracle replays the bbox-anchored tiling and
+    the analytic correction."""
+    from ksj2gp_spark.operators.spatial import quadrat_test
+
+    return quadrat_test(
+        _images_from_customer(spark, sf_dir), cell_size=0.1
+    )
+
+
+_QUADRAT_SQL = f"""
+WITH {_IMAGES_CTE.strip()},
+bbox AS (
+  SELECT count(*) AS n, min(lon) AS x0, max(lon) AS x1,
+         min(lat) AS y0, max(lat) AS y1
+  FROM images
+),
+dims AS (
+  SELECT n, x0, y0,
+         greatest(1, CAST(floor((x1 - x0) / 0.1) AS BIGINT) + 1) AS kx,
+         greatest(1, CAST(floor((y1 - y0) / 0.1) AS BIGINT) + 1) AS ky
+  FROM bbox
+),
+occ AS (
+  SELECT least(CAST(floor((i.lon - d.x0) / 0.1) AS BIGINT), d.kx - 1)
+           * d.ky
+         + least(CAST(floor((i.lat - d.y0) / 0.1) AS BIGINT), d.ky - 1)
+           AS q,
+         count(*) AS o
+  FROM images i CROSS JOIN dims d
+  GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS m,
+         sum((o - (SELECT CAST(n AS DOUBLE) / (kx * ky) FROM dims))
+             * (o - (SELECT CAST(n AS DOUBLE) / (kx * ky) FROM dims))
+             / (SELECT CAST(n AS DOUBLE) / (kx * ky) FROM dims)) AS chi_occ
+  FROM occ
+)
+SELECT (SELECT n FROM dims) AS n,
+       (SELECT kx * ky FROM dims) AS k,
+       m AS occupied,
+       round(chi_occ
+             + ((SELECT kx * ky FROM dims) - m)
+               * (SELECT CAST(n AS DOUBLE) / (kx * ky) FROM dims),
+             6) AS chi2
+FROM agg
+"""
+
+
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse (operators/spatial.py::
+    std_ellipse) of the image points — mean center, rotation, and
+    axis standard deviations from one six-double aggregation; the
+    oracle computes the identical closed form in DuckDB."""
+    from ksj2gp_spark.operators.spatial import std_ellipse
+
+    return std_ellipse(_images_from_customer(spark, sf_dir))
+
+
+_ELLIPSE_SQL = f"""
+WITH {_IMAGES_CTE.strip()},
+mom AS (
+  SELECT count(*) AS n,
+         sum(lon) AS sx, sum(lat) AS sy,
+         sum(lon * lon) AS sxx, sum(lat * lat) AS syy,
+         sum(lon * lat) AS sxy
+  FROM images
+),
+ctr AS (
+  SELECT n, sx / n AS cx, sy / n AS cy,
+         sxx / n - (sx / n) * (sx / n) AS mxx,
+         syy / n - (sy / n) * (sy / n) AS myy,
+         sxy / n - (sx / n) * (sy / n) AS mxy
+  FROM mom
+),
+ang AS (
+  SELECT n, cx, cy, mxx, myy, mxy,
+         0.5 * atan2(2.0 * mxy, mxx - myy) AS theta
+  FROM ctr
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(cx, 6) AS cx, round(cy, 6) AS cy,
+       round(theta, 6) AS theta,
+       round(sqrt(greatest(
+         mxx * cos(theta) * cos(theta)
+         + 2.0 * mxy * sin(theta) * cos(theta)
+         + myy * sin(theta) * sin(theta), 0.0)), 6) AS sx,
+       round(sqrt(greatest(
+         mxx * sin(theta) * sin(theta)
+         - 2.0 * mxy * sin(theta) * cos(theta)
+         + myy * cos(theta) * cos(theta), 0.0)), 6) AS sy
+FROM ang
+"""
+
+
+def q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G (operators/spatial.py::general_g) over the
+    tile raster — the global high/low clustering complement to the
+    local gi_star lane over the identical cells."""
+    from ksj2gp_spark.operators.spatial import general_g
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return general_g(cells, res=GRID_RES)
+
+
+_GENERAL_G_SQL = f"""
+WITH tiles AS ({{tiles}}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+scal AS (
+  SELECT count(*) AS n, sum(v) AS sx, sum(v * v) AS sxx FROM cells
+),
+decoded AS (
+  SELECT cell, v,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM cells
+),
+scattered AS (
+  SELECT v AS xi,
+         {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x)
+           AS cell
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+  WHERE NOT (di.x = 0 AND dj.x = 0)
+),
+num AS (
+  SELECT count(*) AS s0, sum(s.xi * c.v) AS nm
+  FROM scattered s JOIN cells c ON c.cell = s.cell
+)
+SELECT CAST(sc.n AS BIGINT) AS n, num.s0,
+       round(num.nm / (sc.sx * sc.sx - sc.sxx), 6) AS general_g
+FROM num CROSS JOIN scal sc
+"""
+
+
 def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knox space-time interaction (operators/spatial.py::knox_test)
     over the user<30 event subset with deterministic positions
@@ -5305,6 +5451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
         "knox_spacetime": q_knox,
+        "quadrat_csr": q_quadrat,
+        "std_ellipse": q_std_ellipse,
+        "general_g": q_general_g,
         "join_counts": q_join_counts,
     }
 
@@ -5439,5 +5588,8 @@ GROUP BY p.admin_code
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),
         "knox_spacetime": _KNOX_SQL,
+        "quadrat_csr": _QUADRAT_SQL,
+        "std_ellipse": _ELLIPSE_SQL,
+        "general_g": _GENERAL_G_SQL.format(tiles=_TILES_SQL.strip()),
         "join_counts": _JOIN_COUNTS_SQL.format(tiles=_TILES_SQL.strip()),
     }

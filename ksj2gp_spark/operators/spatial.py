@@ -2718,3 +2718,192 @@ def knox_test(
             "n_spacetime long, knox_ratio double"
         ),
     )
+
+
+def quadrat_test(
+    points: DataFrame,
+    cell_size: float,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Quadrat-count test for complete spatial randomness (CSR,
+    public textbook method): tile the points' bounding box with
+    ``cell_size`` quadrats, O_q = per-quadrat count, E = n/k, and
+
+        chi2 = sum_q (O_q - E)^2 / E      (over ALL k quadrats)
+
+    Empty quadrats never materialize: their closed-form contribution
+    (k - m) * E is added analytically (m = occupied quadrats). Emits
+    ONE row (n, k, occupied, chi2 round 6); chi2 >> k-1 rejects CSR
+    (clustering). Quadrat indexing is anchored at the bbox min so
+    the tiling is data-deterministic.
+
+    Scale shape: ONE map-side-combinable groupBy on the quadrat id
+    plus two scalar aggregates (bbox, n); k is plan-side integer
+    arithmetic on the bbox scalars. No pair joins at all.
+    """
+    if cell_size <= 0:
+        raise ValueError("cell_size must be positive")
+    import math
+
+    s = float(cell_size)
+    b = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(x_col).alias("x0"),
+        F.max(x_col).alias("x1"),
+        F.min(y_col).alias("y0"),
+        F.max(y_col).alias("y1"),
+    ).collect()[0]
+    n = int(b["n"])
+    if n == 0:
+        raise ValueError("quadrat_test needs at least one point")
+    x0, y0 = float(b["x0"]), float(b["y0"])
+    kx = max(1, int(math.floor((float(b["x1"]) - x0) / s)) + 1)
+    ky = max(1, int(math.floor((float(b["y1"]) - y0) / s)) + 1)
+    k = kx * ky
+    e = float(n) / float(k)
+    qi = F.least(
+        F.floor((F.col(x_col) - F.lit(x0)) / F.lit(s)).cast("long"),
+        F.lit(kx - 1),
+    )
+    qj = F.least(
+        F.floor((F.col(y_col) - F.lit(y0)) / F.lit(s)).cast("long"),
+        F.lit(ky - 1),
+    )
+    occ = points.groupBy(
+        (qi * F.lit(ky) + qj).alias("_q")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    agg = occ.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            (F.col("_o") - F.lit(e)) * (F.col("_o") - F.lit(e)) / F.lit(e)
+        ).alias("_chi_occ"),
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("m").alias("occupied"),
+        F.round(
+            F.col("_chi_occ") + (F.lit(k) - F.col("m")) * F.lit(e), 6
+        ).alias("chi2"),
+    )
+
+
+def std_ellipse(
+    points: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Standard deviational ellipse (Lefever 1926, public — desktop
+    GIS "directional distribution"): mean center, rotation theta
+    (clockwise from north in the standard convention — computed here
+    as 0.5*atan2(2*Sxy, Sxx - Syy) over centered second moments),
+    and the two axis standard deviations along/across the rotation.
+    Emits ONE row (n, cx, cy, theta, sx, sy) rounded to 6 decimals.
+
+    All five sufficient statistics (n, sum x, sum y, sum x^2,
+    sum y^2, sum xy) come from ONE map-side-combinable aggregation —
+    a single reduce of six doubles regardless of input size; the
+    closed-form solve is plan-side arithmetic on the collected
+    scalars. Transcendentals (atan2/sqrt/cos/sin) run driver-side on
+    engine-identical inputs; round-6 absorbs last-ulp libm noise.
+    """
+    import math
+
+    b = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+    ).collect()[0]
+    n = int(b["n"])
+    if n < 3:
+        raise ValueError("std_ellipse needs at least 3 points")
+    cx = float(b["sx"]) / n
+    cy = float(b["sy"]) / n
+    mxx = float(b["sxx"]) / n - cx * cx
+    myy = float(b["syy"]) / n - cy * cy
+    mxy = float(b["sxy"]) / n - cx * cy
+    theta = 0.5 * math.atan2(2.0 * mxy, mxx - myy)
+    c, s = math.cos(theta), math.sin(theta)
+    sx2 = mxx * c * c + 2.0 * mxy * s * c + myy * s * s
+    sy2 = mxx * s * s - 2.0 * mxy * s * c + myy * c * c
+    spark = points.sparkSession
+    return spark.createDataFrame(
+        [(
+            n,
+            round(cx, 6),
+            round(cy, 6),
+            round(theta, 6),
+            round(math.sqrt(max(sx2, 0.0)), 6),
+            round(math.sqrt(max(sy2, 0.0)), 6),
+        )],
+        schema="n long, cx double, cy double, theta double, "
+               "sx double, sy double",
+    )
+
+
+def general_g(
+    cells_df: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Getis-Ord General G (Getis & Ord 1992, public) — the GLOBAL
+    high/low clustering statistic with binary Moore weights (the
+    whole-map complement to the local Gi*):
+
+        G = sum_ij w_ij x_i x_j / sum_{i != j} x_i x_j
+
+    Emits ONE row (n, s0, general_g round 6). G above its
+    expectation means high values cluster next to high values.
+    Requires non-negative values (the statistic's own precondition).
+
+    Scale shape: the numerator is the morans_i scatter-gather
+    (value scatter + ONE equi-join, weight matrix never exists);
+    the denominator is closed-form from two scalar aggregates
+    ((sum x)^2 - sum x^2). Bounded collects only.
+    """
+    stats = cells_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sx"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("sxx"),
+        F.min(value_col).alias("mn"),
+    ).collect()[0]
+    n = int(stats["n"])
+    if stats["mn"] is not None and float(stats["mn"]) < 0:
+        raise ValueError("general_g requires non-negative values")
+    denom = float(stats["sx"]) * float(stats["sx"]) - float(stats["sxx"])
+    base = F.lit(int(res)) * F.lit(1 << 58)
+    i = F.shiftright(F.col(cell_col) - base, 29)
+    j = F.col(cell_col) % F.lit(1 << 29)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+    )
+    scattered = cells_df.select(
+        F.col(value_col).alias("_xi"),
+        i.alias("_i"),
+        j.alias("_j"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_xi",
+        (
+            base
+            + (F.col("_i") + F.col("_o.di")) * F.lit(1 << 29)
+            + (F.col("_j") + F.col("_o.dj"))
+        ).alias(cell_col),
+    )
+    num = scattered.join(
+        cells_df.select(cell_col, F.col(value_col).alias("_xj")), cell_col
+    ).agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("_xi") * F.col("_xj")).alias("_num"),
+    )
+    return num.select(
+        F.lit(n).cast("long").alias("n"),
+        "s0",
+        F.round(F.col("_num") / F.lit(denom), 6).alias("general_g"),
+    )

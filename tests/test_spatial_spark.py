@@ -2001,3 +2001,137 @@ class TestKnoxTest:
             knox_test(df, delta=0.0, tau_us=1)
         with pytest.raises(ValueError):
             knox_test(df, delta=1.0, tau_us=0)
+
+
+class TestQuadratTest:
+    @staticmethod
+    def _run(spark, pts, s):
+        from ksj2gp_spark.operators.spatial import quadrat_test
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": [p[0] for p in pts],
+                          "lat": [p[1] for p in pts]})
+        )
+        r = quadrat_test(df, cell_size=s).toPandas().iloc[0]
+        return (int(r.n), int(r.k), int(r.occupied), r.chi2)
+
+    def test_uniform_grid_is_zero_chi2(self, spark):
+        # one point dead-center of each quadrat: O_q = E = 1, chi2 = 0
+        pts = [(i + 0.5, j + 0.5) for i in range(3) for j in range(3)]
+        assert self._run(spark, pts, 1.0) == (9, 9, 9, 0.0)
+
+    def test_all_in_one_quadrat_max_chi2(self, spark):
+        # 8 points in one corner cell + 1 at the far corner: k = 9
+        pts = [(0.1 + 0.01 * i, 0.1) for i in range(8)] + [(2.5, 2.5)]
+        n, k, m, chi2 = self._run(spark, pts, 1.0)
+        assert (n, k, m) == (9, 9, 2)
+        # closed form: E=1, occupied (8-1)^2/1 + (1-1)^2/1, empty 7*1
+        assert abs(chi2 - (49.0 + 0.0 + 7.0)) < 1e-9
+    def test_max_edge_points_clamp_into_last_quadrat(self, spark):
+        pts = [(0.0, 0.0), (2.0, 2.0)]  # max corner exactly on edge
+        n, k, m, chi2 = self._run(spark, pts, 1.0)
+        assert (n, k, m) == (2, 9, 2)
+
+    def test_validates_inputs(self, spark):
+        from ksj2gp_spark.operators.spatial import quadrat_test
+
+        df = spark.createDataFrame(pd.DataFrame({"lon": [0.0], "lat": [0.0]}))
+        with pytest.raises(ValueError):
+            quadrat_test(df, cell_size=0.0)
+
+
+class TestStdEllipse:
+    @staticmethod
+    def _run(spark, pts):
+        from ksj2gp_spark.operators.spatial import std_ellipse
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": [p[0] for p in pts],
+                          "lat": [p[1] for p in pts]})
+        )
+        r = std_ellipse(df).toPandas().iloc[0]
+        return (int(r.n), r.cx, r.cy, r.theta, r.sx, r.sy)
+
+    def test_axis_aligned_spread(self, spark):
+        # variance only along x: theta=0, sy=0
+        pts = [(-2.0, 5.0), (0.0, 5.0), (2.0, 5.0)]
+        n, cx, cy, theta, sx, sy = self._run(spark, pts)
+        assert (n, cx, cy) == (3, 0.0, 5.0)
+        assert theta == 0.0 and sy == 0.0
+        assert abs(sx - (8.0 / 3.0) ** 0.5) < 1e-6
+
+    def test_diagonal_spread_rotates(self, spark):
+        import math
+
+        pts = [(-1.0, -1.0), (0.0, 0.0), (1.0, 1.0)]
+        _, _, _, theta, sx, sy = self._run(spark, pts)
+        assert abs(theta - math.pi / 4) < 1e-6
+        assert sy == 0.0 and sx > 0
+
+    def test_matches_numpy_covariance(self, spark):
+        import math
+        import random
+
+        rng = random.Random(13)
+        pts = [(rng.gauss(3, 2), rng.gauss(-1, 0.5)) for _ in range(200)]
+        n, cx, cy, theta, sx, sy = self._run(spark, pts)
+        xs = np.array([p[0] for p in pts]); ys = np.array([p[1] for p in pts])
+        mxx, myy = xs.var(), ys.var()
+        mxy = ((xs - xs.mean()) * (ys - ys.mean())).mean()
+        t = 0.5 * math.atan2(2 * mxy, mxx - myy)
+        assert abs(theta - round(t, 6)) < 1e-5
+        assert abs(cx - round(xs.mean(), 6)) < 1e-6
+
+    def test_needs_three_points(self, spark):
+        from ksj2gp_spark.operators.spatial import std_ellipse
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": [0.0, 1.0], "lat": [0.0, 1.0]})
+        )
+        with pytest.raises(ValueError):
+            std_ellipse(df)
+
+
+class TestGeneralG:
+    RES = 10
+
+    def _cell(self, i, j):
+        return self.RES * (1 << 58) + i * (1 << 29) + j
+
+    def _run(self, spark, cells):
+        from ksj2gp_spark.operators.spatial import general_g
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"cell": [c for c, _ in cells],
+                          "value": [float(v) for _, v in cells]})
+        )
+        r = general_g(df, res=self.RES).toPandas().iloc[0]
+        return (int(r.n), int(r.s0), r.general_g)
+
+    def test_hand_computed_pair(self, spark):
+        # two adjacent cells (3, 5) and one far cell (2):
+        # num = 2*3*5 = 30; denom = (sum)^2 - sum^2 = 100 - 38 = 62
+        cells = [(self._cell(0, 0), 3), (self._cell(0, 1), 5),
+                 (self._cell(9, 9), 2)]
+        n, s0, g = self._run(spark, cells)
+        assert (n, s0) == (3, 2)
+        assert abs(g - round(30.0 / 62.0, 6)) < 1e-9
+
+    def test_high_adjacency_raises_g(self, spark):
+        # same value multiset; high values adjacent vs separated
+        hi_together = [(self._cell(0, 0), 9), (self._cell(0, 1), 9),
+                       (self._cell(5, 5), 1), (self._cell(9, 9), 1)]
+        hi_apart = [(self._cell(0, 0), 9), (self._cell(9, 9), 9),
+                    (self._cell(0, 1), 1), (self._cell(5, 5), 1)]
+        g1 = self._run(spark, hi_together)[2]
+        g2 = self._run(spark, hi_apart)[2]
+        assert g1 > g2
+
+    def test_rejects_negative_values(self, spark):
+        from ksj2gp_spark.operators.spatial import general_g
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"cell": [self._cell(0, 0)], "value": [-1.0]})
+        )
+        with pytest.raises(ValueError):
+            general_g(df, res=self.RES)
