@@ -4715,6 +4715,68 @@ HAVING count(*) >= 5
 """
 
 
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON writer→reader loop (sinks/geoparquet.py::
+    to_geojson_features → formats/geojson.py::features_frame): the
+    fixture layer serializes to Feature lines, parses back
+    distributed, and re-derives each polygon's bbox from the decoded
+    WKB. Properties project JVM-side (get_json_object). The oracle is
+    the independent rectangle-bounds table — a lossy serialize, a
+    parse bug, or a dropped hole would shift a bound and
+    hash-mismatch."""
+    import pandas as pd
+
+    from ksj2gp_spark.formats import geojson as gj_mod
+    from ksj2gp_spark.geo import wkb as _wkb_mod
+
+    from ksj2gp_spark.sinks.geoparquet import to_geojson_features
+
+    layer = spark.createDataFrame(fixtures.polygon_layer())
+    feats = to_geojson_features(layer)
+    parsed = gj_mod.features_frame(feats, text_col="feature")
+
+    def bounds(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = _wkb_mod.loads(bytes(r["geometry"]))
+                x0, y0, x1, y1 = g.bounds()
+                rows.append((r["properties"], x0, y0, x1, y1))
+            yield pd.DataFrame(
+                rows, columns=["properties", "x0", "y0", "x1", "y1"]
+            )
+
+    bb = parsed.filter(F.col("error").isNull()).mapInPandas(
+        bounds,
+        schema=(
+            "properties string, x0 double, y0 double, "
+            "x1 double, y1 double"
+        ),
+    )
+    return bb.select(
+        F.get_json_object("properties", "$.polygon_id").alias(
+            "polygon_id"
+        ),
+        F.get_json_object("properties", "$['行政区域コード']").alias(
+            "admin_code"
+        ),
+        F.round("x0", 9).alias("xmin"),
+        F.round("y0", 9).alias("ymin"),
+        F.round("x1", 9).alias("xmax"),
+        F.round("y1", 9).alias("ymax"),
+    )
+
+
+def _geojson_sql() -> str:
+    return f"""
+WITH {_polys_values_sql()}
+SELECT polygon_id, admin_code,
+       round(xmin, 9) AS xmin, round(ymin, 9) AS ymin,
+       round(xmax, 9) AS xmax, round(ymax, 9) AS ymax
+FROM polys
+"""
+
+
 def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadrat-count CSR test (operators/spatial.py::quadrat_test)
     over the image points at 0.1-deg quadrats — the banded
@@ -5452,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_k": q_cross_k,
         "knox_spacetime": q_knox,
         "quadrat_csr": q_quadrat,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "std_ellipse": q_std_ellipse,
         "general_g": q_general_g,
         "join_counts": q_join_counts,
@@ -5589,6 +5652,7 @@ GROUP BY p.admin_code
         "cross_k": _cross_k_sql(),
         "knox_spacetime": _KNOX_SQL,
         "quadrat_csr": _QUADRAT_SQL,
+        "geojson_roundtrip": _geojson_sql(),
         "std_ellipse": _ELLIPSE_SQL,
         "general_g": _GENERAL_G_SQL.format(tiles=_TILES_SQL.strip()),
         "join_counts": _JOIN_COUNTS_SQL.format(tiles=_TILES_SQL.strip()),
