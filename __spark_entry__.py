@@ -4777,6 +4777,53 @@ FROM polys
 """
 
 
+def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT serialize→parse loop (geo/wkt.py) over the fixture layer:
+    WKB → WKT text → parse → bbox from the re-decoded geometry, in
+    one distributed Arrow pass. repr-shortest number formatting makes
+    the loop double-exact; the oracle is the independent
+    rectangle-bounds table."""
+    import pandas as pd
+
+    from ksj2gp_spark.geo import wkb as _wkb_mod, wkt as _wkt_mod
+
+    layer = spark.createDataFrame(
+        fixtures.polygon_layer()[
+            ["polygon_id", "行政区域コード", "geometry"]
+        ]
+    )
+
+    def loop(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = _wkb_mod.loads(bytes(r["geometry"]))
+                g2 = _wkt_mod.loads(_wkt_mod.dumps(g))
+                x0, y0, x1, y1 = g2.bounds()
+                rows.append(
+                    (r["polygon_id"], r["行政区域コード"], x0, y0, x1, y1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["polygon_id", "admin_code", "x0", "y0", "x1", "y1"],
+            )
+
+    return layer.mapInPandas(
+        loop,
+        schema=(
+            "polygon_id string, admin_code string, x0 double, "
+            "y0 double, x1 double, y1 double"
+        ),
+    ).select(
+        "polygon_id",
+        "admin_code",
+        F.round("x0", 9).alias("xmin"),
+        F.round("y0", 9).alias("ymin"),
+        F.round("x1", 9).alias("xmax"),
+        F.round("y1", 9).alias("ymax"),
+    )
+
+
 def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadrat-count CSR test (operators/spatial.py::quadrat_test)
     over the image points at 0.1-deg quadrats — the banded
@@ -5515,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_spacetime": q_knox,
         "quadrat_csr": q_quadrat,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "wkt_roundtrip": q_wkt_roundtrip,
         "std_ellipse": q_std_ellipse,
         "general_g": q_general_g,
         "join_counts": q_join_counts,
@@ -5653,6 +5701,7 @@ GROUP BY p.admin_code
         "knox_spacetime": _KNOX_SQL,
         "quadrat_csr": _QUADRAT_SQL,
         "geojson_roundtrip": _geojson_sql(),
+        "wkt_roundtrip": _geojson_sql(),
         "std_ellipse": _ELLIPSE_SQL,
         "general_g": _GENERAL_G_SQL.format(tiles=_TILES_SQL.strip()),
         "join_counts": _JOIN_COUNTS_SQL.format(tiles=_TILES_SQL.strip()),
