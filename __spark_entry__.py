@@ -4777,6 +4777,56 @@ FROM polys
 """
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distributed convex hull (operators/spatial.py::
+    convex_hull_per_group): image points split into 3 deterministic
+    groups, each augmented with 4 planted corner points that strictly
+    bound the data — the hull must come back as EXACTLY those corners
+    in canonical CCW/lex-min order. Any point leaking the partial-
+    hull merge, a wrong orientation, or a dropped shard changes
+    n_vertices/area/WKT and hash-mismatches."""
+    import pandas as pd
+
+    imgs = _images_from_customer(spark, sf_dir)
+    key = F.substring("image_id", 4, 8).cast("long")
+    pts = imgs.select(
+        F.concat(F.lit("g"), (key % 3).cast("string")).alias("grp"),
+        "lon",
+        "lat",
+    )
+    corners = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (f"g{g}", x, y)
+                for g in range(3)
+                for x, y in [
+                    (138.0, 34.0),
+                    (143.0, 34.0),
+                    (143.0, 38.0),
+                    (138.0, 38.0),
+                ]
+            ],
+            columns=["grp", "lon", "lat"],
+        )
+    )
+    from ksj2gp_spark.operators.spatial import convex_hull_per_group
+
+    return convex_hull_per_group(pts.unionAll(corners), group_col="grp")
+
+
+_HULL_WKT = (
+    "POLYGON ((138.0 34.0, 143.0 34.0, 143.0 38.0, 138.0 38.0, "
+    "138.0 34.0))"
+)
+_HULL_SQL = f"""
+SELECT 'g' || CAST(g AS VARCHAR) AS grp,
+       4 AS n_vertices,
+       20.0 AS area,
+       '{_HULL_WKT}' AS hull_wkt
+FROM range(0, 3) t(g)
+"""
+
+
 def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKT serialize→parse loop (geo/wkt.py) over the fixture layer:
     WKB → WKT text → parse → bbox from the re-decoded geometry, in
@@ -5563,6 +5613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat_csr": q_quadrat,
         "geojson_roundtrip": q_geojson_roundtrip,
         "wkt_roundtrip": q_wkt_roundtrip,
+        "convex_hull": q_convex_hull,
         "std_ellipse": q_std_ellipse,
         "general_g": q_general_g,
         "join_counts": q_join_counts,
@@ -5702,6 +5753,7 @@ GROUP BY p.admin_code
         "quadrat_csr": _QUADRAT_SQL,
         "geojson_roundtrip": _geojson_sql(),
         "wkt_roundtrip": _geojson_sql(),
+        "convex_hull": _HULL_SQL,
         "std_ellipse": _ELLIPSE_SQL,
         "general_g": _GENERAL_G_SQL.format(tiles=_TILES_SQL.strip()),
         "join_counts": _JOIN_COUNTS_SQL.format(tiles=_TILES_SQL.strip()),

@@ -2907,3 +2907,121 @@ def general_g(
         "s0",
         F.round(F.col("_num") / F.lit(denom), 6).alias("general_g"),
     )
+
+
+def _monotone_chain(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain (public textbook): CCW hull vertices,
+    collinear points dropped, canonical start = lexicographic min."""
+    p = np.unique(pts[:, :2], axis=0)
+    if len(p) <= 2:
+        return p
+
+    def half(points):
+        out = []
+        for q in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                cross = (a[0] - o[0]) * (q[1] - o[1]) - (
+                    a[1] - o[1]
+                ) * (q[0] - o[0])
+                if cross <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def convex_hull_per_group(
+    points: DataFrame,
+    group_col: str,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Per-group convex hull (Andrew monotone chain, public) — the
+    two-level distributed formulation: hull(A ∪ B) =
+    hull(hull(A) ∪ hull(B)), so stage 1 computes PARTIAL hulls per
+    (group, shard) — output per task is hull-complexity-sized, never
+    input-sized — and stage 2 merges the partial vertex sets per
+    group. A group's stage-2 input is bounded by
+    n_shards x partial-hull size, independent of the group's row
+    count: the pattern that survives a 10^12-point group. Shards are
+    engine-portable hashes of the coordinates (rerun-stable).
+
+    Emits (group, n_vertices, area, hull vertices as a WKT POLYGON
+    string) with area the exact shoelace of the hull (round 9) and
+    the ring in CCW order starting at the lexicographically smallest
+    vertex — a canonical form any engine can reproduce. Degenerate
+    groups (all points collinear or fewer than 3 distinct) emit
+    n_vertices < 3 with area 0 and an empty hull string — the
+    explicit rule, not a crash.
+    """
+    from ..geo import wkt as wkt_mod
+
+    shard = F.pmod(
+        F.xxhash64(F.col(x_col), F.col(y_col)), F.lit(int(n_shards))
+    )
+
+    def partial(pdf):
+        h = _monotone_chain(
+            pdf[[x_col, y_col]].to_numpy(dtype="float64")
+        )
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                x_col: h[:, 0],
+                y_col: h[:, 1],
+            }
+        )
+
+    gtype = points.schema[group_col].dataType.simpleString()
+    stage1 = (
+        points.select(group_col, x_col, y_col, shard.alias("_s"))
+        .groupBy(group_col, "_s")
+        .applyInPandas(
+            lambda key, pdf: partial(pdf),
+            schema=f"{group_col} {gtype}, {x_col} double, {y_col} double",
+        )
+    )
+
+    def final(key, pdf):
+        h = _monotone_chain(
+            pdf[[x_col, y_col]].to_numpy(dtype="float64")
+        )
+        if len(h) < 3:
+            return pd.DataFrame(
+                {
+                    group_col: [key[0]],
+                    "n_vertices": [len(h)],
+                    "area": [0.0],
+                    "hull_wkt": [""],
+                }
+            )
+        area = 0.0
+        xs, ys = h[:, 0], h[:, 1]
+        area = 0.5 * float(
+            np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))
+        )
+        ring = np.vstack([h, h[:1]])
+        txt = wkt_mod.dumps(wkb.Geometry(wkb.POLYGON, [ring]))
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_vertices": [len(h)],
+                "area": [round(area, 9)],
+                "hull_wkt": [txt],
+            }
+        )
+
+    return stage1.groupBy(group_col).applyInPandas(
+        final,
+        schema=(
+            f"{group_col} {gtype}, n_vertices int, area double, "
+            "hull_wkt string"
+        ),
+    )

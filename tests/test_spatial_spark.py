@@ -2135,3 +2135,101 @@ class TestGeneralG:
         )
         with pytest.raises(ValueError):
             general_g(df, res=self.RES)
+
+
+class TestConvexHull:
+    """Two-level distributed convex hull (operators/spatial.py::
+    convex_hull_per_group)."""
+
+    @staticmethod
+    def _run(spark, rows, n_shards=64):
+        from ksj2gp_spark.operators.spatial import convex_hull_per_group
+
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["grp", "lon", "lat"])
+        )
+        out = convex_hull_per_group(
+            df, group_col="grp", n_shards=n_shards
+        ).toPandas()
+        return {
+            r.grp: (int(r.n_vertices), r.area, r.hull_wkt)
+            for r in out.itertuples()
+        }
+
+    @staticmethod
+    def _jarvis(pts):
+        """Gift-wrapping reference hull (CCW vertex count + area)."""
+        pts = sorted(set(pts))
+        if len(pts) <= 2:
+            return len(pts), 0.0
+        hull = []
+        start = min(pts)
+        p = start
+        while True:
+            hull.append(p)
+            q = pts[0] if pts[0] != p else pts[1]
+            for r in pts:
+                if r == p:
+                    continue
+                cross = (q[0] - p[0]) * (r[1] - p[1]) - (
+                    q[1] - p[1]
+                ) * (r[0] - p[0])
+                d_q = (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                d_r = (r[0] - p[0]) ** 2 + (r[1] - p[1]) ** 2
+                if cross < 0 or (cross == 0 and d_r > d_q):
+                    q = r
+            p = q
+            if p == start:
+                break
+        area = 0.0
+        for i in range(len(hull)):
+            x0, y0 = hull[i]
+            x1, y1 = hull[(i + 1) % len(hull)]
+            area += x0 * y1 - x1 * y0
+        return len(hull), abs(area) / 2.0
+
+    def test_square_with_interior_points(self, spark):
+        rows = [("a", 0.0, 0.0), ("a", 4.0, 0.0), ("a", 4.0, 4.0),
+                ("a", 0.0, 4.0)]
+        rows += [("a", 1.0 + 0.1 * i, 2.0) for i in range(10)]
+        got = self._run(spark, rows)
+        n, area, txt = got["a"]
+        assert (n, area) == (4, 16.0)
+        assert txt.startswith("POLYGON ((0.0 0.0, 4.0 0.0")
+
+    def test_random_matches_jarvis_reference(self, spark):
+        import random
+
+        rng = random.Random(19)
+        rows = [
+            ("g", round(rng.uniform(0, 10), 3),
+             round(rng.uniform(0, 10), 3))
+            for _ in range(400)
+        ]
+        got = self._run(spark, rows)
+        n, area, _ = got["g"]
+        rn, rarea = self._jarvis([(r[1], r[2]) for r in rows])
+        assert n == rn and abs(area - rarea) < 1e-9
+
+    def test_shard_count_invariance(self, spark):
+        import random
+
+        rng = random.Random(29)
+        rows = [
+            ("g", rng.uniform(0, 5), rng.uniform(0, 5))
+            for _ in range(300)
+        ]
+        assert self._run(spark, rows, n_shards=1) == self._run(
+            spark, rows, n_shards=64
+        )
+
+    def test_degenerate_collinear(self, spark):
+        rows = [("l", float(i), float(2 * i)) for i in range(5)]
+        n, area, txt = self._run(spark, rows)["l"]
+        assert n == 2 and area == 0.0 and txt == ""
+
+    def test_multiple_groups_isolated(self, spark):
+        rows = [("a", 0.0, 0.0), ("a", 1.0, 0.0), ("a", 0.0, 1.0),
+                ("b", 10.0, 10.0), ("b", 12.0, 10.0), ("b", 10.0, 13.0)]
+        got = self._run(spark, rows)
+        assert got["a"][1] == 0.5 and got["b"][1] == 3.0
