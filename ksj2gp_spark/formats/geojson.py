@@ -68,9 +68,15 @@ def geometry_to_wkb(gj: dict) -> bytes:
 
     try:
         if kind == wkb.POINT:
-            g = wkb.Geometry(
-                kind, np.asarray(c, dtype="float64")[:2]
-            )
+            a = np.asarray(c, dtype="float64")
+            if a.ndim != 1 or a.shape[0] < 2:
+                # a bare scalar, a short position, or a nested array
+                # would otherwise serialize as corrupt WKB (wrong
+                # number of doubles) — quarantine, never emit.
+                raise GeoJsonError(
+                    f"bad Point coordinates shape {a.shape}"
+                )
+            g = wkb.Geometry(kind, np.ascontiguousarray(a[:2]))
         elif kind in (wkb.MULTIPOINT, wkb.LINESTRING):
             g = wkb.Geometry(kind, arr(c))
         elif kind in (wkb.MULTILINESTRING, wkb.POLYGON):

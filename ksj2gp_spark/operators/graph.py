@@ -416,6 +416,12 @@ def pagerank(
     )
     outdeg = links.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
     n = nodes.count()
+    if n == 0:
+        # empty edge list: no nodes, no mass to distribute — return
+        # an empty (node, rank) frame rather than dividing by zero.
+        return nodes.select(
+            "node", F.lit(0.0).cast("double").alias("rank")
+        )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
@@ -480,6 +486,11 @@ def bfs_distances(
     )
     if source is None:
         source = sym.agg(F.min("a")).collect()[0][0]
+        if source is None:
+            raise ValueError(
+                "bfs_distances: graph has no edges and no explicit "
+                "source was given"
+            )
     id_t = sym.schema["a"].dataType.simpleString()
     dist = spark.createDataFrame(
         [(source, 0)], schema=f"node {id_t}, hop int"
@@ -561,6 +572,11 @@ def sssp_distances(
         )
     if source is None:
         source = sym.agg(F.min("a")).collect()[0][0]
+        if source is None:
+            raise ValueError(
+                "sssp_distances: graph has no edges and no explicit "
+                "source was given"
+            )
     id_t = sym.schema["a"].dataType.simpleString()
     w_t = sym.schema["w"].dataType.simpleString()
     dist = spark.createDataFrame(

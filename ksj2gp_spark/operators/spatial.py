@@ -1509,8 +1509,19 @@ def morans_i(
     keys plus one double.
     """
     stats = cells_df.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("xbar")
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("xbar"),
+        F.var_pop(value_col).alias("_var"),
     ).collect()[0]
+    if int(stats["n"]) < 2:
+        raise ValueError(
+            f"morans_i needs at least 2 cells (got {int(stats['n'])})"
+        )
+    if not (float(stats["_var"] or 0.0) > 0.0):
+        raise ValueError(
+            "morans_i is undefined on a constant surface "
+            "(zero variance denominator)"
+        )
     n, xbar = int(stats["n"]), float(stats["xbar"])
     base = F.lit(int(res)) * F.lit(1 << 58)
     i = F.shiftright(F.col(cell_col) - base, 29)
@@ -1710,9 +1721,19 @@ def geary_c(
     raster so every exchange moves (8-byte id, double) pairs.
     """
     stats = cells_df.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("xbar")
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("xbar"),
+        F.var_pop(value_col).alias("_var"),
     ).collect()[0]
-    n, xbar = int(stats["n"]), float(stats["xbar"])
+    n = int(stats["n"])
+    if n < 2:
+        raise ValueError(f"geary_c needs at least 2 cells (got {n})")
+    if not (float(stats["_var"] or 0.0) > 0.0):
+        raise ValueError(
+            "geary_c is undefined on a constant surface "
+            "(zero variance denominator)"
+        )
+    xbar = float(stats["xbar"])
     base = F.lit(int(res)) * F.lit(1 << 58)
     i = F.shiftright(F.col(cell_col) - base, 29)
     j = F.col(cell_col) % F.lit(1 << 29)
@@ -1795,10 +1816,15 @@ def ripley_k(
     """
     if not radii:
         raise ValueError("ripley_k needs at least one radius")
+    if any(float(r) <= 0 for r in radii):
+        raise ValueError(f"every radius must be positive, got {radii}")
     rmax = float(max(radii))
-    if rmax <= 0:
-        raise ValueError("radii must be positive")
     n = points.count()
+    if n < 2:
+        raise ValueError(
+            f"ripley_k needs at least 2 points (got {n}): "
+            "K̂'s 1/(n(n-1)) normalizer is undefined"
+        )
     cell = rmax * (1.0 + 1e-9)
     ci = F.floor(F.col(x_col) / F.lit(cell))
     cj = F.floor(F.col(y_col) / F.lit(cell))
@@ -2429,13 +2455,21 @@ def areal_interpolate(
 
     def _areas(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                g = wkb.loads(bytes(r["geometry"]))
-                rows.append(
-                    (r[left_id], float(r[value_col]), geom.geometry_area(g))
-                )
-            yield pd.DataFrame(rows, columns=[left_id, "_v", "_a"])
+            # normalize BEFORE measuring: intersection areas from
+            # polygon_overlay_join are computed on CRS-normalized
+            # (WGS84) geometry, so the A(src∩t)/A(src) share must use
+            # the same datum or totals stop conserving exactly.
+            pdf = normalize_polygons(pdf)
+            yield pd.DataFrame(
+                {
+                    left_id: pdf[left_id].to_numpy(),
+                    "_v": pdf[value_col].to_numpy(dtype="float64"),
+                    "_a": [
+                        geom.geometry_area(wkb.loads(bytes(b)))
+                        for b in pdf["geometry"]
+                    ],
+                }
+            )
 
     src = left.mapInPandas(
         _areas, schema=f"{left_id} {id_t}, _v double, _a double"
@@ -2483,11 +2517,17 @@ def cross_k(
     """
     if not radii:
         raise ValueError("cross_k needs at least one radius")
+    if any(float(r) <= 0 for r in radii):
+        raise ValueError(f"every radius must be positive, got {radii}")
     rmax = float(max(radii))
-    if rmax <= 0:
-        raise ValueError("radii must be positive")
     n_a = points_a.count()
     n_b = points_b.count()
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"cross_k needs non-empty point sets "
+            f"(n_a={n_a}, n_b={n_b}): the 1/(n_a*n_b) normalizer "
+            "is undefined"
+        )
     cell = rmax * (1.0 + 1e-9)
     ca_i = F.floor(F.col(x_col) / F.lit(cell))
     ca_j = F.floor(F.col(y_col) / F.lit(cell))
@@ -2875,7 +2915,15 @@ def general_g(
     n = int(stats["n"])
     if stats["mn"] is not None and float(stats["mn"]) < 0:
         raise ValueError("general_g requires non-negative values")
-    denom = float(stats["sx"]) * float(stats["sx"]) - float(stats["sxx"])
+    denom = (
+        float(stats["sx"] or 0.0) * float(stats["sx"] or 0.0)
+        - float(stats["sxx"] or 0.0)
+    )
+    if not (denom > 0.0):
+        raise ValueError(
+            f"general_g is undefined: sum_{{i!=j}} x_i x_j = {denom} "
+            "(need >= 2 cells with at least two positive values)"
+        )
     base = F.lit(int(res)) * F.lit(1 << 58)
     i = F.shiftright(F.col(cell_col) - base, 29)
     j = F.col(cell_col) % F.lit(1 << 29)

@@ -63,6 +63,56 @@ def test_all_types_roundtrip(geom):
     assert _geometry_to_geojson(wkb.loads(b)) == geom
 
 
+@pytest.mark.parametrize(
+    "coords",
+    [
+        [1.0],                    # too short — would emit 1 double
+        [[1, 2], [3, 4]],         # nested — would emit 4 doubles
+        [[[1, 2]]],               # deeper nesting
+        1.0,                      # bare scalar (0-d array)
+        [],                       # empty
+    ],
+)
+def test_bad_point_shapes_quarantine(coords):
+    # malformed Point coordinates must raise GeoJsonError (the
+    # quarantine contract), never serialize as corrupt WKB
+    with pytest.raises(gj.GeoJsonError):
+        gj.geometry_to_wkb({"type": "Point", "coordinates": coords})
+
+
+def test_point_z_dropped():
+    g = wkb.loads(
+        gj.geometry_to_wkb({"type": "Point", "coordinates": [1, 2, 9]})
+    )
+    assert list(g.coords) == [1.0, 2.0]
+
+
+def test_bad_point_lands_in_error_lane(spark, tmp_path):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [1.0]},
+                "properties": {"name": "short"},
+            },
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [3, 4]},
+                "properties": {"name": "ok"},
+            },
+        ],
+    }
+    p = tmp_path / "pt.json"
+    p.write_text(json.dumps(doc))
+    out = gj.read_geojson(spark, str(p), mode="collection").toPandas()
+    ok = out[out["error"].isna()]
+    bad = out[out["error"].notna()]
+    assert len(ok) == 1 and len(bad) == 1
+    assert json.loads(ok.iloc[0]["properties"])["name"] == "ok"
+    assert "Point" in bad.iloc[0]["error"]
+
+
 def test_third_ordinate_dropped():
     b = gj.geometry_to_wkb(
         {"type": "LineString", "coordinates": [[0, 0, 9], [1, 1, 9]]}

@@ -522,6 +522,16 @@ class TestPagerank:
         for v in want:
             assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
 
+    def test_empty_edge_list(self, spark):
+        # no nodes, no mass: empty (node, rank) frame, not a
+        # ZeroDivisionError
+        from ksj2gp_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([], "src long, dst long")
+        out = pagerank(df)
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0
+
     def test_dangling_mass_conserved(self, spark):
         # 1->2->3, 3 dangling: total rank must stay 1.0
         from ksj2gp_spark.operators.graph import pagerank
@@ -563,6 +573,23 @@ class TestBfsDistances:
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r["node"]: r["hop"] for r in bfs_distances(df).collect()}
         assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_empty_graph_without_source_raises(self, spark):
+        import pytest
+
+        from ksj2gp_spark.operators.graph import (
+            bfs_distances,
+            sssp_distances,
+        )
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        with pytest.raises(ValueError, match="no edges"):
+            bfs_distances(empty)
+        wempty = spark.createDataFrame(
+            [], "src long, dst long, weight long"
+        )
+        with pytest.raises(ValueError, match="no edges"):
+            sssp_distances(wempty)
 
     def test_explicit_source_and_cycle(self, spark):
         from ksj2gp_spark.operators.graph import bfs_distances

@@ -1012,6 +1012,27 @@ class TestGearyC:
         assert c_half["geary_c"] < 1.0
         assert c_board["geary_c"] > 1.0
 
+    def test_degenerate_inputs_raise(self, spark):
+        import pandas as pd
+        from ksj2gp_spark.operators.spatial import geary_c, morans_i
+
+        res = 10
+        base = res * (1 << 58)
+        mk = lambda i, j: base + i * (1 << 29) + j  # noqa: E731
+        flat = spark.createDataFrame(
+            pd.DataFrame(
+                {"cell": [mk(0, 0), mk(0, 1), mk(1, 0)], "value": [2.0] * 3}
+            )
+        )
+        one = spark.createDataFrame(
+            pd.DataFrame({"cell": [mk(0, 0)], "value": [2.0]})
+        )
+        for fn in (geary_c, morans_i):
+            with pytest.raises(ValueError, match="constant surface"):
+                fn(flat, res=res)
+            with pytest.raises(ValueError, match="at least 2"):
+                fn(one, res=res)
+
     def test_matches_brute_force_definition(self, spark):
         import numpy as np
         import pandas as pd
@@ -1125,6 +1146,16 @@ class TestRipleyK:
             ripley_k(df, radii=[], area=1.0)
         with pytest.raises(ValueError):
             ripley_k(df, radii=[-1.0], area=1.0)
+        # one negative radius hiding among valid ones must not be
+        # silently counted as |r|
+        with pytest.raises(ValueError, match="positive"):
+            ripley_k(df, radii=[1.0, -0.5], area=1.0)
+        # n < 2: the 1/(n(n-1)) normalizer is undefined
+        with pytest.raises(ValueError, match="at least 2"):
+            ripley_k(df, radii=[1.0], area=1.0)
+        empty = df.filter("lon > 1")
+        with pytest.raises(ValueError, match="at least 2"):
+            ripley_k(empty, radii=[1.0], area=1.0)
 
 
 class TestDbscan:
@@ -1737,6 +1768,46 @@ class TestArealInterpolate:
             "w_band": (1, 4.0),     # 14 * 2/7
         }
 
+    def test_tokyo_datum_source_conserves_exactly(self, spark):
+        # a Tokyo-datum source fully covered by one window must yield
+        # est == value EXACTLY: source areas are measured on the same
+        # CRS-normalized (WGS84) geometry as the intersection areas
+        # (un-normalized Tokyo areas differ by ~2e-4 relative — the
+        # buggy share would round to 7.998416, not 8.0)
+        import numpy as np
+
+        from ksj2gp_spark.geo import transform, wkb as _wkb
+        from ksj2gp_spark.operators.spatial import areal_interpolate
+
+        sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+
+        def inv(pts):
+            a = np.array(pts, dtype=float)
+            lon, lat, _ = transform.wgs84_to_tokyo(a[:, 0], a[:, 1])
+            return list(zip(lon, lat))
+
+        src = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "polygon_id": ["rect"],
+                    "geometry": [_wkb.polygon(inv(sq(130, 30, 132, 32)))],
+                    "crs": ["Tokyo"],
+                    "pop": [8.0],
+                }
+            )
+        )
+        wins = pd.DataFrame(
+            {
+                "polygon_id": ["cover"],
+                "geometry": [_wkb.polygon(sq(129, 29, 133, 33))],
+            }
+        )
+        out = areal_interpolate(
+            src, wins, value_col="pop", scheme="grid", res=8
+        ).toPandas()
+        assert len(out) == 1
+        assert out.iloc[0]["est_value"] == 8.0
+
     def test_partition_conserves_total(self, spark):
         # four quadrant windows exactly tile the rect source: the
         # estimates must sum to its full value
@@ -1832,6 +1903,13 @@ class TestCrossK:
             cross_k(df, df, radii=[], area=1.0)
         with pytest.raises(ValueError):
             cross_k(df, df, radii=[0.0], area=1.0)
+        with pytest.raises(ValueError, match="positive"):
+            cross_k(df, df, radii=[1.0, -0.5], area=1.0)
+        empty = df.filter("lon > 1")
+        with pytest.raises(ValueError, match="non-empty"):
+            cross_k(df, empty, radii=[1.0], area=1.0)
+        with pytest.raises(ValueError, match="non-empty"):
+            cross_k(empty, df, radii=[1.0], area=1.0)
 
 
 class TestJoinCounts:
@@ -2116,6 +2194,25 @@ class TestGeneralG:
         n, s0, g = self._run(spark, cells)
         assert (n, s0) == (3, 2)
         assert abs(g - round(30.0 / 62.0, 6)) < 1e-9
+
+    def test_degenerate_denominator_raises(self, spark):
+        from ksj2gp_spark.operators.spatial import general_g
+
+        # all-zero values: sum_{i!=j} x_i x_j = 0 — undefined, not NULL
+        zeros = spark.createDataFrame(
+            pd.DataFrame(
+                {"cell": [self._cell(0, 0), self._cell(0, 1)],
+                 "value": [0.0, 0.0]}
+            )
+        )
+        with pytest.raises(ValueError, match="undefined"):
+            general_g(zeros, res=self.RES)
+        # a single positive cell has no cross terms either
+        one = spark.createDataFrame(
+            pd.DataFrame({"cell": [self._cell(0, 0)], "value": [3.0]})
+        )
+        with pytest.raises(ValueError, match="undefined"):
+            general_g(one, res=self.RES)
 
     def test_high_adjacency_raises_g(self, spark):
         # same value multiset; high values adjacent vs separated
