@@ -42,8 +42,10 @@ Scale shape: round 1 touches the edge list ONCE (one hash repartition
 rows); later rounds run on quotient graphs that shrink by the local
 contraction factor (~#partition-locality), so total shuffle volume is
 O(|E|) + a geometric tail — vs O(|E|) per round for label
-propagation. Every per-round frame is ``localCheckpoint``-ed so plans
-do not grow with iteration count. Known skew caveat: a node of degree
+propagation. Every per-round frame is lineage-truncated so plans do
+not grow with iteration count — ``localCheckpoint`` by default, or
+reliable ``checkpoint()`` when a ``checkpoint_dir`` is given (the
+executor-loss-safe mode; see :func:`_checkpointer`). Known skew caveat: a node of degree
 d puts d rows in one kernel partition; upstream LSH pair generation
 caps bucket sizes (operators/dedup.py max_bucket), which bounds d.
 """
@@ -53,6 +55,34 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+
+def _checkpointer(spark, checkpoint_dir: str | None):
+    """Per-round lineage-truncation strategy for iterative operators.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint()`` — round
+    frames live in executor memory/disk. Fastest, but the blocks die
+    with their executor: on a real cluster ONE executor loss
+    mid-iteration makes every later round's lineage unrecoverable and
+    kills the job.
+
+    With ``checkpoint_dir`` set: reliable ``DataFrame.checkpoint()``
+    into that directory (an HDFS-compatible shared path on a real
+    cluster, a local dir in tests). Executor loss then replays the
+    affected tasks from the checkpoint FILES and the job completes —
+    the fault-tolerance posture the engine's resumable sinks already
+    promise (crash-injection test:
+    tests/test_graph_joins.py::TestReliableCheckpoint). Checkpoint
+    files accumulate one round-frame per iteration and are reclaimed
+    when the application exits (or by
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` as
+    rounds fall out of scope); the backward pass reads every round's
+    mapping, so files must outlive the loop anyway.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint()
 
 
 def _local_components(n_values: int, ea: np.ndarray, eb: np.ndarray):
@@ -129,6 +159,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``
     (undirected; direction of the input rows is ignored). ``component``
@@ -136,12 +167,18 @@ def connected_components(
     deterministic canonical representative, reproducible by any engine
     (the DuckDB oracle computes it with a recursive CTE).
 
+    ``checkpoint_dir``: when set, per-round frames use reliable
+    ``checkpoint()`` into that (shared-filesystem) directory instead of
+    ``localCheckpoint()``, so the job survives executor loss
+    mid-iteration — see :func:`_checkpointer`.
+
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iter`` rounds (contraction shrinks the quotient by the
     partition-locality factor per round; 30 covers any graph that fits
     on a real cluster).
     """
     spark = edges.sparkSession
+    ckpt = _checkpointer(spark, checkpoint_dir)
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     id_t = edges.schema[src].dataType
     simple = id_t.simpleString()
@@ -185,12 +222,10 @@ def connected_components(
         # fixed-width rows per round; the groupBy collect_set + explode
         # formulation measured ~3× this round's wall at 8M nodes —
         # per-group JVM array buffers plus an array-column checkpoint)
-        combined = (
-            contracted.repartition(nparts, "node")
-            .mapInPandas(
+        combined = ckpt(
+            contracted.repartition(nparts, "node").mapInPandas(
                 _minlink_kernel, schema=f"{map_schema}, kind tinyint"
             )
-            .localCheckpoint()
         )
         mappings.append(
             combined.filter(F.col("kind") == 0).select("node", "root")
@@ -228,6 +263,7 @@ def connected_components_labelprop(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Baseline kept for A/B equality tests and the scaling sweep:
     min-label propagation with pointer jumping (Rastogi et al.,
@@ -235,17 +271,16 @@ def connected_components_labelprop(
     Rounds"). Two SQL joins + two checkpoints per round over the full
     edge list; ``connected_components`` (contraction) is the
     production path."""
-    sym = (
+    ckpt = _checkpointer(edges.sparkSession, checkpoint_dir)
+    sym = ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -261,14 +296,12 @@ def connected_components_labelprop(
             .withColumnRenamed("u", "node")
         )
         # least() skips nulls, so unmatched left rows keep their label.
-        l1 = (
-            labels.join(nbr, "node", "left")
-            .select(
+        l1 = ckpt(
+            labels.join(nbr, "node", "left").select(
                 "node",
                 F.least("label", "nl").alias("label"),
                 F.col("label").alias("_old"),
             )
-            .localCheckpoint()
         )
         jump = l1.select(
             F.col("node").alias("label"), F.col("label").alias("jl")
@@ -276,7 +309,7 @@ def connected_components_labelprop(
         l2 = l1.join(jump, "label", "left").select(
             "node", F.least("label", "jl").alias("label"), "_old"
         )
-        l2 = l2.localCheckpoint()
+        l2 = ckpt(l2)
         changed = l2.agg(
             F.sum((F.col("label") != F.col("_old")).cast("long")).alias("c")
         ).collect()[0]["c"]
@@ -293,6 +326,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup clustering: LSH pair list → (doc_id, component, csize).
     ``component`` is the min doc_id of the cluster; ``csize`` its
@@ -301,7 +335,13 @@ def dedup_components(
     """
     from pyspark.sql import Window
 
-    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    comp = connected_components(
+        pairs,
+        src=id_a,
+        dst=id_b,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
     # window count, not a broadcast of per-component sizes: component
     # count is O(nodes) at scale, so it must stay distributed — one
     # shuffle on component and the count rides along
@@ -389,6 +429,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 8,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Brin & Page 1998, public) over a
     directed edge list. Returns (node, rank) with rank rounded to 6
@@ -407,12 +448,12 @@ def pagerank(
     ``localCheckpoint`` keeps the plan O(1) in iteration count.
     The only driver action is the upfront node count (one scalar).
     """
+    ckpt = _checkpointer(edges.sparkSession, checkpoint_dir)
     links = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    nodes = (
+    nodes = ckpt(
         links.select(F.col("u").alias("node"))
         .unionAll(links.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     outdeg = links.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
     n = nodes.count()
@@ -438,7 +479,7 @@ def pagerank(
             ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
         )
-        ranks = (
+        ranks = ckpt(
             nodes.join(contribs, "node", "left")
             .crossJoin(dang)
             .select(
@@ -449,7 +490,6 @@ def pagerank(
                     * (F.coalesce(F.col("_s"), F.lit(0.0)) + F.col("_d") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
@@ -460,6 +500,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Single-source shortest hop distances (unweighted BFS) over an
     undirected graph. Returns (node, hop) for every node reachable
@@ -475,14 +516,14 @@ def bfs_distances(
     beyond ``max_iter`` (a diameter bound, not a convergence guess).
     """
     spark = edges.sparkSession
-    sym = (
+    ckpt = _checkpointer(spark, checkpoint_dir)
+    sym = ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     if source is None:
         source = sym.agg(F.min("a")).collect()[0][0]
@@ -492,22 +533,21 @@ def bfs_distances(
                 "source was given"
             )
     id_t = sym.schema["a"].dataType.simpleString()
-    dist = spark.createDataFrame(
-        [(source, 0)], schema=f"node {id_t}, hop int"
-    ).localCheckpoint()
+    dist = ckpt(
+        spark.createDataFrame([(source, 0)], schema=f"node {id_t}, hop int")
+    )
     frontier = dist.select("node")
     for hop in range(1, max_iter + 1):
-        nxt = (
+        nxt = ckpt(
             frontier.join(sym, frontier["node"] == sym["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("hop"))
-            .localCheckpoint()
         )
         if nxt.isEmpty():
             return dist
-        dist = dist.unionAll(nxt).localCheckpoint()
+        dist = ckpt(dist.unionAll(nxt))
         frontier = nxt.select("node")
     raise RuntimeError(f"bfs_distances exceeded max_iter={max_iter}")
 
@@ -519,6 +559,7 @@ def sssp_distances(
     dst: str = "dst",
     weight: str = "weight",
     max_iter: int = 60,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Single-source shortest WEIGHTED distances (frontier
     Bellman-Ford, public textbook algorithm) over an undirected
@@ -546,7 +587,8 @@ def sssp_distances(
     guess).
     """
     spark = edges.sparkSession
-    sym = (
+    ckpt = _checkpointer(spark, checkpoint_dir)
+    sym = ckpt(
         edges.select(
             F.col(src).alias("a"),
             F.col(dst).alias("b"),
@@ -562,7 +604,6 @@ def sssp_distances(
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint()
     )
     wmin = sym.agg(F.min("w")).collect()[0][0]
     if wmin is not None and wmin <= 0:
@@ -579,9 +620,11 @@ def sssp_distances(
             )
     id_t = sym.schema["a"].dataType.simpleString()
     w_t = sym.schema["w"].dataType.simpleString()
-    dist = spark.createDataFrame(
-        [(source, 0)], schema=f"node {id_t}, dist {w_t}"
-    ).localCheckpoint()
+    dist = ckpt(
+        spark.createDataFrame(
+            [(source, 0)], schema=f"node {id_t}, dist {w_t}"
+        )
+    )
     frontier = dist
     for _ in range(max_iter):
         cand = (
@@ -593,7 +636,7 @@ def sssp_distances(
             .groupBy("node")
             .agg(F.min("_nd").alias("_nd"))
         )
-        improved = (
+        improved = ckpt(
             cand.join(
                 dist.select(
                     F.col("node").alias("_n"), F.col("dist").alias("_d")
@@ -603,14 +646,12 @@ def sssp_distances(
             )
             .filter(F.col("_d").isNull() | (F.col("_nd") < F.col("_d")))
             .select("node", F.col("_nd").alias("dist"))
-            .localCheckpoint()
         )
         if improved.isEmpty():
             return dist
-        dist = (
+        dist = ckpt(
             dist.join(improved.select("node"), "node", "left_anti")
             .unionAll(improved)
-            .localCheckpoint()
         )
         frontier = improved
     raise RuntimeError(f"sssp_distances exceeded max_iter={max_iter}")

@@ -1896,6 +1896,7 @@ def dbscan(
     id_col: str = "image_id",
     x_col: str = "lon",
     y_col: str = "lat",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact distributed DBSCAN (Ester et al. 1996, public), planar
     coordinates. One row per input point: (id, cluster, is_core,
@@ -1933,12 +1934,16 @@ def dbscan(
     The pair frame is lazily ``localCheckpoint``-ed so its three
     consumers (counts, core edges, border labels) reuse one
     materialization instead of recomputing the candidate join.
+    ``checkpoint_dir``: when set, the pair frame AND the CC rounds use
+    reliable ``checkpoint()`` into that shared directory instead, so
+    an executor loss mid-job replays from files rather than failing
+    (see graph._checkpointer; crash-injection-tested).
     """
     if eps <= 0:
         raise ValueError("eps must be positive")
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
-    from .graph import connected_components
+    from .graph import _checkpointer, connected_components
 
     cell = float(eps) * (1.0 + 1e-9)
     ci = F.floor(F.col(x_col) / F.lit(cell))
@@ -1976,8 +1981,11 @@ def dbscan(
         left.join(right, ["_ci", "_cj"])
         .filter(d2 <= F.lit(float(eps) * float(eps)))
         .select("_ida", "_idb")
-        .localCheckpoint(eager=False)
     )
+    if checkpoint_dir is None:
+        pairs = pairs.localCheckpoint(eager=False)
+    else:
+        pairs = _checkpointer(points.sparkSession, checkpoint_dir)(pairs)
     cnt = pairs.groupBy("_ida").agg(F.count(F.lit(1)).alias("n_nbrs"))
     cores = cnt.filter(F.col("n_nbrs") >= F.lit(int(min_pts))).select(
         F.col("_ida").alias("_core")
@@ -1988,7 +1996,9 @@ def dbscan(
     core_edges = core_edges.join(
         cores, core_edges["_idb"] == cores["_core"], "left_semi"
     )
-    comp = connected_components(core_edges, src="_ida", dst="_idb")
+    comp = connected_components(
+        core_edges, src="_ida", dst="_idb", checkpoint_dir=checkpoint_dir
+    )
     nbr_label = (
         pairs.join(
             comp.select(
