@@ -1273,6 +1273,20 @@ FROM j WHERE dist <= 0.15
 """
 
 
+def q_dwithin_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big × big distance join: the same pairs as dwithin_admin but
+    through operators/spatial.py::dwithin_join_shuffle — the fully
+    distributed variant (per-polygon d-expanded bbox cover via
+    mapInPandas → ONE cell equi-join → cogroup exact segment-distance
+    refine; the polygon layer is a DataFrame end-to-end, never
+    broadcast from the driver). Bit-identical distances to the
+    broadcast path, so the oracle is the same clamp formula."""
+    imgs = _images_from_customer(spark, sf_dir)
+    return spatial.dwithin_join_shuffle(
+        imgs, spark.createDataFrame(fixtures.polygon_layer()), 0.15
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (raster→vector): a synthetic res-12 value
     raster ((i*7 + j*13) % 1000 — BIGINT-exact) aggregated per admin
@@ -5579,6 +5593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "zonal_stats_admin": q_zonal_stats,
         "dwithin_admin": q_dwithin,
+        "dwithin_shuffle": q_dwithin_shuffle,
         "vocab_topk": q_vocab_topk,
         "event_funnel": q_event_funnel,
         "dissolve_pref": q_dissolve_pref,
@@ -5719,6 +5734,7 @@ GROUP BY p.admin_code
         "doc_length_quantiles": _QUANTILES_SQL,
         "zonal_stats_admin": _zonal_sql(),
         "dwithin_admin": _dwithin_sql(),
+        "dwithin_shuffle": _dwithin_sql(),
         "vocab_topk": _VOCAB_SQL,
         "event_funnel": _FUNNEL_SQL,
         "dissolve_pref": _dissolve_sql(),

@@ -115,6 +115,85 @@ def run_dedup_lanes_isolated(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def build_gml_fixtures(n_per: int, n_zips: int) -> str:
+    """Deterministic JPGIS-GML ZIP fixtures (xlink'd Surfaces +
+    codeSpace'd attributes) for the convert_gml lane and its
+    repeat-growth probe (bench/gml_repeat_ab.py)."""
+    import io as _io
+    import tempfile
+    import zipfile as _zipfile
+
+    import numpy as np
+
+    d = tempfile.mkdtemp(prefix="bench_gmlconv_")
+    rng = np.random.default_rng(0)
+    for z in range(n_zips):
+        x0 = rng.uniform(130, 140, n_per)
+        y0 = rng.uniform(33, 40, n_per)
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<Dataset xmlns:gml="http://www.opengis.net/gml/3.2" '
+            'xmlns:xlink="http://www.w3.org/1999/xlink" '
+            'xmlns="http://nlftp.mlit.go.jp/ksj/schemas/ksj-app" '
+            'gml:id="ds">'
+        ]
+        for i in range(n_per):
+            x, y = x0[i], y0[i]
+            pl = (
+                f"{y:.6f} {x:.6f} {y:.6f} {x + 0.01:.6f} "
+                f"{y + 0.01:.6f} {x + 0.01:.6f} {y:.6f} {x:.6f}"
+            )
+            parts.append(
+                f'<gml:Surface gml:id="sf{i}" srsName="fguuid:jgd2011.bl">'
+                f"<gml:patches><gml:PolygonPatch><gml:exterior>"
+                f"<gml:LinearRing><gml:posList>{pl}</gml:posList>"
+                f"</gml:LinearRing></gml:exterior></gml:PolygonPatch>"
+                f"</gml:patches></gml:Surface>"
+                f'<AdministrativeBoundary gml:id="ab{i}">'
+                f'<bounds xlink:href="#sf{i}"/>'
+                f'<administrativeAreaCode codeSpace="AdminAreaCd.xml">'
+                f"13{i % 900 + 100:03d}</administrativeAreaCode>"
+                f"<name>city{i % 100}</name>"
+                f"</AdministrativeBoundary>"
+            )
+        parts.append("</Dataset>")
+        bio = _io.BytesIO()
+        with _zipfile.ZipFile(bio, "w") as zf:
+            zf.writestr(
+                f"d/N03-2024010{z}.xml", "\n".join(parts).encode()
+            )
+        with open(
+            os.path.join(d, f"N03-2024010{z}_13_GML.zip"), "wb"
+        ) as f:
+            f.write(bio.getvalue())
+    return d
+
+
+def py_worker_rss_mb() -> float:
+    """Total RSS (MiB) of this session's Python worker processes
+    (pyspark.daemon + its forked workers share the daemon cmdline).
+    /proc scan, no psutil. The convert_gml repeat-growth probe reads
+    this per repeat: monotone RSS growth across repeats fingerprints
+    accumulating worker heap (ElementTree garbage surviving reuse)."""
+    import glob
+
+    total_kb = 0
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(p, "rb") as f:
+                cmd = f.read()
+            if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+                continue
+            with open(p.replace("cmdline", "status")) as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        total_kb += int(line.split()[1])
+                        break
+        except OSError:
+            continue
+    return round(total_kb / 1024.0, 1)
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -198,7 +277,13 @@ def main() -> None:
     raw_times: dict[str, list[float]] = {}
     loadavg_start = os.getloadavg()[0]
 
-    def timed(name: str, fn, repeats: int = 3):
+    def timed(
+        name: str,
+        fn,
+        repeats: int = 3,
+        warm: bool = False,
+        track_rss: bool = False,
+    ):
         """Record the MEDIAN of ``repeats`` runs and keep every raw
         repeat in the JSON — single-JVM local mode has ±2-4× GC/page-
         cache noise on short lanes; a median with visible raw spread
@@ -227,12 +312,27 @@ def main() -> None:
 
         times = []
         out = None
+        if warm:
+            # one unrecorded full pass: lanes whose FIRST run through a
+            # cold plan (codegen + broadcast build + shuffle-file
+            # allocation) dominates show monotone-DECREASING raws
+            # (r4: salted_shuffle 11.6/7.9/4.6) — the warm pass makes
+            # the recorded repeats measure steady state
+            _gc_settle()
+            fn()
+        rss = []
         for _ in range(repeats):
             _gc_settle()
             t0 = time.time()
             out = fn()
             times.append(round(time.time() - t0, 3))
+            if track_rss:
+                rss.append(py_worker_rss_mb())
         raw_times[name] = times
+        if track_rss:
+            # per-repeat Python-worker RSS: monotone growth here names
+            # accumulating worker heap as the repeat-growth cause
+            raw_times[name + "__worker_rss_mb"] = rss
         # LOW median: with an even repeat count the plain len//2
         # index picks the WORSE of the middle pair — on a shared
         # box the upper tail is load noise, so round down.
@@ -253,6 +353,7 @@ def main() -> None:
         lambda: spatial.spatial_join_tiles(
             imgs, polys, scheme="hex", res=7, strategy="broadcast"
         ).count(),
+        warm=True,
     )
     timed(
         "tiles_s2",
@@ -274,7 +375,7 @@ def main() -> None:
             strategy="shuffle", n_salt=8, hot_cells=hot,
         ).count()
 
-    timed("tiles_grid_salted_shuffle", salted)
+    timed("tiles_grid_salted_shuffle", salted, warm=True)
 
     # kNN lane for unmatched (ocean) images.
     def knn():
@@ -374,57 +475,9 @@ def main() -> None:
     # GML conversion lane — same shape as convert_160k_features but the
     # ZIPs carry JPGIS-GML members (xlink'd Surfaces + codeSpace'd
     # attributes) instead of shapefiles: ingest_zips(source="gml") →
-    # GeoParquet. Fixture ZIPs built outside the timed region.
-    def build_gml_fixtures(n_per: int, n_zips: int) -> str:
-        import io as _io
-        import tempfile
-        import zipfile as _zipfile
-
-        import numpy as np
-
-        d = tempfile.mkdtemp(prefix="bench_gmlconv_")
-        rng = np.random.default_rng(0)
-        for z in range(n_zips):
-            x0 = rng.uniform(130, 140, n_per)
-            y0 = rng.uniform(33, 40, n_per)
-            parts = [
-                '<?xml version="1.0" encoding="UTF-8"?>\n'
-                '<Dataset xmlns:gml="http://www.opengis.net/gml/3.2" '
-                'xmlns:xlink="http://www.w3.org/1999/xlink" '
-                'xmlns="http://nlftp.mlit.go.jp/ksj/schemas/ksj-app" '
-                'gml:id="ds">'
-            ]
-            for i in range(n_per):
-                x, y = x0[i], y0[i]
-                pl = (
-                    f"{y:.6f} {x:.6f} {y:.6f} {x + 0.01:.6f} "
-                    f"{y + 0.01:.6f} {x + 0.01:.6f} {y:.6f} {x:.6f}"
-                )
-                parts.append(
-                    f'<gml:Surface gml:id="sf{i}" srsName="fguuid:jgd2011.bl">'
-                    f"<gml:patches><gml:PolygonPatch><gml:exterior>"
-                    f"<gml:LinearRing><gml:posList>{pl}</gml:posList>"
-                    f"</gml:LinearRing></gml:exterior></gml:PolygonPatch>"
-                    f"</gml:patches></gml:Surface>"
-                    f'<AdministrativeBoundary gml:id="ab{i}">'
-                    f'<bounds xlink:href="#sf{i}"/>'
-                    f'<administrativeAreaCode codeSpace="AdminAreaCd.xml">'
-                    f"13{i % 900 + 100:03d}</administrativeAreaCode>"
-                    f"<name>city{i % 100}</name>"
-                    f"</AdministrativeBoundary>"
-                )
-            parts.append("</Dataset>")
-            bio = _io.BytesIO()
-            with _zipfile.ZipFile(bio, "w") as zf:
-                zf.writestr(
-                    f"d/N03-2024010{z}.xml", "\n".join(parts).encode()
-                )
-            with open(
-                os.path.join(d, f"N03-2024010{z}_13_GML.zip"), "wb"
-            ) as f:
-                f.write(bio.getvalue())
-        return d
-
+    # GeoParquet. Fixture ZIPs built outside the timed region
+    # (build_gml_fixtures at module scope — bench/gml_repeat_ab.py
+    # reuses it for the quiet repeat-growth A/B).
     gml_dir = build_gml_fixtures(N_PER, N_ZIPS)
 
     def convert_gml_lane():
@@ -444,7 +497,7 @@ def main() -> None:
         assert n_out == N_PER * N_ZIPS, n_out
         return n_out
 
-    timed("convert_gml_160k_features", convert_gml_lane)
+    timed("convert_gml_160k_features", convert_gml_lane, track_rss=True)
 
     # Raster↔vector round trip at res 18 (~2M cells over the layer
     # bbox): rasterize is pure Catalyst (range crossJoin + broadcast

@@ -14,3 +14,5 @@ _spec = importlib.util.spec_from_file_location(
 _mod = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_mod)
 build_spark = _mod.build_spark
+build_gml_fixtures = _mod.build_gml_fixtures
+py_worker_rss_mb = _mod.py_worker_rss_mb

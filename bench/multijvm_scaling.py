@@ -143,10 +143,18 @@ print(json.dumps({
 spark.stop()
 """
 
-LEVELS = {
+_ALL_LEVELS = {
     "lc1x4": "local-cluster[1,4,10240]",
     "lc4x4": "local-cluster[4,4,10240]",
     "local16": "local[16]",
+}
+# MJVM_LEVELS=lc1x4,lc4x4 selects a subset (bigger-n runs skip the
+# single-JVM control once its equality with lc4x4 is established)
+LEVELS = {
+    k: _ALL_LEVELS[k]
+    for k in os.environ.get(
+        "MJVM_LEVELS", ",".join(_ALL_LEVELS)
+    ).split(",")
 }
 
 
@@ -174,33 +182,28 @@ def probe(name: str, runner: str, args: list[str], repeats: int) -> dict:
             runs[key].append(run(runner, master, args))
             time.sleep(8)  # let worker JVMs die fully
     best = {k: min(v, key=lambda r: r["wall_sec"]) for k, v in runs.items()}
-    if "census" in best["lc1x4"]:
-        assert (
-            best["lc1x4"]["census"]
-            == best["lc4x4"]["census"]
-            == best["local16"]["census"]
-        ), "executor topology changed the answer"
-    else:
-        assert (
-            best["lc1x4"]["clustered"]
-            == best["lc4x4"]["clustered"]
-            == best["local16"]["clustered"]
-        ), "executor topology changed the answer"
-    eff_n_to_4n = (
-        best["lc1x4"]["wall_sec"] / best["lc4x4"]["wall_sec"]
-    ) / 4.0
-    multi_vs_single = (
-        best["local16"]["wall_sec"] / best["lc4x4"]["wall_sec"]
+    answer_key = "census" if "census" in next(iter(best.values())) else (
+        "clustered"
     )
+    answers = {json.dumps(v[answer_key], sort_keys=True) for v in
+               best.values()}
+    assert len(answers) == 1, "executor topology changed the answer"
     res = {
         "probe": name,
         "levels": best,
         "raw_sec": {k: [r["wall_sec"] for r in v] for k, v in runs.items()},
-        "executor_scaling_efficiency_1x4_to_4x4": round(eff_n_to_4n, 3),
-        "multi_jvm_speedup_vs_single_jvm_16c": round(multi_vs_single, 3),
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "ts": int(time.time()),
     }
+    if "lc1x4" in best and "lc4x4" in best:
+        res["executor_scaling_efficiency_1x4_to_4x4"] = round(
+            (best["lc1x4"]["wall_sec"] / best["lc4x4"]["wall_sec"]) / 4.0,
+            3,
+        )
+    if "local16" in best and "lc4x4" in best:
+        res["multi_jvm_speedup_vs_single_jvm_16c"] = round(
+            best["local16"]["wall_sec"] / best["lc4x4"]["wall_sec"], 3
+        )
     print(json.dumps(res), flush=True)
     return res
 
@@ -227,9 +230,9 @@ def main() -> None:
     print(json.dumps({"summary": {
         k: {
             "eff_1x4_to_4x4":
-                v["executor_scaling_efficiency_1x4_to_4x4"],
+                v.get("executor_scaling_efficiency_1x4_to_4x4"),
             "multi_vs_single_16c":
-                v["multi_jvm_speedup_vs_single_jvm_16c"],
+                v.get("multi_jvm_speedup_vs_single_jvm_16c"),
         } for k, v in out.items()
     }}))
 

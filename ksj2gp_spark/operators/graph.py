@@ -214,17 +214,40 @@ def connected_components(
                 )
             )
         )
-        contracted = sym.repartitionByRange(nparts, "src").mapInPandas(
-            _contract_kernel, schema=map_schema
+        # Round 1 range-partitions to exploit id locality (contiguous
+        # components collapse in one pass); quotient rounds hash-
+        # partition instead — repartitionByRange costs a SAMPLING JOB
+        # per call, and the multi-JVM probe (BENCH_SCALING.md round 5)
+        # showed per-round fixed job latency, not transport, is what
+        # bounds local scaling. Root-id locality is already mixed by
+        # round 2, so the range pass buys nothing there.
+        part = (
+            sym.repartitionByRange(nparts, "src")
+            if it == 0
+            else sym.repartition(nparts, "src")
         )
+        contracted = part.mapInPandas(_contract_kernel, schema=map_schema)
         # second numpy pass, co-located by node: per-node min root +
         # root links in one compact 3-column frame (ONE checkpoint of
         # fixed-width rows per round; the groupBy collect_set + explode
         # formulation measured ~3× this round's wall at 8M nodes —
         # per-group JVM array buffers plus an array-column checkpoint)
+        # Termination reads a LINK-COUNT ACCUMULATOR updated by the
+        # kernel tasks the eager checkpoint below already runs —
+        # replacing the per-round isEmpty() action (one whole extra
+        # job of scheduling latency). Retry-safe for zero-vs-nonzero:
+        # the kernel is deterministic per partition, so any task
+        # attempt sees links iff the partition has links.
+        acc = spark.sparkContext.accumulator(0)
+
+        def counting_minlink(batches, _acc=acc):
+            for out in _minlink_kernel(batches):
+                _acc.add(int((out["kind"] == 1).sum()))
+                yield out
+
         combined = ckpt(
             contracted.repartition(nparts, "node").mapInPandas(
-                _minlink_kernel, schema=f"{map_schema}, kind tinyint"
+                counting_minlink, schema=f"{map_schema}, kind tinyint"
             )
         )
         mappings.append(
@@ -233,7 +256,7 @@ def connected_components(
         e = combined.filter(F.col("kind") == 1).select(
             F.col("node").alias("src"), F.col("root").alias("dst")
         )
-        if e.isEmpty():
+        if acc.value == 0:
             # backward composition: comp_k(v) = comp_{k+1}(m_k(v)),
             # falling back to m_k(v) for roots that were already final
             comp = mappings[-1]

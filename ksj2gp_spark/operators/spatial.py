@@ -107,6 +107,31 @@ def find_hot_cells(
     return [r["cell"] for r in hot]
 
 
+def hot_polygon_ids(
+    pts_with_cell: DataFrame,
+    cover: DataFrame,
+    max_group_rows: int,
+) -> DataFrame:
+    """Predict which polygons would exceed ``max_group_rows`` candidate
+    rows in a cell-keyed candidate join — WITHOUT materializing the
+    pair join: one map-side-combinable point-per-cell count, joined to
+    the (polygon_id, cell) cover and summed per polygon. The count is
+    exact (every cover cell contributes its full point count, which is
+    precisely the candidate rows the equi-join would emit). Returns a
+    LAZY (polygon_id) frame of the hot polygons only — broadcast-sized
+    by construction and never collected to the driver."""
+    cell_counts = pts_with_cell.groupBy("cell").agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        cover.join(cell_counts, "cell")
+        .groupBy("polygon_id")
+        .agg(F.sum("_n").alias("_cand"))
+        .filter(F.col("_cand") > int(max_group_rows))
+        .select("polygon_id")
+    )
+
+
 def refine_pip(
     candidates: DataFrame,
     polygons_pdf: pd.DataFrame,
@@ -307,10 +332,14 @@ def spatial_join_tiles_dist(
     hot_cells: list[int] | None = None,
     crs: str | None = None,
     admin_col: str = "行政区域コード",
+    max_group_rows: int | None = 2_000_000,
+    n_sub: int = 16,
 ) -> DataFrame:
     """Tile assignment for polygon layers too large to hold on the
     driver: the layer stays a DataFrame end-to-end — NOTHING is
-    collected or broadcast.
+    collected or broadcast to the driver (the hot-polygon id frame
+    below is a JVM-side broadcast exchange of ids only, never a
+    driver materialization).
 
     Plan shape (the honest big-layer cost, all key-sized rows):
 
@@ -325,12 +354,26 @@ def spatial_join_tiles_dist(
        would replicate), and its candidate points arrive as one
        vectorized batch.
 
+    Hot-polygon auto-split (metro skew): a single hot polygon (Tokyo
+    ward holding half the images) would concentrate ALL its candidate
+    rows in one cogroup task. Per-polygon candidate counts are
+    predicted WITHOUT materializing the pair join
+    (:func:`hot_polygon_ids` — one map-side-combinable point-per-cell
+    count joined to the cover and summed; cover-sized work, kept LAZY
+    and broadcast JVM-side, no driver action). Polygons whose
+    predicted count exceeds ``max_group_rows`` have their candidate
+    rows salted by ``xxhash64(image_id)`` into ``n_sub`` sub-groups,
+    the geometry row replicated to each sub-key (``n_sub × n_hot``
+    extra rows), each sub-group PIP-refined against the same geometry
+    and unioned — max task input is bounded by ~count/n_sub and the
+    row set is EXACTLY the unsalted path's (pinned in
+    tests/test_spatial_spark.py::TestDistJoinHotSplit).
+    ``max_group_rows=None`` disables detection (and its extra
+    cover-sized pass).
+
     Same output contract as :func:`spatial_join_tiles`
     ``(image_id, cell, polygon_id, admin_code)``; row-set equality with
-    the broadcast path is pinned in tests/test_pipeline_api.py. A
-    single hot polygon concentrates its candidates in one group — at
-    metro skew, raise ``res`` (smaller cells shrink cover fan-out, the
-    group is bounded by points actually inside the polygon's cells).
+    the broadcast path is pinned in tests/test_pipeline_api.py.
     """
     res = res if res is not None else DEFAULT_RES[scheme]
     from .cells import polygon_cover_df
@@ -346,6 +389,39 @@ def spatial_join_tiles_dist(
         probe = _reproject_points(probe, crs)
     pts = with_cell(probe, scheme, res)
     cand = candidate_join(pts, cover, "shuffle", n_salt, hot_cells)
+
+    group_keys = ["polygon_id"]
+    if max_group_rows is not None:
+        group_keys = ["polygon_id", "_sub"]
+        hot_df = F.broadcast(
+            hot_polygon_ids(pts, cover, max_group_rows).withColumn(
+                "_hot", F.lit(True)
+            )
+        )
+        cand = (
+            cand.join(hot_df, "polygon_id", "left")
+            .withColumn(
+                "_sub",
+                F.when(
+                    F.col("_hot"),
+                    F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_sub)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+        polys = (
+            polys.join(hot_df, "polygon_id", "left")
+            .withColumn(
+                "_sub",
+                F.explode(
+                    F.when(
+                        F.col("_hot"),
+                        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_hot")
+        )
 
     out_schema = (
         "image_id string, cell long, polygon_id string, admin_code string"
@@ -374,8 +450,8 @@ def spatial_join_tiles_dist(
         )
 
     return (
-        cand.groupBy("polygon_id")
-        .cogroup(polys.groupBy("polygon_id"))
+        cand.groupBy(*group_keys)
+        .cogroup(polys.groupBy(*group_keys))
         .applyInPandas(refine, schema=out_schema)
     )
 
@@ -939,6 +1015,128 @@ def dwithin_join(
         ),
     )
 
+
+def dwithin_join_shuffle(
+    images: DataFrame,
+    polygons: DataFrame,
+    d: float,
+    res: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """Distance-threshold join for TWO DISTRIBUTED sides — the
+    big × big shape :func:`dwithin_join` (broadcast-only) cannot
+    serve: a parcel-scale polygon layer that fits no driver against a
+    10^12-point table. Same output contract and exact same distances
+    as the broadcast path (row-set equality pinned in
+    tests/test_spatial_spark.py::TestDwithinShuffle).
+
+    Plan shape — the ``polygon_overlap_join_shuffle`` recipe applied
+    to the dwithin predicate (all candidate traffic is key-sized):
+
+    1. polygon side: one ``mapInPandas`` pass emits each polygon's
+       d-EXPANDED bbox cover as (polygon_id, cell) grid cells (every
+       point within d of the polygon lies in a cell intersecting
+       that expanded bbox — the cover is a proven superset), pruned
+       to cells whose center is within d + cell-circumradius of the
+       geometry so long thin polygons don't carpet their bbox;
+    2. point side: the pure-Catalyst grid cell (one codegen'd floor);
+    3. candidates: ONE shuffle equi-join on ``cell`` (a point has
+       exactly one cell, so a pair appears at most once — no dedup
+       shuffle needed; AQE skew-join handles hot metro cells);
+    4. exact refine: ``cogroup`` by polygon_id — geometry bytes cross
+       the Arrow boundary once per polygon, its candidates arrive as
+       one vectorized batch for the segment-distance kernel.
+    """
+    if d < 0:
+        raise ValueError("d must be non-negative")
+    from ..geo import grid
+
+    res = res if res is not None else DEFAULT_RES["grid"]
+    size = grid.cell_size(res)
+    dd = float(d)
+    polys = _normalize_layer_df(polygons).select(
+        "polygon_id", "geometry", F.col(admin_col).alias("_admin")
+    )
+
+    def cover_run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pids: list[np.ndarray] = []
+            cells_out: list[np.ndarray] = []
+            for pid, buf in zip(pdf["polygon_id"], pdf["geometry"]):
+                g = wkb.loads(bytes(buf))
+                xmin, ymin, xmax, ymax = g.bounds()
+                cells = grid.cover_bbox(
+                    xmin - dd, ymin - dd, xmax + dd, ymax + dd, res
+                )
+                if len(cells) > 4:
+                    cx, cy = grid.cell_center(cells)
+                    dc = geom.distance_to_geometry(cx, cy, g)
+                    cells = cells[
+                        dc <= dd + size * np.sqrt(2.0) / 2.0 + 1e-12
+                    ]
+                pids.append(np.repeat(pid, len(cells)))
+                cells_out.append(cells)
+            yield pd.DataFrame(
+                {
+                    "polygon_id": np.concatenate(pids)
+                    if pids
+                    else np.array([], dtype=object),
+                    "cell": np.concatenate(cells_out)
+                    if cells_out
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    cover = polys.select("polygon_id", "geometry").mapInPandas(
+        cover_run, schema="polygon_id string, cell long"
+    )
+    pts = with_cell(
+        images.select("image_id", lon_col, lat_col),
+        "grid",
+        res,
+        lon_col=lon_col,
+        lat_col=lat_col,
+    )
+    cand = pts.join(cover, "cell").select(
+        "image_id", lon_col, lat_col, "polygon_id"
+    )
+
+    out_schema = (
+        "image_id string, polygon_id string, admin_code string, dist double"
+    )
+
+    def refine(key, cand_pdf, geo_pdf):
+        if cand_pdf.empty or geo_pdf.empty:
+            return pd.DataFrame(
+                {"image_id": [], "polygon_id": [], "admin_code": [],
+                 "dist": []}
+            )
+        g = wkb.loads(bytes(geo_pdf["geometry"].iloc[0]))
+        dist = geom.distance_to_geometry(
+            cand_pdf[lon_col].to_numpy(dtype=np.float64),
+            cand_pdf[lat_col].to_numpy(dtype=np.float64),
+            g,
+        )
+        sel = dist <= dd
+        hit = cand_pdf.loc[sel]
+        return pd.DataFrame(
+            {
+                "image_id": hit["image_id"].to_numpy(),
+                "polygon_id": key[0],
+                "admin_code": geo_pdf["_admin"].iloc[0],
+                "dist": dist[sel],
+            }
+        )
+
+    return (
+        cand.groupBy("polygon_id")
+        .cogroup(polys.groupBy("polygon_id"))
+        .applyInPandas(refine, schema=out_schema)
+    )
 
 
 def unmatched_images(

@@ -706,6 +706,106 @@ def test_dwithin_join_matches_brute_force(spark):
     assert any(0 < v <= d for v in want.values())  # near-miss band present
 
 
+class TestDwithinShuffle:
+    """Big × big distance join (operators/spatial.py::
+    dwithin_join_shuffle): bit-identical to the broadcast path, with
+    a shuffle-only plan (no cartesian / nested-loop join)."""
+
+    @staticmethod
+    def _fixture(spark):
+        import pandas as pd
+
+        from ksj2gp_spark.geo import wkb as W
+
+        # concave + holed geometry: the expanded-bbox cover and the
+        # cell-center prune must both stay supersets here
+        ell = [
+            (139.0, 35.0), (141.0, 35.0), (141.0, 35.6), (139.8, 35.6),
+            (139.8, 36.4), (139.0, 36.4), (139.0, 35.0),
+        ]
+        hole = [
+            (139.2, 35.15), (139.6, 35.15), (139.6, 35.45),
+            (139.2, 35.45), (139.2, 35.15),
+        ]
+        tri = [(140.3, 36.0), (140.9, 36.0), (140.6, 36.5), (140.3, 36.0)]
+        polys = pd.DataFrame(
+            {
+                "polygon_id": ["L", "T"],
+                "行政区域コード": ["90001", "90002"],
+                "geometry": [W.polygon(ell, hole), W.polygon(tri)],
+            }
+        )
+        rs = np.random.default_rng(11)
+        n = 2000
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"p{i:05d}" for i in range(n)],
+                    "lon": rs.uniform(138.5, 141.5, n),
+                    "lat": rs.uniform(34.5, 37.0, n),
+                }
+            )
+        )
+        return pts, polys
+
+    @pytest.mark.parametrize("res", [8, 10, 12])
+    def test_matches_broadcast_path(self, spark, res):
+        from ksj2gp_spark.operators import spatial as sp
+
+        pts, polys = self._fixture(spark)
+        d = 0.2
+        bcast = {
+            (r["image_id"], r["polygon_id"]): (r["admin_code"], r["dist"])
+            for r in sp.dwithin_join(pts, polys, d).collect()
+        }
+        shuf = {
+            (r["image_id"], r["polygon_id"]): (r["admin_code"], r["dist"])
+            for r in sp.dwithin_join_shuffle(
+                pts, spark.createDataFrame(polys), d, res=res
+            ).collect()
+        }
+        assert shuf == bcast  # bit-identical: same kernel, same inputs
+        assert bcast  # non-degenerate
+
+    def test_no_cartesian_in_plan(self, spark):
+        from ksj2gp_spark.operators import spatial as sp
+
+        pts, polys = self._fixture(spark)
+        plan = (
+            sp.dwithin_join_shuffle(pts, spark.createDataFrame(polys), 0.2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "FlatMapCoGroupsInPandas" in plan  # cogroup refine
+
+    def test_zero_distance_is_pip(self, spark):
+        # d = 0: the join degenerates to exact point-in-polygon
+        from ksj2gp_spark.operators import spatial as sp
+
+        pts, polys = self._fixture(spark)
+        bcast = {
+            (r["image_id"], r["polygon_id"])
+            for r in sp.dwithin_join(pts, polys, 0.0).collect()
+        }
+        shuf = {
+            (r["image_id"], r["polygon_id"])
+            for r in sp.dwithin_join_shuffle(
+                pts, spark.createDataFrame(polys), 0.0
+            ).collect()
+        }
+        assert shuf == bcast and bcast
+
+    def test_rejects_negative_d(self, spark):
+        from ksj2gp_spark.operators import spatial as sp
+
+        pts, polys = self._fixture(spark)
+        with pytest.raises(ValueError):
+            sp.dwithin_join_shuffle(pts, spark.createDataFrame(polys), -1.0)
+
+
 class TestIdwInterpolate:
     def test_hand_computed_and_radius(self, spark):
         """One target with two in-range stations (d2 = 0.01^2 and
@@ -2330,3 +2430,99 @@ class TestConvexHull:
                 ("b", 10.0, 10.0), ("b", 12.0, 10.0), ("b", 10.0, 13.0)]
         got = self._run(spark, rows)
         assert got["a"][1] == 0.5 and got["b"][1] == 3.0
+
+
+class TestDistJoinHotSplit:
+    """Hot-polygon auto-split on the distributed big-layer join
+    (operators/spatial.py::spatial_join_tiles_dist): a planted metro
+    polygon holding most candidates is detected without materializing
+    the pair join, its cogroup is salted into bounded sub-groups, and
+    the row set exactly equals the unsalted path's."""
+
+    @staticmethod
+    def _fixture(spark):
+        from ksj2gp_spark.geo import wkb as _wkb
+
+        sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        layer = pd.DataFrame(
+            {
+                "polygon_id": ["metro", "b", "c"],
+                "行政区域コード": ["13101", "27103", "01105"],
+                "geometry": [
+                    _wkb.polygon(sq(0, 0, 10, 10)),
+                    _wkb.polygon(sq(10, 0, 20, 10)),
+                    _wkb.polygon(sq(20, 0, 30, 10)),
+                ],
+            }
+        )
+        # planted skew: 2000 of 3000 points inside the metro polygon
+        k = np.arange(3000)
+        lon = np.where(
+            k < 2000,
+            (k * 0.0037) % 9.0 + 0.5,            # metro
+            10.5 + (k % 2) * 10 + (k * 0.011) % 9.0,  # b / c alternating
+        )
+        lat = (k * 0.0071) % 9.0 + 0.5
+        imgs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"img{i:05d}" for i in k],
+                    "lon": lon,
+                    "lat": lat,
+                }
+            )
+        )
+        return imgs, spark.createDataFrame(layer)
+
+    def test_detection_without_pair_join(self, spark):
+        from ksj2gp_spark.operators.cells import polygon_cover_df, with_cell
+        from ksj2gp_spark.operators.spatial import hot_polygon_ids
+
+        imgs, polys = self._fixture(spark)
+        pts = with_cell(imgs.select("image_id", "lon", "lat"), "grid", 10)
+        cover = polygon_cover_df(
+            polys.select("polygon_id", "geometry"), "grid", 10
+        )
+        hot = {
+            r["polygon_id"]
+            for r in hot_polygon_ids(pts, cover, 800).collect()
+        }
+        assert hot == {"metro"}
+        # lower threshold flags the others too (counts are exact)
+        hot_all = {
+            r["polygon_id"]
+            for r in hot_polygon_ids(pts, cover, 300).collect()
+        }
+        assert hot_all == {"metro", "b", "c"}
+
+    def test_split_rowset_equals_unsalted_and_is_bounded(self, spark):
+        from ksj2gp_spark.operators.spatial import spatial_join_tiles_dist
+
+        imgs, polys = self._fixture(spark)
+        cols = ["image_id", "cell", "polygon_id", "admin_code"]
+        split = spatial_join_tiles_dist(
+            imgs, polys, scheme="grid", res=10,
+            max_group_rows=800, n_sub=4,
+        )
+        plain = spatial_join_tiles_dist(
+            imgs, polys, scheme="grid", res=10, max_group_rows=None
+        )
+        split_rows = {tuple(r) for r in split.select(*cols).collect()}
+        plain_rows = {tuple(r) for r in plain.select(*cols).collect()}
+        assert split_rows == plain_rows
+        metro_rows = {r for r in split_rows if r[2] == "metro"}
+        assert len(metro_rows) == 2000  # every planted point assigned
+        # boundedness: the salt used inside the operator
+        # (xxhash64(image_id) % n_sub) must spread the metro group
+        # into n_sub sub-groups, each well under the unsplit size
+        subs = (
+            imgs.filter(F.col("lon") < 10.0)
+            .select(
+                F.pmod(F.xxhash64(F.col("image_id")), F.lit(4)).alias("s")
+            )
+            .groupBy("s")
+            .count()
+            .collect()
+        )
+        assert len(subs) == 4
+        assert max(r["count"] for r in subs) < 2000 * 0.5
