@@ -146,6 +146,25 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tiles(spark, sf_dir)
 
 
+def q_tile_assign_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully distributed big-layer join WITH the hot-polygon
+    auto-split forced on (operators/spatial.py::
+    spatial_join_tiles_dist, max_group_rows far below the per-polygon
+    candidate counts, n_sub=4): distributed cover → shuffle candidate
+    join → salted cogroup PIP refine. Same oracle as tile_assign —
+    the split path must reproduce the broadcast path's row set
+    exactly, now pinned against SQL rather than only path-vs-path."""
+    imgs = _images_from_customer(spark, sf_dir)
+    return spatial.spatial_join_tiles_dist(
+        imgs,
+        spark.createDataFrame(fixtures.polygon_layer()),
+        scheme="grid",
+        res=GRID_RES,
+        max_group_rows=20,
+        n_sub=4,
+    ).select("image_id", "cell", "polygon_id", "admin_code")
+
+
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _tiles(spark, sf_dir)
@@ -5527,6 +5546,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
+        "tile_assign_dist": q_tile_assign_dist,
         "tile_counts": q_tile_counts,
         "knn_ocean": q_knn_ocean,
         "hex_tile_counts": q_hex_tiles_counts,
@@ -5663,6 +5683,7 @@ GROUP BY p.admin_code
 """
     return {
         "tile_assign": _TILES_SQL,
+        "tile_assign_dist": _TILES_SQL,
         "tile_counts": tile_counts_sql,
         "knn_ocean": _KNN_SQL,
         "hex_tile_counts": hex_counts_sql,

@@ -497,7 +497,16 @@ def main() -> None:
         assert n_out == N_PER * N_ZIPS, n_out
         return n_out
 
-    timed("convert_gml_160k_features", convert_gml_lane, track_rss=True)
+    # warm=True: the lane's first run is ~2.5× steady state (codegen +
+    # python-worker ElementTree import); the quiet A/B
+    # (bench/gml_repeat_ab.py, BASELINE.md round 5) shows flat ~5s
+    # post-warmup repeats — r4's monotone growth was load contamination
+    timed(
+        "convert_gml_160k_features",
+        convert_gml_lane,
+        warm=True,
+        track_rss=True,
+    )
 
     # Raster↔vector round trip at res 18 (~2M cells over the layer
     # bbox): rasterize is pure Catalyst (range crossJoin + broadcast
