@@ -232,6 +232,10 @@ def main() -> None:
     # + core contention) while the same runner on a quiet box reads
     # 6.5-7.5s (1.16x).
     dedup_lanes = run_dedup_lanes_isolated(cpus)
+    # let the dedup JVM's load fully drain before the timed suite —
+    # round-5 A/B: a suite started the moment the subprocess exits
+    # records loadavg 20+ and 1.5-3x medians on its first lanes
+    time.sleep(30)
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("WARN")
