@@ -42,15 +42,34 @@ class GmlError(ValueError):
     pass
 
 
+_LOCAL_CACHE: dict[str, str] = {}
+
+
 def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
+    # Memoized: a document has ~a dozen distinct tag strings but this
+    # runs per element per feature (the parse profile's hottest call);
+    # ET interns tag strings so the cache stays tiny.
+    name = _LOCAL_CACHE.get(tag)
+    if name is None:
+        name = _LOCAL_CACHE[tag] = tag.rsplit("}", 1)[-1]
+    return name
 
 
 def _is_gml(tag: str) -> bool:
     return tag.startswith("{" + GML_NS)
 
 
+_GML32_ID = "{http://www.opengis.net/gml/3.2}id"
+
+
 def _gml_id(el: ET.Element) -> str | None:
+    # Fast path: JPGIS documents are GML 3.2, so the id attribute key
+    # is almost always the 3.2-namespaced one (this runs once per
+    # element during indexing); other GML versions fall back to the
+    # localname scan.
+    v = el.attrib.get(_GML32_ID)
+    if v is not None:
+        return v
     for k, v in el.attrib.items():
         if _local(k) == "id":
             return v
@@ -246,7 +265,8 @@ class _GeometryIndex:
                 raise GmlError("gml:Ring without curveMember")
             joined = [segs[0]]
             for seg in segs[1:]:
-                if np.array_equal(joined[-1][-1], seg[0]):
+                prev = joined[-1]
+                if prev[-1, 0] == seg[0, 0] and prev[-1, 1] == seg[0, 1]:
                     seg = seg[1:]
                 joined.append(seg)
             coords = np.concatenate(joined)
@@ -254,7 +274,7 @@ class _GeometryIndex:
             raise GmlError(f"unsupported ring element <{kind}>")
         if len(coords) < 3:
             raise GmlError(f"degenerate ring ({len(coords)} vertices)")
-        if not np.array_equal(coords[0], coords[-1]):
+        if coords[0, 0] != coords[-1, 0] or coords[0, 1] != coords[-1, 1]:
             coords = np.concatenate([coords, coords[:1]])
         return coords
 
