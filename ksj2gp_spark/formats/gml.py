@@ -66,13 +66,16 @@ def _gml_id(el: ET.Element) -> str | None:
     # Fast path: JPGIS documents are GML 3.2, so the id attribute key
     # is almost always the 3.2-namespaced one (this runs once per
     # element during indexing); other GML versions fall back to the
-    # localname scan.
-    v = el.attrib.get(_GML32_ID)
-    if v is not None:
+    # localname scan (key-only iteration — the scan runs on every
+    # element of the document, so skip attribute-less elements and
+    # avoid items() tuple allocations).
+    attrib = el.attrib
+    v = attrib.get(_GML32_ID)
+    if v is not None or not attrib:
         return v
-    for k, v in el.attrib.items():
-        if _local(k) == "id":
-            return v
+    for k in attrib:
+        if k.endswith("}id") or k == "id":
+            return attrib[k]
     return None
 
 
