@@ -34,17 +34,29 @@ def _member_names(zf: zipfile.ZipFile) -> dict[str, str]:
     return out
 
 
-def list_shp_files(zip_bytes: bytes) -> list[str]:
+def _zip_ctx(src: "bytes | zipfile.ZipFile"):
+    """Context manager over either raw archive bytes or an already-open
+    ZipFile. A caller-owned ZipFile is NOT closed on exit — the
+    member-parallel ingest path opens one handle per archive (a ranged
+    central-directory read on remote filesystems) and lists under it."""
+    if isinstance(src, zipfile.ZipFile):
+        import contextlib
+
+        return contextlib.nullcontext(src)
+    return zipfile.ZipFile(io.BytesIO(src))
+
+
+def list_shp_files(zip_src: "bytes | zipfile.ZipFile") -> list[str]:
     """UTF-8 names of all .shp members (lib.rs:23-35)."""
-    with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+    with _zip_ctx(zip_src) as zf:
         return [n for n in _member_names(zf) if n.endswith(".shp")]
 
 
-def list_gml_files(zip_bytes: bytes) -> list[str]:
+def list_gml_files(zip_src: "bytes | zipfile.ZipFile") -> list[str]:
     """UTF-8 names of the JPGIS-GML members: ``.gml`` plus non-KS-META
     ``.xml``. (The reference lists only .shp members, lib.rs:23-35 —
     the GML lane is graft capability; see formats/gml.py.)"""
-    with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+    with _zip_ctx(zip_src) as zf:
         out = []
         for n in _member_names(zf):
             base = n.rsplit("/", 1)[-1]

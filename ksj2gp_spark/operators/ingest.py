@@ -246,6 +246,148 @@ def ingest_zips(
     return raw.select("path", "content").mapInPandas(parse, schema=INGEST_SCHEMA)
 
 
+def _open_zip_uri(uri: str):
+    """Seekable reader for a Spark file URI. ``file:`` URIs (and bare
+    paths) open locally; any other scheme goes through ``pyarrow.fs``
+    (S3/HDFS/GCS), whose readers serve ranged reads — so a listing
+    touches only the ZIP central directory, not the whole archive."""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return open(unquote(urlparse(uri).path), "rb")
+    if "://" not in uri:
+        return open(uri, "rb")
+    from pyarrow import fs as pafs
+
+    fsys, p = pafs.FileSystem.from_uri(uri)
+    return fsys.open_input_file(p)
+
+
+def list_zip_members(
+    spark: SparkSession,
+    path: str,
+    source: str = "shp",
+    target_shp: str | None = None,
+) -> DataFrame:
+    """Distributed member listing: one output row per (ZIP, member)
+    that ingestion would parse — ``(path, member, lane, err)``. ZIPs
+    that fail to list (bad archive, no member of the lane, missing
+    ``target_shp``) emit one row with ``err`` set, carrying the same
+    message the per-ZIP parse kernels raise, so downstream error rows
+    stay byte-identical to :func:`ingest_zips`. Listing opens each
+    archive's central directory only (no member decompression)."""
+    if source not in ("shp", "gml", "auto"):
+        raise ValueError(f"source must be shp|gml|auto, got {source!r}")
+    import zipfile as _zipfile
+
+    paths = spark.read.format("binaryFile").load(path).select("path")
+
+    def list_members(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                try:
+                    with _open_zip_uri(p) as fh, _zipfile.ZipFile(fh) as zf:
+                        lane = source
+                        shp_names = zipsrc.list_shp_files(zf)
+                        if lane == "auto":
+                            lane = "shp" if shp_names else "gml"
+                        if lane == "shp":
+                            members = shp_names
+                            if not members:
+                                raise zipsrc.ZipSourceError(
+                                    "no .shp member in ZIP"
+                                )
+                            if target_shp is not None:
+                                if target_shp not in members:
+                                    raise zipsrc.ZipSourceError(
+                                        f"target_shp {target_shp!r} not in "
+                                        f"ZIP (members: {members})"
+                                    )
+                                members = [target_shp]
+                        else:
+                            members = zipsrc.list_gml_files(zf)
+                            if not members:
+                                raise zipsrc.ZipSourceError(
+                                    "no GML member in ZIP"
+                                )
+                    rows += [(p, m, lane, None) for m in members]
+                except Exception as e:  # noqa: BLE001 — error lane
+                    rows.append((p, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows, columns=["path", "member", "lane", "err"]
+            )
+
+    return paths.mapInPandas(
+        list_members, schema="path string, member string, lane string, err string"
+    )
+
+
+def ingest_zip_members(
+    spark: SparkSession,
+    path: str,
+    translate: bool = True,
+    source: str = "shp",
+    target_shp: str | None = None,
+) -> DataFrame:
+    """Member-parallel ingestion — same rows as :func:`ingest_zips`,
+    different unit of work.
+
+    ``ingest_zips``'s task granularity is one ZIP, so a single
+    multi-layer bundle (e.g. one archive holding 50 prefecture .shp
+    layers) serializes into one straggler task while the rest of the
+    cluster idles. This variant runs :func:`list_zip_members` first
+    (central-directory reads only), hash-repartitions the exploded
+    (ZIP, member) rows across the cluster, and each task parses ONE
+    member through the very same tested kernels (`parse_zip_bytes` /
+    `parse_gml_zip_bytes` with the member restriction) — intra-ZIP
+    skew is bounded by the largest member, not the largest bundle.
+
+    Cost trade, stated plainly: a member task re-reads its archive's
+    compressed bytes from storage (one archive cached per task at a
+    time), so a ZIP with M members costs up to M× its compressed size
+    in reads. Parse time dominates compressed-byte reads for every KSJ
+    format, and on object stores the reads are ranged — use this path
+    when bundles are member-heavy or member-skewed, `ingest_zips` when
+    archives are small and uniform."""
+    spread = list_zip_members(
+        spark, path, source=source, target_shp=target_shp
+    ).repartition("path", "member")
+
+    def parse_one(batches):
+        cache: dict[str, bytes] = {}
+
+        def zip_bytes_of(p: str) -> bytes:
+            if p not in cache:
+                cache.clear()  # hold at most one archive per worker
+                with _open_zip_uri(p) as fh:
+                    cache[p] = fh.read()
+            return cache[p]
+
+        for pdf in batches:
+            for p, m, lane, err in zip(
+                pdf["path"], pdf["member"], pdf["lane"], pdf["err"]
+            ):
+                if isinstance(err, str) and err:
+                    try:
+                        ksj_id, year = extract_ksj_id(os.path.basename(p))
+                    except Exception:
+                        ksj_id, year = "", 0
+                    yield pd.DataFrame(
+                        [_row(p, ksj_id, year, "", -1, "", None, "", {}, err)]
+                    )
+                elif lane == "shp":
+                    yield parse_zip_bytes(
+                        p, zip_bytes_of(p), translate=translate, target_shp=m
+                    )
+                else:
+                    yield parse_gml_zip_bytes(
+                        p, zip_bytes_of(p), translate=translate, target_member=m
+                    )
+
+    return spread.mapInPandas(parse_one, schema=INGEST_SCHEMA)
+
+
 def polygons_from_ingest(
     ingested: DataFrame, admin_code_attr: str = "行政区域コード"
 ) -> DataFrame:

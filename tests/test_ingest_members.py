@@ -1,0 +1,227 @@
+"""Member-parallel ingestion (`ingest.ingest_zip_members`) — row-set
+equality with the per-ZIP path, listing semantics, and error-lane
+parity. The point of the variant: a single multi-layer bundle must not
+serialize into one straggler task (reference converts one archive at a
+time, lib.rs:23-48; the member split is scale capability)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from ksj2gp_spark import fixtures
+from ksj2gp_spark.formats import dbf, shp
+from ksj2gp_spark.geo import wkb
+from ksj2gp_spark.operators import ingest
+
+META_JGD2011 = (
+    "<referenceSystemIdentifier><code>JGD2011 / (B, L)</code>"
+    "</referenceSystemIdentifier>"
+).encode("cp932")
+
+
+def _shp_layer_bytes(code_prefix: str) -> tuple[bytes, bytes, bytes]:
+    layer = fixtures.polygon_layer()
+    geoms = [wkb.loads(b) for b in layer["geometry"]]
+    shp_buf, shx_buf = shp.write_shp(geoms)
+    fields = [
+        dbf.DbfField("N03_001", "C", 20),
+        dbf.DbfField("N03_004", "C", 20),
+        dbf.DbfField("N03_007", "C", 5),
+    ]
+    rows = [
+        [r["都道府県名"], code_prefix + r["区町村名"], r["行政区域コード"]]
+        for _, r in layer.iterrows()
+    ]
+    dbf_buf = dbf.write_dbf(fields, rows, encoding="cp932", ldid=13)
+    return shp_buf, shx_buf, dbf_buf
+
+
+def _multi_shp_zip() -> bytes:
+    """One KSJ ZIP holding TWO shapefile layers with distinct attrs."""
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        for name, prefix in (("admin", "A_"), ("landuse", "B_")):
+            s, x, d = _shp_layer_bytes(prefix)
+            zf.writestr(f"N03-20240101_13_GML/{name}.shp", s)
+            zf.writestr(f"N03-20240101_13_GML/{name}.shx", x)
+            zf.writestr(f"N03-20240101_13_GML/{name}.dbf", d)
+        zf.writestr("N03-20240101_13_GML/KS-META-N03.xml", META_JGD2011)
+    return bio.getvalue()
+
+
+def _gml_member(n: int, tag: int) -> bytes:
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Dataset xmlns:gml="http://www.opengis.net/gml/3.2" '
+        'xmlns:xlink="http://www.w3.org/1999/xlink" '
+        'xmlns="http://nlftp.mlit.go.jp/ksj/schemas/ksj-app" '
+        'gml:id="ds">'
+    ]
+    for i in range(n):
+        x, y = 135.0 + 0.02 * i + tag, 35.0 + 0.01 * i
+        pl = (
+            f"{y:.6f} {x:.6f} {y:.6f} {x + 0.01:.6f} "
+            f"{y + 0.01:.6f} {x + 0.01:.6f} {y:.6f} {x:.6f}"
+        )
+        parts.append(
+            f'<gml:Surface gml:id="sf{i}" srsName="fguuid:jgd2011.bl">'
+            f"<gml:patches><gml:PolygonPatch><gml:exterior>"
+            f"<gml:LinearRing><gml:posList>{pl}</gml:posList>"
+            f"</gml:LinearRing></gml:exterior></gml:PolygonPatch>"
+            f"</gml:patches></gml:Surface>"
+            f'<AdministrativeBoundary gml:id="ab{i}">'
+            f'<bounds xlink:href="#sf{i}"/>'
+            f'<administrativeAreaCode codeSpace="AdminAreaCd.xml">'
+            f"13{(i + tag) % 900 + 100:03d}</administrativeAreaCode>"
+            f"<name>city{i}</name>"
+            f"</AdministrativeBoundary>"
+        )
+    parts.append("</Dataset>")
+    return "\n".join(parts).encode()
+
+
+def _multi_gml_zip() -> bytes:
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        zf.writestr("d/N03-24_01.xml", _gml_member(7, 0))
+        zf.writestr("d/N03-24_02.xml", _gml_member(5, 1))
+    return bio.getvalue()
+
+
+def _collect_canon(df):
+    rows = df.collect()
+    out = []
+    for r in rows:
+        d = r.asDict()
+        d["attrs"] = tuple(sorted((d["attrs"] or {}).items()))
+        d["geometry"] = bytes(d["geometry"]) if d["geometry"] else None
+        out.append(tuple(sorted(d.items())))
+    return sorted(out)
+
+
+class TestListZipMembers:
+    def test_one_row_per_member(self, spark, tmp_path):
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_shp_zip())
+        listed = ingest.list_zip_members(
+            spark, str(tmp_path / "*.zip"), source="shp"
+        ).collect()
+        members = sorted(r["member"] for r in listed)
+        assert members == [
+            "N03-20240101_13_GML/admin.shp",
+            "N03-20240101_13_GML/landuse.shp",
+        ]
+        assert all(r["lane"] == "shp" and r["err"] is None for r in listed)
+
+    def test_auto_prefers_shp_never_both(self, spark, tmp_path):
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            s, x, d = _shp_layer_bytes("A_")
+            zf.writestr("a/admin.shp", s)
+            zf.writestr("a/admin.shx", x)
+            zf.writestr("a/admin.dbf", d)
+            zf.writestr("a/extra.xml", _gml_member(2, 0))
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(bio.getvalue())
+        listed = ingest.list_zip_members(
+            spark, str(tmp_path / "*.zip"), source="auto"
+        ).collect()
+        assert [r["member"] for r in listed] == ["a/admin.shp"]
+
+    def test_bad_archive_and_target_errors(self, spark, tmp_path):
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(b"not a zip")
+        listed = ingest.list_zip_members(
+            spark, str(tmp_path / "*.zip"), source="shp"
+        ).collect()
+        assert len(listed) == 1 and listed[0]["err"].startswith("BadZipFile:")
+
+    def test_rejects_bad_source(self, spark):
+        with pytest.raises(ValueError, match="shp|gml|auto"):
+            ingest.list_zip_members(spark, "/nope/*.zip", source="tar")
+
+
+class TestIngestZipMembers:
+    def test_shp_rowset_equals_per_zip_path(self, spark, tmp_path):
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_shp_zip())
+        glob = str(tmp_path / "*.zip")
+        per_zip = _collect_canon(ingest.ingest_zips(spark, glob))
+        per_member = _collect_canon(ingest.ingest_zip_members(spark, glob))
+        assert per_member == per_zip
+        assert len(per_member) > 0
+
+    def test_gml_rowset_equals_per_zip_path(self, spark, tmp_path):
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_gml_zip())
+        glob = str(tmp_path / "*.zip")
+        per_zip = _collect_canon(ingest.ingest_zips(spark, glob, source="gml"))
+        per_member = _collect_canon(
+            ingest.ingest_zip_members(spark, glob, source="gml")
+        )
+        assert per_member == per_zip
+        assert len(per_member) == 12  # 7 + 5 features across two members
+
+    def test_target_shp_restriction_matches(self, spark, tmp_path):
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_shp_zip())
+        glob = str(tmp_path / "*.zip")
+        target = "N03-20240101_13_GML/admin.shp"
+        per_zip = _collect_canon(
+            ingest.ingest_zips(spark, glob, target_shp=target)
+        )
+        per_member = _collect_canon(
+            ingest.ingest_zip_members(spark, glob, target_shp=target)
+        )
+        assert per_member == per_zip
+
+    def test_error_rows_byte_identical(self, spark, tmp_path):
+        # bad archive + missing target_shp both reproduce the per-ZIP
+        # kernels' error text exactly
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(b"not a zip")
+        glob = str(tmp_path / "*.zip")
+        per_zip = _collect_canon(ingest.ingest_zips(spark, glob))
+        per_member = _collect_canon(ingest.ingest_zip_members(spark, glob))
+        assert per_member == per_zip
+
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_shp_zip())
+        missing = "N03-20240101_13_GML/nope.shp"
+        per_zip = _collect_canon(
+            ingest.ingest_zips(spark, glob, target_shp=missing)
+        )
+        per_member = _collect_canon(
+            ingest.ingest_zip_members(spark, glob, target_shp=missing)
+        )
+        assert per_member == per_zip
+        assert "target_shp" in str(per_member)  # the error text survived
+
+    def test_members_spread_across_partitions(self, spark, tmp_path):
+        # the exploded frame hash-partitions on (path, member): with
+        # many members the parse stage must occupy >1 partition — the
+        # straggler-elimination property the variant exists for
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            for k in range(8):
+                zf.writestr(f"d/N03-24_{k:02d}.xml", _gml_member(3, k))
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(bio.getvalue())
+        from pyspark.sql import functions as F
+
+        # AQE rightly coalesces an 8-row shuffle to one partition at
+        # test scale; disable coalescing to observe the hash spread the
+        # partitioning provides at real scale
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(key, "true")
+        try:
+            spark.conf.set(key, "false")
+            spread = ingest.list_zip_members(
+                spark, str(tmp_path / "*.zip"), source="gml"
+            ).repartition("path", "member")
+            n_parts = (
+                spread.select(F.spark_partition_id().alias("p"))
+                .distinct()
+                .count()
+            )
+        finally:
+            spark.conf.set(key, prev)
+        assert n_parts > 1
+        out = ingest.ingest_zip_members(
+            spark, str(tmp_path / "*.zip"), source="gml"
+        )
+        assert out.filter(out.error.isNull()).count() == 24
