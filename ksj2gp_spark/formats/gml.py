@@ -176,12 +176,24 @@ class _GeometryIndex:
                     if "srsDimension" in el.attrib:
                         self.default_dim = _dim_of(el, self.default_dim)
                         break
+        # Hot loop: runs once per element of the document. Elements
+        # without attributes (posList, patches, exterior, ...) carry
+        # neither a gml:id nor an srsName — skip them outright; for the
+        # rest, try the GML-3.2 id key inline before the generic
+        # fallback (one dict.get instead of a function call in the
+        # overwhelmingly common case).
+        by_id = self.by_id
         for el in root.iter():
-            gid = _gml_id(el)
+            attrib = el.attrib
+            if not attrib:
+                continue
+            gid = attrib.get(_GML32_ID)
+            if gid is None:
+                gid = _gml_id(el)
             if gid is not None:
-                self.by_id[gid] = el
+                by_id[gid] = el
             if self.srs_name is None:
-                srs = el.attrib.get("srsName")
+                srs = attrib.get("srsName")
                 if srs:
                     self.srs_name = srs
         self._memo: dict[str, wkb.Geometry] = {}

@@ -388,6 +388,84 @@ def ingest_zip_members(
     return spread.mapInPandas(parse_one, schema=INGEST_SCHEMA)
 
 
+def _auto_ingest_strategy(
+    spark: SparkSession,
+    path: str,
+    source: str = "shp",
+    target_shp: str | None = None,
+    min_parallelism: int | None = None,
+) -> str:
+    """Pick "zip" (per-archive) or "member" (per-member) for a source
+    glob — the routing brain of :func:`ingest_zips_auto`.
+
+    Per-member parallelism costs a listing pass plus compressed
+    re-reads and buys a skew bound of max-MEMBER instead of
+    max-ARCHIVE. It can only matter when the archives alone under-fill
+    the cluster, so the probe short-circuits: a ``limit(par+1)`` count
+    on the binaryFile path listing (file metadata only — no ZIP is
+    opened) settles the common many-archives case for free, and only
+    an under-filled listing pays the central-directory scan to see
+    whether any archive actually holds multiple members."""
+    par = (
+        min_parallelism
+        if min_parallelism is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    n_arch = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path")
+        .limit(par + 1)
+        .count()
+    )
+    if n_arch > par:
+        return "zip"  # archives already fill the cluster
+    from pyspark.sql import functions as F
+
+    stats = (
+        list_zip_members(spark, path, source=source, target_shp=target_shp)
+        .agg(
+            F.countDistinct("path").alias("n_arch"),
+            F.count("member").alias("n_members"),  # err rows: member NULL
+        )
+        .first()
+    )
+    if stats.n_members > stats.n_arch:
+        return "member"  # at least one multi-member bundle to split
+    return "zip"
+
+
+def ingest_zips_auto(
+    spark: SparkSession,
+    path: str,
+    translate: bool = True,
+    source: str = "shp",
+    target_shp: str | None = None,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Strategy-free ingestion: probe the source, then route between
+    :func:`ingest_zips` (per-archive tasks) and
+    :func:`ingest_zip_members` (per-member tasks) — the same
+    auto-routing posture as ``pipeline.spatial_join``'s big-layer
+    switch, so neither skew knob is manual. Row sets and error rows
+    are identical on both routes (pinned by tests); only task
+    granularity differs. See :func:`_auto_ingest_strategy` for the
+    routing rule and its probe costs."""
+    strategy = _auto_ingest_strategy(
+        spark, path, source=source, target_shp=target_shp,
+        min_parallelism=min_parallelism,
+    )
+    if strategy == "member":
+        return ingest_zip_members(
+            spark, path, translate=translate, source=source,
+            target_shp=target_shp,
+        )
+    return ingest_zips(
+        spark, path, translate=translate, source=source,
+        target_shp=target_shp,
+    )
+
+
 def polygons_from_ingest(
     ingested: DataFrame, admin_code_attr: str = "行政区域コード"
 ) -> DataFrame:

@@ -30,10 +30,24 @@ def ingest_polygons(
     zip_paths: str,
     translate: bool = True,
     admin_code_attr: str = "行政区域コード",
+    strategy: str = "auto",
 ) -> DataFrame:
     """KSJ ZIPs → polygon layer DataFrame
-    ``(polygon_id, admin_code → attr, geometry WKB, crs)``."""
-    raw = ingest.ingest_zips(spark, zip_paths, translate=translate)
+    ``(polygon_id, admin_code → attr, geometry WKB, crs)``.
+
+    ``strategy``: "auto" (default — probe the source and split
+    member-heavy bundles into per-member tasks, see
+    ``ingest.ingest_zips_auto``), "zip" (one task per archive), or
+    "member" (one task per archive member). Row sets are identical on
+    every route; only task granularity / skew bound differs."""
+    if strategy == "auto":
+        raw = ingest.ingest_zips_auto(spark, zip_paths, translate=translate)
+    elif strategy == "member":
+        raw = ingest.ingest_zip_members(spark, zip_paths, translate=translate)
+    elif strategy == "zip":
+        raw = ingest.ingest_zips(spark, zip_paths, translate=translate)
+    else:
+        raise ValueError(f"strategy must be auto|zip|member, got {strategy!r}")
     return ingest.polygons_from_ingest(raw, admin_code_attr=admin_code_attr)
 
 

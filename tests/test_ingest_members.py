@@ -225,3 +225,89 @@ class TestIngestZipMembers:
             spark, str(tmp_path / "*.zip"), source="gml"
         )
         assert out.filter(out.error.isNull()).count() == 24
+
+
+class TestAutoStrategy:
+    """ingest_zips_auto routing — the same no-manual-knob posture as
+    pipeline.spatial_join's big-layer switch."""
+
+    def test_member_for_one_member_heavy_bundle(self, spark, tmp_path):
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            for k in range(8):
+                zf.writestr(f"d/N03-24_{k:02d}.xml", _gml_member(3, k))
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(bio.getvalue())
+        assert (
+            ingest._auto_ingest_strategy(
+                spark, str(tmp_path / "*.zip"), source="gml",
+                min_parallelism=4,
+            )
+            == "member"
+        )
+
+    def test_zip_when_archives_fill_cluster(self, spark, tmp_path):
+        # 5 archives > min_parallelism=4: the limit-probe short-circuits
+        # to per-archive without opening a single central directory
+        for z in range(5):
+            bio = io.BytesIO()
+            with zipfile.ZipFile(bio, "w") as zf:
+                zf.writestr("d/N03-24_01.xml", _gml_member(2, z))
+            (tmp_path / f"N03-2024010{z}_13_GML.zip").write_bytes(
+                bio.getvalue()
+            )
+        assert (
+            ingest._auto_ingest_strategy(
+                spark, str(tmp_path / "*.zip"), source="gml",
+                min_parallelism=4,
+            )
+            == "zip"
+        )
+
+    def test_zip_for_single_member_archives(self, spark, tmp_path):
+        # under-filled cluster but nothing to split: per-member would
+        # only add the listing shuffle, so stay per-archive
+        for z in range(2):
+            bio = io.BytesIO()
+            with zipfile.ZipFile(bio, "w") as zf:
+                zf.writestr("d/N03-24_01.xml", _gml_member(2, z))
+            (tmp_path / f"N03-2024010{z}_13_GML.zip").write_bytes(
+                bio.getvalue()
+            )
+        assert (
+            ingest._auto_ingest_strategy(
+                spark, str(tmp_path / "*.zip"), source="gml",
+                min_parallelism=8,
+            )
+            == "zip"
+        )
+
+    def test_auto_rowset_equals_per_zip(self, spark, tmp_path):
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_gml_zip())
+        glob = str(tmp_path / "*.zip")
+        auto = _collect_canon(
+            ingest.ingest_zips_auto(spark, glob, source="gml",
+                                    min_parallelism=8)
+        )
+        per_zip = _collect_canon(ingest.ingest_zips(spark, glob, source="gml"))
+        assert auto == per_zip
+        assert len(auto) == 12
+
+    def test_pipeline_strategy_param(self, spark, tmp_path):
+        from ksj2gp_spark import pipeline
+
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_shp_zip())
+        glob = str(tmp_path / "*.zip")
+        base = sorted(
+            map(tuple, pipeline.ingest_polygons(
+                spark, glob, strategy="zip"
+            ).collect())
+        )
+        for strat in ("auto", "member"):
+            got = sorted(
+                map(tuple, pipeline.ingest_polygons(
+                    spark, glob, strategy=strat
+                ).collect())
+            )
+            assert got == base, strat
+        with pytest.raises(ValueError, match="auto|zip|member"):
+            pipeline.ingest_polygons(spark, glob, strategy="rdd")
