@@ -22,8 +22,11 @@ import zipfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# 16 members x 20k features: one member parses in ~0.8s, the whole
+# bundle in ~13s — big enough that parse dominates the ~4s of fixed
+# session/listing overhead that drowned the signal at 5k/member.
 N_MEMBERS = 16
-N_PER = 5_000
+N_PER = 20_000
 
 
 def build_zip(tmpdir: str) -> str:

@@ -349,10 +349,26 @@ def ingest_zip_members(
     in reads. Parse time dominates compressed-byte reads for every KSJ
     format, and on object stores the reads are ranged — use this path
     when bundles are member-heavy or member-skewed, `ingest_zips` when
-    archives are small and uniform."""
-    spread = list_zip_members(
-        spark, path, source=source, target_shp=target_shp
-    ).repartition("path", "member")
+    archives are small and uniform.
+
+    Partitioning: the exploded rows are (path, member) STRINGS — a few
+    hundred bytes for hours of downstream parse work — so AQE's
+    size-based coalescing would fold a column-hash repartition of them
+    into ONE post-shuffle partition and silently serialize the whole
+    point of this variant (measured: 16 members → 1 task → zero 4→16
+    core speedup). Round-robin with an EXPLICIT partition count is
+    immune to coalescing and count-balanced; sortWithinPartitions then
+    re-groups any same-archive rows that landed together so the
+    one-archive-per-task cache still amortizes."""
+    n_parts = max(
+        spark.sparkContext.defaultParallelism * 2,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    spread = (
+        list_zip_members(spark, path, source=source, target_shp=target_shp)
+        .repartition(n_parts)
+        .sortWithinPartitions("path", "member")
+    )
 
     def parse_one(batches):
         cache: dict[str, bytes] = {}

@@ -193,9 +193,11 @@ class TestIngestZipMembers:
         assert "target_shp" in str(per_member)  # the error text survived
 
     def test_members_spread_across_partitions(self, spark, tmp_path):
-        # the exploded frame hash-partitions on (path, member): with
-        # many members the parse stage must occupy >1 partition — the
-        # straggler-elimination property the variant exists for
+        # the exploded rows are tiny strings carrying heavy parse work:
+        # AQE's size-based coalescing folded the original column-hash
+        # repartition into ONE partition (zero parallelism — the exact
+        # straggler this variant exists to kill), so the spread must
+        # hold with AQE ON, via explicit-count round-robin
         bio = io.BytesIO()
         with zipfile.ZipFile(bio, "w") as zf:
             for k in range(8):
@@ -203,24 +205,25 @@ class TestIngestZipMembers:
         (tmp_path / "N03-20240101_13_GML.zip").write_bytes(bio.getvalue())
         from pyspark.sql import functions as F
 
-        # AQE rightly coalesces an 8-row shuffle to one partition at
-        # test scale; disable coalescing to observe the hash spread the
-        # partitioning provides at real scale
-        key = "spark.sql.adaptive.coalescePartitions.enabled"
-        prev = spark.conf.get(key, "true")
-        try:
-            spark.conf.set(key, "false")
-            spread = ingest.list_zip_members(
+        n_parts = max(
+            spark.sparkContext.defaultParallelism * 2,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+        spread = (
+            ingest.list_zip_members(
                 spark, str(tmp_path / "*.zip"), source="gml"
-            ).repartition("path", "member")
-            n_parts = (
-                spread.select(F.spark_partition_id().alias("p"))
-                .distinct()
-                .count()
             )
-        finally:
-            spark.conf.set(key, prev)
-        assert n_parts > 1
+            .repartition(n_parts)
+            .sortWithinPartitions("path", "member")
+        )
+        counts = (
+            spread.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        # round-robin: 8 members spread one-per-partition (count-balanced)
+        assert len(counts) == 8
+        assert max(r["count"] for r in counts) == 1
         out = ingest.ingest_zip_members(
             spark, str(tmp_path / "*.zip"), source="gml"
         )
