@@ -30,7 +30,10 @@ def convert(
 ) -> int:
     from .operators import ingest
 
-    ingested = ingest.ingest_zips(
+    # auto-routed: the CLI's common shape is ONE archive (reference
+    # parity), which is exactly the per-archive path's straggler case
+    # when the bundle is multi-layer — the probe routes it per-member
+    ingested = ingest.ingest_zips_auto(
         spark, zip_path, translate=True, target_shp=target_shp
     ).cache()
     try:
