@@ -47,7 +47,16 @@ def parse_zip_bytes(
     the reference's candidate-selection workflow (the web UI prompts
     when >1, worker.ts:49-60; the CLI takes the first, main.rs:38).
     Default: convert every member (a distributed job has no reason to
-    drop the rest)."""
+    drop the rest).
+
+    Quarantine granularity is the MEMBER: a corrupt layer emits one
+    error row (``shp_name`` = that member, ``feature_idx`` = -1) and
+    the remaining layers still convert — a whole-archive try would
+    silently drop every layer after the bad one, and would make the
+    per-archive and per-member ingestion routes disagree on mixed-
+    health bundles (the auto router must be free to pick either).
+    Archive-level failures (unreadable ZIP, no ``.shp`` member,
+    missing ``target_shp``) emit one row with ``shp_name`` empty."""
     filename = os.path.basename(zip_path)
     try:
         ksj_id, year = extract_ksj_id(filename)
@@ -64,7 +73,16 @@ def parse_zip_bytes(
                     f"target_shp {target_shp!r} not in ZIP (members: {shp_names})"
                 )
             shp_names = [target_shp]
-        for shp_name in shp_names:
+    except Exception as e:
+        rows.append(
+            _row(
+                zip_path, ksj_id, year, "", -1, "", None, "",
+                {}, f"{type(e).__name__}: {e}",
+            )
+        )
+        return pd.DataFrame(rows)
+    for shp_name in shp_names:
+        try:
             bundle = zipsrc.read_bundle(zip_bytes, shp_name)
             opts = TranslateOptions(
                 translate_colnames=translate,
@@ -85,9 +103,10 @@ def parse_zip_bytes(
                 else None
                 for f in fields
             ]
+            member_rows = []
             for idx, (g, rec) in enumerate(zip(geoms, recs)):
                 if g is None:
-                    rows.append(
+                    member_rows.append(
                         _row(
                             zip_path, ksj_id, year, shp_name, idx,
                             bundle.crs, None, "NullShape", {},
@@ -99,19 +118,21 @@ def parse_zip_bytes(
                 for name, cl, value in zip(colnames, codelists, rec):
                     v = translate_value(value, cl)
                     attrs[name] = None if v is None else str(v)
-                rows.append(
+                member_rows.append(
                     _row(
                         zip_path, ksj_id, year, shp_name, idx, bundle.crs,
                         wkb.dumps(g), g.name, attrs, None,
                     )
                 )
-    except Exception as e:
-        rows.append(
-            _row(
-                zip_path, ksj_id, year, "", -1, "", None, "",
-                {}, f"{type(e).__name__}: {e}",
+        except Exception as e:
+            rows.append(
+                _row(
+                    zip_path, ksj_id, year, shp_name, -1, "", None, "",
+                    {}, f"{type(e).__name__}: {e}",
+                )
             )
-        )
+            continue
+        rows.extend(member_rows)
     return pd.DataFrame(rows)
 
 
@@ -149,44 +170,6 @@ def parse_gml_zip_bytes(
             members = [target_member]
         if not members:
             raise zipsrc.ZipSourceError("no GML member in ZIP")
-        n_features = 0
-        for member in members:
-            buf = zipsrc.read_member(zip_bytes, member)
-            try:
-                features, crs = gml_mod.read_gml(buf)
-            except gml_mod.GmlError as e:
-                rows.append(
-                    _row(
-                        zip_path, ksj_id, year, member, -1, "", None, "",
-                        {}, f"GmlError: {e}",
-                    )
-                )
-                continue
-            for idx, (ftype, raw_attrs, geom) in enumerate(features):
-                attrs = {"featureType": ftype}
-                for name, (text, codespace) in raw_attrs.items():
-                    if text is not None and translate:
-                        cl = gml_mod.codelist_for_codespace(codespace)
-                        if cl is not None:
-                            text = cl.get(text, text)
-                    attrs[name] = text
-                if geom is None:
-                    rows.append(
-                        _row(
-                            zip_path, ksj_id, year, member, idx, crs,
-                            None, "", attrs, "feature without geometry",
-                        )
-                    )
-                    continue
-                n_features += 1
-                rows.append(
-                    _row(
-                        zip_path, ksj_id, year, member, idx, crs,
-                        wkb.dumps(geom), geom.name, attrs, None,
-                    )
-                )
-        if n_features == 0 and not rows:
-            raise zipsrc.ZipSourceError("GML members contain no features")
     except Exception as e:
         rows.append(
             _row(
@@ -194,6 +177,55 @@ def parse_gml_zip_bytes(
                 {}, f"{type(e).__name__}: {e}",
             )
         )
+        return pd.DataFrame(rows)
+    for member in members:
+        # Quarantine granularity is the MEMBER (matches the shapefile
+        # lane): each member parses independently, so the per-archive
+        # and per-member ingestion routes emit identical rows for any
+        # mix of healthy / malformed / feature-less members.
+        n_before = len(rows)
+        try:
+            buf = zipsrc.read_member(zip_bytes, member)
+            features, crs = gml_mod.read_gml(buf)
+        except Exception as e:
+            rows.append(
+                _row(
+                    zip_path, ksj_id, year, member, -1, "", None, "",
+                    {}, f"{type(e).__name__}: {e}",
+                )
+            )
+            continue
+        for idx, (ftype, raw_attrs, geom) in enumerate(features):
+            attrs = {"featureType": ftype}
+            for name, (text, codespace) in raw_attrs.items():
+                if text is not None and translate:
+                    cl = gml_mod.codelist_for_codespace(codespace)
+                    if cl is not None:
+                        text = cl.get(text, text)
+                attrs[name] = text
+            if geom is None:
+                rows.append(
+                    _row(
+                        zip_path, ksj_id, year, member, idx, crs,
+                        None, "", attrs, "feature without geometry",
+                    )
+                )
+                continue
+            rows.append(
+                _row(
+                    zip_path, ksj_id, year, member, idx, crs,
+                    wkb.dumps(geom), geom.name, attrs, None,
+                )
+            )
+        if len(rows) == n_before:
+            # valid XML, zero features: loud per-member quarantine
+            # rather than silent zero rows
+            rows.append(
+                _row(
+                    zip_path, ksj_id, year, member, -1, "", None, "",
+                    {}, "GML member contains no features",
+                )
+            )
     return pd.DataFrame(rows)
 
 
@@ -329,6 +361,7 @@ def ingest_zip_members(
     translate: bool = True,
     source: str = "shp",
     target_shp: str | None = None,
+    _listing: DataFrame | None = None,
 ) -> DataFrame:
     """Member-parallel ingestion — same rows as :func:`ingest_zips`,
     different unit of work.
@@ -364,10 +397,13 @@ def ingest_zip_members(
         spark.sparkContext.defaultParallelism * 2,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
-    spread = (
-        list_zip_members(spark, path, source=source, target_shp=target_shp)
-        .repartition(n_parts)
-        .sortWithinPartitions("path", "member")
+    listing = (
+        _listing
+        if _listing is not None
+        else list_zip_members(spark, path, source=source, target_shp=target_shp)
+    )
+    spread = listing.repartition(n_parts).sortWithinPartitions(
+        "path", "member"
     )
 
     def parse_one(batches):
@@ -410,9 +446,12 @@ def _auto_ingest_strategy(
     source: str = "shp",
     target_shp: str | None = None,
     min_parallelism: int | None = None,
-) -> str:
+) -> tuple[str, DataFrame | None]:
     """Pick "zip" (per-archive) or "member" (per-member) for a source
-    glob — the routing brain of :func:`ingest_zips_auto`.
+    glob — the routing brain of :func:`ingest_zips_auto`. Returns
+    ``(strategy, listing)`` where ``listing`` is the persisted member
+    listing when the central-directory scan ran (so the member route
+    reuses it instead of re-opening every archive), else None.
 
     Per-member parallelism costs a listing pass plus compressed
     re-reads and buys a skew bound of max-MEMBER instead of
@@ -435,20 +474,24 @@ def _auto_ingest_strategy(
         .count()
     )
     if n_arch > par:
-        return "zip"  # archives already fill the cluster
+        return "zip", None  # archives already fill the cluster
     from pyspark.sql import functions as F
 
-    stats = (
-        list_zip_members(spark, path, source=source, target_shp=target_shp)
-        .agg(
-            F.countDistinct("path").alias("n_arch"),
-            F.count("member").alias("n_members"),  # err rows: member NULL
-        )
-        .first()
-    )
+    # persist BEFORE the probe aggregate so the scan's rows are cached
+    # and the member route never re-opens a central directory; the
+    # cached frame is (path, member) strings for <= par archives —
+    # bytes, not data
+    listing = list_zip_members(
+        spark, path, source=source, target_shp=target_shp
+    ).persist()
+    stats = listing.agg(
+        F.countDistinct("path").alias("n_arch"),
+        F.count("member").alias("n_members"),  # err rows: member NULL
+    ).first()
     if stats.n_members > stats.n_arch:
-        return "member"  # at least one multi-member bundle to split
-    return "zip"
+        return "member", listing  # at least one multi-member bundle
+    listing.unpersist()
+    return "zip", None
 
 
 def ingest_zips_auto(
@@ -467,14 +510,14 @@ def ingest_zips_auto(
     are identical on both routes (pinned by tests); only task
     granularity differs. See :func:`_auto_ingest_strategy` for the
     routing rule and its probe costs."""
-    strategy = _auto_ingest_strategy(
+    strategy, listing = _auto_ingest_strategy(
         spark, path, source=source, target_shp=target_shp,
         min_parallelism=min_parallelism,
     )
     if strategy == "member":
         return ingest_zip_members(
             spark, path, translate=translate, source=source,
-            target_shp=target_shp,
+            target_shp=target_shp, _listing=listing,
         )
     return ingest_zips(
         spark, path, translate=translate, source=source,

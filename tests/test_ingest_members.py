@@ -240,13 +240,14 @@ class TestAutoStrategy:
             for k in range(8):
                 zf.writestr(f"d/N03-24_{k:02d}.xml", _gml_member(3, k))
         (tmp_path / "N03-20240101_13_GML.zip").write_bytes(bio.getvalue())
-        assert (
-            ingest._auto_ingest_strategy(
-                spark, str(tmp_path / "*.zip"), source="gml",
-                min_parallelism=4,
-            )
-            == "member"
+        strategy, listing = ingest._auto_ingest_strategy(
+            spark, str(tmp_path / "*.zip"), source="gml",
+            min_parallelism=4,
         )
+        assert strategy == "member"
+        # the probe's listing is handed to the member route (persisted)
+        # so the central directories are never scanned twice
+        assert listing is not None and listing.count() == 8
 
     def test_zip_when_archives_fill_cluster(self, spark, tmp_path):
         # 5 archives > min_parallelism=4: the limit-probe short-circuits
@@ -258,13 +259,10 @@ class TestAutoStrategy:
             (tmp_path / f"N03-2024010{z}_13_GML.zip").write_bytes(
                 bio.getvalue()
             )
-        assert (
-            ingest._auto_ingest_strategy(
-                spark, str(tmp_path / "*.zip"), source="gml",
-                min_parallelism=4,
-            )
-            == "zip"
-        )
+        assert ingest._auto_ingest_strategy(
+            spark, str(tmp_path / "*.zip"), source="gml",
+            min_parallelism=4,
+        ) == ("zip", None)
 
     def test_zip_for_single_member_archives(self, spark, tmp_path):
         # under-filled cluster but nothing to split: per-member would
@@ -276,13 +274,10 @@ class TestAutoStrategy:
             (tmp_path / f"N03-2024010{z}_13_GML.zip").write_bytes(
                 bio.getvalue()
             )
-        assert (
-            ingest._auto_ingest_strategy(
-                spark, str(tmp_path / "*.zip"), source="gml",
-                min_parallelism=8,
-            )
-            == "zip"
-        )
+        assert ingest._auto_ingest_strategy(
+            spark, str(tmp_path / "*.zip"), source="gml",
+            min_parallelism=8,
+        ) == ("zip", None)
 
     def test_auto_rowset_equals_per_zip(self, spark, tmp_path):
         (tmp_path / "N03-20240101_13_GML.zip").write_bytes(_multi_gml_zip())
@@ -294,6 +289,57 @@ class TestAutoStrategy:
         per_zip = _collect_canon(ingest.ingest_zips(spark, glob, source="gml"))
         assert auto == per_zip
         assert len(auto) == 12
+
+    def test_mixed_health_bundle_routes_agree(self, spark, tmp_path):
+        # one archive: good layer + corrupt layer + good layer. Member
+        # quarantine means BOTH routes convert the healthy layers and
+        # emit one error row naming the bad member — the route choice
+        # (i.e. the cluster size the auto probe sees) must never change
+        # the output row set
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            for name, prefix in (("a_good", "A_"), ("c_good", "C_")):
+                s, x, d = _shp_layer_bytes(prefix)
+                zf.writestr(f"L/{name}.shp", s)
+                zf.writestr(f"L/{name}.shx", x)
+                zf.writestr(f"L/{name}.dbf", d)
+            s, x, _ = _shp_layer_bytes("B_")
+            zf.writestr("L/b_bad.shp", s)
+            zf.writestr("L/b_bad.shx", x)
+            zf.writestr("L/b_bad.dbf", b"\x03corrupt")
+            zf.writestr("L/KS-META-N03.xml", META_JGD2011)
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(bio.getvalue())
+        glob = str(tmp_path / "*.zip")
+        per_zip = _collect_canon(ingest.ingest_zips(spark, glob))
+        per_member = _collect_canon(ingest.ingest_zip_members(spark, glob))
+        assert per_member == per_zip
+        flat = str(per_zip)
+        assert "b_bad.shp" in flat  # the error row names the member
+        assert "A_" in flat and "C_" in flat  # later layer survived
+
+    def test_empty_gml_member_routes_agree(self, spark, tmp_path):
+        # member2 is valid XML with zero features: both routes emit the
+        # same loud per-member quarantine row, and member1 converts
+        empty = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<Dataset xmlns:gml="http://www.opengis.net/gml/3.2" '
+            'xmlns="http://nlftp.mlit.go.jp/ksj/schemas/ksj-app" '
+            'gml:id="ds"></Dataset>'
+        ).encode()
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            zf.writestr("d/N03-24_01.xml", _gml_member(4, 0))
+            zf.writestr("d/N03-24_02.xml", empty)
+        (tmp_path / "N03-20240101_13_GML.zip").write_bytes(bio.getvalue())
+        glob = str(tmp_path / "*.zip")
+        per_zip = _collect_canon(ingest.ingest_zips(spark, glob, source="gml"))
+        per_member = _collect_canon(
+            ingest.ingest_zip_members(spark, glob, source="gml")
+        )
+        assert per_member == per_zip
+        errs = [r for r in per_zip if "contains no features" in str(r)]
+        assert len(errs) == 1 and "N03-24_02.xml" in str(errs[0])
+        assert len(per_zip) == 5  # 4 features + 1 quarantine row
 
     def test_pipeline_strategy_param(self, spark, tmp_path):
         from ksj2gp_spark import pipeline
