@@ -1504,6 +1504,45 @@ FROM t GROUP BY 1
 """
 
 
+_PYRAMID_LEVELS = [GRID_RES, GRID_RES - 1, GRID_RES - 2, GRID_RES - 3]
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile pyramid (operators/cells.py::cell_pyramid): the
+    res-10 image cells rolled up to every level 10..7 in ONE
+    aggregation — per-level ancestor ids are pure Catalyst bit
+    arithmetic (grid_parent_col), exploded map-side, one shuffle for
+    the whole pyramid with map-side partial aggregation (plan pinned
+    in tests/test_spatial_spark.py::TestCellPyramid). The oracle
+    replays the parent arithmetic relationally per level."""
+    from ksj2gp_spark.operators import cells as cells_mod
+
+    imgs = _images_from_customer(spark, sf_dir)
+    pts = cells_mod.with_cell(
+        imgs.select("image_id", "lon", "lat"), "grid", GRID_RES
+    )
+    return cells_mod.cell_pyramid(
+        pts, _PYRAMID_LEVELS, scheme="grid", base_res=GRID_RES
+    )
+
+
+_PYRAMID_SQL = f"""
+WITH {_IMAGES_CTE.strip()},
+c AS (SELECT {_CELL_SQL} AS cell FROM images),
+e AS (
+  SELECT L.lv,
+         L.lv * 288230376151711744
+         + (((c.cell // 536870912) % 536870912)
+            // (1 << ({GRID_RES} - L.lv))) * 536870912
+         + ((c.cell % 536870912) // (1 << ({GRID_RES} - L.lv))) AS pcell
+  FROM c CROSS JOIN (VALUES {", ".join(f"({lv})" for lv in _PYRAMID_LEVELS)})
+       AS L(lv)
+)
+SELECT lv AS level, pcell AS cell, count(*) AS n_points
+FROM e GROUP BY 1, 2
+"""
+
+
 # Concave staircase polygon with a rectangular hole — exercises the
 # exact-PIP kernel (ray cast) against a pure-SQL ray-cast oracle whose
 # float expression mirrors geo/geom.py::ring_contains term-for-term
@@ -5604,6 +5643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_overlay": q_admin_overlay,
         "simplify_admin": q_simplify_admin,
         "tile_rollup": q_tile_rollup,
+        "tile_pyramid": q_tile_pyramid,
         "similarity_ivf": q_similarity_ivf,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
@@ -5738,6 +5778,7 @@ GROUP BY p.admin_code
         "admin_overlay": _overlay_sql(),
         "simplify_admin": _simplify_sql(),
         "tile_rollup": _ROLLUP_SQL,
+        "tile_pyramid": _PYRAMID_SQL,
         "similarity_ivf": _SIMILARITY_IVF_SQL,
         # Codec lanes are value-oracled by planted structure: the
         # structural decode outputs (dims, phash round-trip, header

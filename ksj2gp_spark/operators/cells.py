@@ -71,6 +71,101 @@ def with_cell(
     return df.withColumn(out_col, cell_udf(F.col(lon_col), F.col(lat_col)))
 
 
+def grid_parent_col(cell, base_res: int, parent_res: int):
+    """Catalyst expression for :func:`ksj2gp_spark.geo.grid.
+    cell_to_parent` — pure bit arithmetic on the packed (res, i, j)
+    id, whole-stage-codegen'd, no Python. ``base_res`` is the
+    resolution of every input id (homogeneous by construction of
+    ``with_cell``; Spark's shift operators take literal amounts)."""
+    if not 0 <= parent_res <= base_res:
+        raise ValueError(
+            f"parent_res must be in [0, {base_res}], got {parent_res}"
+        )
+    shift = base_res - parent_res
+    mask29 = (1 << 29) - 1
+    i = F.shiftright(cell, 29).bitwiseAND(F.lit(mask29))
+    j = cell.bitwiseAND(F.lit(mask29))
+    return (
+        F.lit(parent_res << 58)
+        .bitwiseOR(F.shiftleft(F.shiftright(i, shift), 29))
+        .bitwiseOR(F.shiftright(j, shift))
+    )
+
+
+def s2_parent_col(cell, level: int):
+    """Catalyst expression for :func:`ksj2gp_spark.geo.s2.parent`:
+    ``(id & -lsb) | lsb`` with ``lsb = 1 << 2*(30-level)`` — two's-
+    complement bit math, valid for face-4/5 ids that wrap negative in
+    int64. ``level`` must be ≤ the input ids' level."""
+    if not 0 <= level <= s2.MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {s2.MAX_LEVEL}], got {level}")
+    lsb = 1 << (2 * (s2.MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def cell_pyramid(
+    df: DataFrame,
+    levels: Iterable[int],
+    scheme: str = "grid",
+    base_res: int | None = None,
+    cell_col: str = "cell",
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Multi-zoom tile pyramid: one output row per (level, ancestor
+    cell) with the point count — the map-tile rollup a tiling service
+    serves z0..zN from, computed in ONE aggregation.
+
+    Plan shape (the 100 TB story): each input cell id explodes
+    map-side into its ancestor id at every requested level via pure
+    Catalyst bit arithmetic (``grid_parent_col`` / ``s2_parent_col``
+    — zero Python in the plan, whole-stage codegen), then a single
+    ``groupBy(level, cell).count()`` runs with map-side partial
+    aggregation. One shuffle for the WHOLE pyramid; the rows entering
+    it are the per-partition distinct (level, ancestor) pairs, not
+    len(levels) × input — partial aggregation collapses them before
+    the exchange. A per-level loop would pay len(levels) shuffles
+    and rescan the input each time.
+
+    ``scheme``: "grid" (``base_res`` required — the input ids'
+    resolution) or "s2" (level is embedded in the id; every requested
+    level must be ≤ the ids' level). The hex scheme has no closed-form
+    parent (cf. hexgrid.cell_to_parent's lat/lng round-trip) and is
+    deliberately not offered here.
+    """
+    levels = list(levels)
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    c = F.col(cell_col)
+    if scheme == "grid":
+        if base_res is None:
+            raise ValueError("grid pyramid requires base_res")
+        branches = [
+            F.struct(
+                F.lit(lv).alias("level"),
+                grid_parent_col(c, base_res, lv).alias(cell_col),
+            )
+            for lv in levels
+        ]
+    elif scheme == "s2":
+        branches = [
+            F.struct(
+                F.lit(lv).alias("level"),
+                s2_parent_col(c, lv).alias(cell_col),
+            )
+            for lv in levels
+        ]
+    else:
+        raise ValueError(
+            f"cell_pyramid supports grid|s2, got {scheme!r}"
+        )
+    return (
+        df.select(F.explode(F.array(*branches)).alias("_p"))
+        .select("_p.level", f"_p.{cell_col}")
+        .groupBy("level", cell_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
 def cover_fn(scheme: str, res: int):
     if scheme == "hex":
         return lambda g: hexgrid.cover_geometry(g, res)

@@ -376,6 +376,10 @@ def spatial_join_tiles_dist(
     the broadcast path is pinned in tests/test_pipeline_api.py.
     """
     res = res if res is not None else DEFAULT_RES[scheme]
+    if n_sub < 1:
+        # pmod(hash, 0) is NULL: every hot polygon's candidates would
+        # silently vanish from the cogroup instead of erroring
+        raise ValueError(f"n_sub must be >= 1, got {n_sub}")
     from .cells import polygon_cover_df
 
     polys = _normalize_layer_df(polygons).select(

@@ -2495,6 +2495,18 @@ class TestDistJoinHotSplit:
         }
         assert hot_all == {"metro", "b", "c"}
 
+    def test_invalid_n_sub_raises(self, spark):
+        # pmod(hash, 0) is NULL — without the guard every hot
+        # polygon's matches would silently vanish from the cogroup
+        from ksj2gp_spark.operators.spatial import spatial_join_tiles_dist
+
+        imgs, polys = self._fixture(spark)
+        with pytest.raises(ValueError, match="n_sub"):
+            spatial_join_tiles_dist(
+                imgs, polys, scheme="grid", res=10,
+                max_group_rows=800, n_sub=0,
+            )
+
     def test_split_rowset_equals_unsalted_and_is_bounded(self, spark):
         from ksj2gp_spark.operators.spatial import spatial_join_tiles_dist
 
@@ -2526,3 +2538,105 @@ class TestDistJoinHotSplit:
         )
         assert len(subs) == 4
         assert max(r["count"] for r in subs) < 2000 * 0.5
+
+
+class TestCellPyramid:
+    """Multi-zoom tile pyramid (operators/cells.py::cell_pyramid):
+    pure-Catalyst ancestor ids for grid/s2 pinned against the numpy
+    kernels, one-shuffle plan with zero Python nodes."""
+
+    @staticmethod
+    def _points(spark, n=4000, seed=3):
+        rng = np.random.default_rng(seed)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "lon": rng.uniform(128, 146, n),
+                    "lat": rng.uniform(30, 46, n),
+                }
+            )
+        )
+
+    def test_grid_parent_col_matches_kernel(self, spark):
+        from ksj2gp_spark.geo import grid as grid_mod
+        from ksj2gp_spark.operators import cells as cells_mod
+
+        pts = cells_mod.with_cell(self._points(spark), "grid", 12)
+        got = pts.select(
+            "cell",
+            cells_mod.grid_parent_col(F.col("cell"), 12, 8).alias("p"),
+        ).toPandas()
+        want = grid_mod.cell_to_parent(got["cell"].to_numpy("int64"), 8)
+        assert (got["p"].to_numpy("int64") == want).all()
+
+    def test_s2_parent_col_matches_kernel(self, spark):
+        from ksj2gp_spark.geo import s2 as s2_mod
+        from ksj2gp_spark.operators import cells as cells_mod
+
+        # include points on faces whose ids wrap negative in int64
+        pdf = pd.DataFrame(
+            {
+                "lon": np.concatenate(
+                    [np.linspace(-170, 170, 300), np.linspace(100, 179, 50)]
+                ),
+                "lat": np.concatenate(
+                    [np.linspace(-80, 80, 300), np.linspace(-85, -40, 50)]
+                ),
+            }
+        )
+        pts = cells_mod.with_cell(spark.createDataFrame(pdf), "s2", 14)
+        got = pts.select(
+            "cell",
+            cells_mod.s2_parent_col(F.col("cell"), 9).alias("p"),
+        ).toPandas()
+        want = s2_mod.parent(got["cell"].to_numpy("int64"), 9)
+        assert (got["p"].to_numpy("int64") == want).all()
+
+    def test_pyramid_counts_match_pandas(self, spark):
+        from ksj2gp_spark.geo import grid as grid_mod
+        from ksj2gp_spark.operators import cells as cells_mod
+
+        pts = cells_mod.with_cell(self._points(spark), "grid", 10)
+        levels = [10, 9, 8, 7]
+        out = cells_mod.cell_pyramid(
+            pts, levels, scheme="grid", base_res=10
+        ).toPandas()
+        base = pts.select("cell").toPandas()["cell"].to_numpy("int64")
+        want = {}
+        for lv in levels:
+            pc = grid_mod.cell_to_parent(base, lv)
+            for cell, n in zip(*np.unique(pc, return_counts=True)):
+                want[(lv, int(cell))] = int(n)
+        got = {
+            (int(r["level"]), int(r["cell"])): int(r["n_points"])
+            for _, r in out.iterrows()
+        }
+        assert got == want
+        # every level conserves the total point count
+        per_level = out.groupby("level")["n_points"].sum()
+        assert (per_level == len(base)).all()
+
+    def test_one_shuffle_no_python(self, spark):
+        from ksj2gp_spark.operators import cells as cells_mod
+
+        pts = cells_mod.with_cell(self._points(spark), "grid", 10)
+        plan = cells_mod.cell_pyramid(
+            pts, [10, 8], scheme="grid", base_res=10
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert node not in plan, node
+        assert "HashAggregate" in plan  # partial agg before the exchange
+
+    def test_validation(self, spark):
+        from ksj2gp_spark.operators import cells as cells_mod
+
+        pts = cells_mod.with_cell(self._points(spark), "grid", 10)
+        with pytest.raises(ValueError, match="base_res"):
+            cells_mod.cell_pyramid(pts, [8], scheme="grid")
+        with pytest.raises(ValueError, match="levels"):
+            cells_mod.cell_pyramid(pts, [], scheme="grid", base_res=10)
+        with pytest.raises(ValueError, match="parent_res"):
+            cells_mod.cell_pyramid(pts, [11], scheme="grid", base_res=10)
+        with pytest.raises(ValueError, match="grid|s2"):
+            cells_mod.cell_pyramid(pts, [8], scheme="hex", base_res=10)
