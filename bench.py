@@ -170,12 +170,33 @@ def build_gml_fixtures(n_per: int, n_zips: int) -> str:
 
 
 def py_worker_rss_mb() -> float:
-    """Total RSS (MiB) of this session's Python worker processes
+    """Total RSS (MiB) of THIS session's Python worker processes
     (pyspark.daemon + its forked workers share the daemon cmdline).
-    /proc scan, no psutil. The convert_gml repeat-growth probe reads
-    this per repeat: monotone RSS growth across repeats fingerprints
-    accumulating worker heap (ElementTree garbage surviving reuse)."""
+    /proc scan, no psutil; scoped by ancestry — a worker's PPID chain
+    must reach this process — so another Spark session's daemons on a
+    shared box cannot contaminate the reading (monotone RSS growth
+    across repeats is the probe's fingerprint for accumulating worker
+    heap, and an unrelated job's allocations would fake it). The
+    convert_gml repeat-growth probe reads this per repeat."""
     import glob
+
+    me = os.getpid()
+
+    def _ppid(pid: int) -> int:
+        # /proc/<pid>/stat field 4; comm (field 2) may contain spaces
+        # but is parenthesized — split after the closing paren
+        with open(f"/proc/{pid}/stat") as f:
+            st = f.read()
+        return int(st.rsplit(")", 1)[1].split()[1])
+
+    def _is_descendant(pid: int) -> bool:
+        for _ in range(32):  # bounded walk; init/orphan → 0/1
+            if pid == me:
+                return True
+            if pid <= 1:
+                return False
+            pid = _ppid(pid)
+        return False
 
     total_kb = 0
     for p in glob.glob("/proc/[0-9]*/cmdline"):
@@ -184,12 +205,15 @@ def py_worker_rss_mb() -> float:
                 cmd = f.read()
             if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
                 continue
+            pid = int(p.split("/")[2])
+            if not _is_descendant(pid):
+                continue
             with open(p.replace("cmdline", "status")) as f:
                 for line in f:
                     if line.startswith("VmRSS:"):
                         total_kb += int(line.split()[1])
                         break
-        except OSError:
+        except (OSError, ValueError):
             continue
     return round(total_kb / 1024.0, 1)
 

@@ -78,11 +78,41 @@ def _checkpointer(spark, checkpoint_dir: str | None):
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` as
     rounds fall out of scope); the backward pass reads every round's
     mapping, so files must outlive the loop anyway.
+
+    Caveat (inherent to Spark's API): the checkpoint directory is a
+    SparkContext-GLOBAL setting — one per application, not one per
+    DataFrame. Passing ``checkpoint_dir`` redirects it for the whole
+    session (sequential redirects are safe; each checkpoint resolves
+    its directory at write time), so CONCURRENT iterative ops asking
+    for different directories would interleave their round files —
+    the redirect is warned loudly rather than silent.
     """
     if checkpoint_dir is None:
         return lambda df: df.localCheckpoint()
-    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = spark.sparkContext
+    current = sc.getCheckpointDir()
+    if current is not None and _strip_uri_scheme(current) != _strip_uri_scheme(
+        checkpoint_dir
+    ):
+        import warnings
+
+        warnings.warn(
+            f"redirecting the session-global Spark checkpoint dir "
+            f"{current!r} -> {checkpoint_dir!r}; concurrent iterative "
+            "operators must share one directory",
+            stacklevel=3,
+        )
+    sc.setCheckpointDir(checkpoint_dir)
     return lambda df: df.checkpoint()
+
+
+def _strip_uri_scheme(uri: str) -> str:
+    """file:/tmp/x, file:///tmp/x, hdfs://nn/tmp/x → a comparable
+    path-ish suffix (getCheckpointDir returns a RESOLVED uri, the
+    caller passes a raw path)."""
+    import re
+
+    return re.sub(r"^[A-Za-z][\w+.-]*:(//[^/]*)?", "", uri).rstrip("/")
 
 
 def _local_components(n_values: int, ea: np.ndarray, eb: np.ndarray):
