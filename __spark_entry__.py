@@ -1543,6 +1543,48 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_tile_pyramid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted pyramid (cell_pyramid weight_cols): per-tile-per-zoom
+    measure rollup — each tile carries count AND sum(caption bytes),
+    the storage-planning shape (bytes per tile per zoom level).
+    Weights ride the same map-side explode; the plan is identical to
+    tile_pyramid (one shuffle, partial agg) — pinned in
+    TestCellPyramid::test_weighted_plan_unchanged."""
+    from ksj2gp_spark.operators import cells as cells_mod
+
+    imgs = _images_from_customer(spark, sf_dir)
+    pts = cells_mod.with_cell(
+        imgs.select("lon", "lat", F.length("caption").alias("cap_len")),
+        "grid",
+        GRID_RES,
+    )
+    return cells_mod.cell_pyramid(
+        pts,
+        _PYRAMID_LEVELS,
+        scheme="grid",
+        base_res=GRID_RES,
+        weight_cols=["cap_len"],
+    )
+
+
+_PYRAMID_WEIGHTED_SQL = f"""
+WITH {_IMAGES_CTE.strip()},
+c AS (SELECT {_CELL_SQL} AS cell, length(caption) AS cap_len FROM images),
+e AS (
+  SELECT L.lv, c.cap_len,
+         L.lv * 288230376151711744
+         + (((c.cell // 536870912) % 536870912)
+            // (1 << ({GRID_RES} - L.lv))) * 536870912
+         + ((c.cell % 536870912) // (1 << ({GRID_RES} - L.lv))) AS pcell
+  FROM c CROSS JOIN (VALUES {", ".join(f"({lv})" for lv in _PYRAMID_LEVELS)})
+       AS L(lv)
+)
+SELECT lv AS level, pcell AS cell, count(*) AS n_points,
+       CAST(sum(cap_len) AS BIGINT) AS sum_cap_len
+FROM e GROUP BY 1, 2
+"""
+
+
 # Concave staircase polygon with a rectangular hole — exercises the
 # exact-PIP kernel (ray cast) against a pure-SQL ray-cast oracle whose
 # float expression mirrors geo/geom.py::ring_contains term-for-term
@@ -5644,6 +5686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_admin": q_simplify_admin,
         "tile_rollup": q_tile_rollup,
         "tile_pyramid": q_tile_pyramid,
+        "tile_pyramid_weighted": q_tile_pyramid_weighted,
         "similarity_ivf": q_similarity_ivf,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
@@ -5779,6 +5822,7 @@ GROUP BY p.admin_code
         "simplify_admin": _simplify_sql(),
         "tile_rollup": _ROLLUP_SQL,
         "tile_pyramid": _PYRAMID_SQL,
+        "tile_pyramid_weighted": _PYRAMID_WEIGHTED_SQL,
         "similarity_ivf": _SIMILARITY_IVF_SQL,
         # Codec lanes are value-oracled by planted structure: the
         # structural decode outputs (dims, phash round-trip, header

@@ -110,10 +110,15 @@ def cell_pyramid(
     base_res: int | None = None,
     cell_col: str = "cell",
     count_col: str = "n_points",
+    weight_cols: Iterable[str] = (),
 ) -> DataFrame:
     """Multi-zoom tile pyramid: one output row per (level, ancestor
     cell) with the point count — the map-tile rollup a tiling service
-    serves z0..zN from, computed in ONE aggregation.
+    serves z0..zN from, computed in ONE aggregation. Each name in
+    ``weight_cols`` adds a ``sum_<name>`` measure column (bytes per
+    tile for storage planning, pixel budgets, weighted densities);
+    weights ride the same map-side explode and partial-aggregate, so
+    the plan is unchanged — still one shuffle for the whole pyramid.
 
     Plan shape (the 100 TB story): each input cell id explodes
     map-side into its ancestor id at every requested level via pure
@@ -158,11 +163,18 @@ def cell_pyramid(
         raise ValueError(
             f"cell_pyramid supports grid|s2, got {scheme!r}"
         )
+    weight_cols = list(weight_cols)
     return (
-        df.select(F.explode(F.array(*branches)).alias("_p"))
-        .select("_p.level", f"_p.{cell_col}")
+        df.select(
+            F.explode(F.array(*branches)).alias("_p"),
+            *[F.col(w) for w in weight_cols],
+        )
+        .select("_p.level", f"_p.{cell_col}", *weight_cols)
         .groupBy("level", cell_col)
-        .agg(F.count(F.lit(1)).alias(count_col))
+        .agg(
+            F.count(F.lit(1)).alias(count_col),
+            *[F.sum(w).alias(f"sum_{w}") for w in weight_cols],
+        )
     )
 
 

@@ -2628,6 +2628,51 @@ class TestCellPyramid:
             assert node not in plan, node
         assert "HashAggregate" in plan  # partial agg before the exchange
 
+    def test_weighted_sums_match_pandas(self, spark):
+        from ksj2gp_spark.geo import grid as grid_mod
+        from ksj2gp_spark.operators import cells as cells_mod
+
+        pts = cells_mod.with_cell(self._points(spark), "grid", 10)
+        pts = pts.withColumn(
+            "w", (F.col("cell") % F.lit(7) + F.lit(1)).cast("long")
+        )
+        out = cells_mod.cell_pyramid(
+            pts, [10, 8], scheme="grid", base_res=10, weight_cols=["w"]
+        ).toPandas()
+        assert sorted(out.columns) == ["cell", "level", "n_points", "sum_w"]
+        base = pts.select("cell", "w").toPandas()
+        for lv in (10, 8):
+            pc = grid_mod.cell_to_parent(base["cell"].to_numpy("int64"), lv)
+            want = (
+                pd.DataFrame({"cell": pc, "w": base["w"]})
+                .groupby("cell")["w"]
+                .agg(["count", "sum"])
+            )
+            got = out[out.level == lv].set_index("cell")
+            assert got["n_points"].sort_index().tolist() == want[
+                "count"
+            ].sort_index().tolist()
+            assert got["sum_w"].sort_index().tolist() == want[
+                "sum"
+            ].sort_index().tolist()
+        # per-level sums conserve the total weight
+        tot = int(base["w"].sum())
+        assert (out.groupby("level")["sum_w"].sum() == tot).all()
+
+    def test_weighted_plan_unchanged(self, spark):
+        # weights ride the same explode + partial agg: still one
+        # shuffle, still zero Python nodes
+        from ksj2gp_spark.operators import cells as cells_mod
+
+        pts = cells_mod.with_cell(self._points(spark), "grid", 10)
+        pts = pts.withColumn("w", F.col("cell") % F.lit(7))
+        plan = cells_mod.cell_pyramid(
+            pts, [10, 8], scheme="grid", base_res=10, weight_cols=["w"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert node not in plan, node
+
     def test_validation(self, spark):
         from ksj2gp_spark.operators import cells as cells_mod
 
