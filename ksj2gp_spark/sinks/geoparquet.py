@@ -172,6 +172,17 @@ def write_geoparquet(
     n_parts = n_files or max(
         df.sparkSession.sparkContext.defaultParallelism, 1
     )
+    persisted = None
+    if sort_spatially is not False:
+        # repartitionByRange runs a range-boundary sampling job over
+        # the child plan BEFORE the real shuffle, so without a persist
+        # the whole upstream pipeline (ZIP parse, translation, bbox
+        # covering) executes twice per write. Cache the covered rows
+        # across the sample + shuffle jobs; spills to disk when they
+        # don't fit executor memory, released before returning.
+        from pyspark import StorageLevel
+
+        persisted = out = out.persist(StorageLevel.MEMORY_AND_DISK)
     if sort_spatially in (True, "hilbert"):
         hk = hilbert_key_udf()
         out = (
@@ -226,6 +237,8 @@ def write_geoparquet(
             write_part, schema="file string, rows long"
         ).collect()
     ]
+    if persisted is not None:
+        persisted.unpersist()
     # Sidecar kept as a convenience copy (the authoritative metadata is
     # in each file's footer).
     with open(os.path.join(path, "_geo_metadata.json"), "w") as f:
