@@ -627,7 +627,12 @@ def main() -> None:
         out._pack_source.unpersist()
         return res
 
-    timed("seq_pack_5m", seq_pack_lane)
+    # warm=True + 5 repeats: the lane is short (quiet fresh-JVM steady
+    # state 1.7-2.0s) and runs right after the dedup-subprocess drain,
+    # where a single page-cache/GC spike lands ON the median with 3
+    # unwarmed repeats (r5 close raws 4.3/2.6/5.9) — same protocol as
+    # the two spiky tile lanes.
+    timed("seq_pack_5m", seq_pack_lane, warm=True, repeats=5)
 
     # Fused assignment at 20k-polygon cardinality: the ocean lane runs
     # the ring-pruned kNN kernel (no dense points×polygons matrix).
