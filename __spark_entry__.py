@@ -4322,6 +4322,107 @@ GROUP BY iv.interval_id
 """
 
 
+def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching (operators/spatial.py::snap_points): snap customer
+    points to the nearest segment of a deterministic 2-segment-per-
+    nation road network, within 0.35. Candidates come from a pure-
+    Catalyst cell equi-join (segment bboxes expanded by max_dist and
+    exploded to grid cells); the point-to-segment projection + clamp
+    + distance refine is scalar codegen — ZERO Python end to end. The
+    oracle replays the same snap over the naive cross join."""
+    from ksj2gp_spark.operators.spatial import snap_points
+
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    x0 = F.lit(130.0) + (F.col("n_nationkey") % 5).cast("double")
+    y0 = F.lit(33.0) + F.floor(F.col("n_nationkey") / 5).cast("double")
+    segs = nat.select(
+        F.col("n_nationkey").alias("line_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("seg_idx"),
+                    x0.alias("x1"),
+                    y0.alias("y1"),
+                    (x0 + F.lit(0.8)).alias("x2"),
+                    (y0 + F.lit(0.4)).alias("y2"),
+                ),
+                F.struct(
+                    F.lit(1).alias("seg_idx"),
+                    (x0 + F.lit(0.8)).alias("x1"),
+                    (y0 + F.lit(0.4)).alias("y1"),
+                    (x0 + F.lit(1.3)).alias("x2"),
+                    (y0 + F.lit(1.2)).alias("y2"),
+                ),
+            )
+        ).alias("s"),
+    ).select("line_id", "s.*")
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (
+            F.lit(130.0)
+            + ((F.col("c_custkey") * 7919) % 50000).cast("double")
+            / F.lit(10000.0)
+        ).alias("x"),
+        (
+            F.lit(33.0)
+            + ((F.col("c_custkey") * 104729) % 50000).cast("double")
+            / F.lit(10000.0)
+        ).alias("y"),
+    )
+    return snap_points(pts, segs, max_dist=0.35)
+
+
+_SNAP_ROADS_SQL = """
+WITH segs AS (
+  SELECT n_nationkey AS line_id, CAST(0 AS INTEGER) AS seg_idx,
+         130.0 + (n_nationkey % 5) AS x1,
+         33.0 + floor(n_nationkey / 5) AS y1,
+         (130.0 + (n_nationkey % 5)) + 0.8 AS x2,
+         (33.0 + floor(n_nationkey / 5)) + 0.4 AS y2
+  FROM nation
+  UNION ALL
+  SELECT n_nationkey, CAST(1 AS INTEGER),
+         (130.0 + (n_nationkey % 5)) + 0.8,
+         (33.0 + floor(n_nationkey / 5)) + 0.4,
+         (130.0 + (n_nationkey % 5)) + 1.3,
+         (33.0 + floor(n_nationkey / 5)) + 1.2
+  FROM nation
+),
+pts AS (
+  SELECT c_custkey AS point_id,
+         130.0 + ((c_custkey * 7919) % 50000) / 10000.0 AS x,
+         33.0 + ((c_custkey * 104729) % 50000) / 10000.0 AS y
+  FROM customer
+),
+proj AS (
+  SELECT p.point_id, s.line_id, s.seg_idx, p.x, p.y, s.x1, s.y1,
+         s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+         CASE WHEN (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1) = 0
+              THEN 0.0
+              ELSE greatest(0.0, least(1.0,
+                ((p.x - s.x1)*(s.x2-s.x1) + (p.y - s.y1)*(s.y2-s.y1))
+                / ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))))
+         END AS t
+  FROM pts p CROSS JOIN segs s
+),
+dists AS (
+  SELECT point_id, line_id, seg_idx,
+         x1 + t*dx AS sx, y1 + t*dy AS sy,
+         sqrt((x - (x1 + t*dx))*(x - (x1 + t*dx))
+              + (y - (y1 + t*dy))*(y - (y1 + t*dy))) AS dist
+  FROM proj
+)
+SELECT point_id, line_id, seg_idx,
+       round(sx, 6) AS snap_x, round(sy, 6) AS snap_y,
+       round(dist, 6) AS snap_dist
+FROM dists
+WHERE dist <= 0.35
+QUALIFY row_number() OVER (
+  PARTITION BY point_id ORDER BY dist, line_id, seg_idx) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5692,6 +5793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "bm25_rank": q_bm25_rank,
         "events_range_join": q_events_range_join,
+        "snap_roads": q_snap_roads,
         "image_patches": q_image_patches,
         "doc_length_quantiles": q_doc_length_quantiles,
         "zonal_stats_admin": q_zonal_stats,
@@ -5836,6 +5938,7 @@ GROUP BY p.admin_code
         "dedup_keep": _dedup_keep_sql(),
         "bm25_rank": _bm25_sql(),
         "events_range_join": _RANGE_JOIN_SQL,
+        "snap_roads": _SNAP_ROADS_SQL,
         "image_patches": _IMAGE_PATCHES_SQL,
         "doc_length_quantiles": _QUANTILES_SQL,
         "zonal_stats_admin": _zonal_sql(),

@@ -2685,3 +2685,292 @@ class TestCellPyramid:
             cells_mod.cell_pyramid(pts, [11], scheme="grid", base_res=10)
         with pytest.raises(ValueError, match="grid|s2"):
             cells_mod.cell_pyramid(pts, [8], scheme="hex", base_res=10)
+
+
+class TestSnapPoints:
+    """Map matching (operators/spatial.py::snap_points /
+    line_segments): cell-keyed candidate join + pure-Catalyst
+    point-to-segment distance refinement."""
+
+    @staticmethod
+    def _segs(spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=["line_id", "seg_idx", "x1", "y1", "x2", "y2"],
+            )
+        )
+
+    @staticmethod
+    def _pts(spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["point_id", "x", "y"])
+        )
+
+    def test_matches_brute_force(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        rng = np.random.default_rng(7)
+        nseg, npts, maxd = 120, 400, 0.3
+        x1 = rng.uniform(130, 134, nseg)
+        y1 = rng.uniform(33, 36, nseg)
+        x2 = x1 + rng.uniform(-0.5, 0.5, nseg)
+        y2 = y1 + rng.uniform(-0.5, 0.5, nseg)
+        lid = np.arange(nseg) % 30
+        sid = np.arange(nseg) // 30
+        segs = spark.createDataFrame(
+            pd.DataFrame(
+                {"line_id": lid, "seg_idx": sid,
+                 "x1": x1, "y1": y1, "x2": x2, "y2": y2}
+            )
+        )
+        px = rng.uniform(130, 134, npts)
+        py = rng.uniform(33, 36, npts)
+        pts = self._pts(
+            spark, list(zip(range(npts), px, py))
+        )
+        got = (
+            snap_points(pts, segs, maxd)
+            .toPandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        exp = []
+        for i in range(npts):
+            t = np.clip(
+                ((px[i] - x1) * dx + (py[i] - y1) * dy)
+                / np.where(len2 == 0, 1, len2),
+                0,
+                1,
+            )
+            t = np.where(len2 == 0, 0.0, t)
+            sx, sy = x1 + t * dx, y1 + t * dy
+            dist = np.hypot(px[i] - sx, py[i] - sy)
+            j = np.lexsort((sid, lid, dist))[0]
+            if dist[j] <= maxd:
+                exp.append(
+                    (i, int(lid[j]), int(sid[j]), round(sx[j], 6),
+                     round(sy[j], 6), round(dist[j], 6))
+                )
+        exp_df = pd.DataFrame(
+            exp,
+            columns=["point_id", "line_id", "seg_idx",
+                     "snap_x", "snap_y", "snap_dist"],
+        )
+        assert len(got) == len(exp_df)
+        m = got.merge(exp_df, on="point_id", suffixes=("", "_e"))
+        for c in ["line_id", "seg_idx", "snap_x", "snap_y", "snap_dist"]:
+            assert (m[c] == m[f"{c}_e"]).all(), c
+
+    def test_interior_projection_and_endpoint_clamp(self, spark):
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        segs = self._segs(spark, [("r", 0, 0.0, 0.0, 10.0, 0.0)])
+        pts = self._pts(
+            spark,
+            [("mid", 5.0, 1.0), ("before", -2.0, 1.0), ("after", 13.0, 0.5)],
+        )
+        out = {
+            r.point_id: (r.snap_x, r.snap_y, r.snap_dist)
+            for r in snap_points(pts, segs, 5.0, cell_size=2.0).collect()
+        }
+        assert out["mid"] == (5.0, 0.0, 1.0)  # interior projection
+        assert out["before"] == (0.0, 0.0, round(5**0.5, 6))  # clamp t=0
+        assert out["after"] == (10.0, 0.0, round(9.25**0.5, 6))  # clamp t=1
+
+    def test_unmatched_absent_and_tie_break(self, spark):
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        segs = self._segs(
+            spark,
+            [  # two segments symmetric around y=0 -> exact tie at dist 1
+                ("a", 3, 0.0, 1.0, 10.0, 1.0),
+                ("a", 1, 0.0, -1.0, 10.0, -1.0),
+                ("b", 0, 0.0, 1.0, 10.0, 1.0),
+            ],
+        )
+        pts = self._pts(spark, [("p", 5.0, 0.0), ("far", 500.0, 500.0)])
+        rows = snap_points(pts, segs, 2.0).collect()
+        assert len(rows) == 1  # "far" has no segment in range
+        r = rows[0]
+        # tie at dist=1 among (a,3), (a,1), (b,0) -> (a,1) wins
+        assert (r.point_id, r.line_id, r.seg_idx) == ("p", "a", 1)
+
+    def test_zero_length_segment(self, spark):
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        segs = self._segs(spark, [("dot", 0, 2.0, 2.0, 2.0, 2.0)])
+        pts = self._pts(spark, [("p", 2.0, 3.0)])
+        r = snap_points(pts, segs, 1.5).collect()[0]
+        assert (r.snap_x, r.snap_y, r.snap_dist) == (2.0, 2.0, 1.0)
+
+    def test_cell_size_invariance(self, spark):
+        """Candidate coverage must hold for ANY positive cell_size —
+        the segment bbox is expanded by max_dist before cell
+        assignment, so no (point, segment) pair within max_dist can
+        be pruned."""
+        import numpy as np
+
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        rng = np.random.default_rng(3)
+        segs = self._segs(
+            spark,
+            [
+                (int(i), 0, a, b, a + c, b + d)
+                for i, (a, b, c, d) in enumerate(
+                    zip(
+                        rng.uniform(0, 4, 40),
+                        rng.uniform(0, 4, 40),
+                        rng.uniform(-1, 1, 40),
+                        rng.uniform(-1, 1, 40),
+                    )
+                )
+            ],
+        )
+        pts = self._pts(
+            spark,
+            [
+                (int(i), float(x), float(y))
+                for i, (x, y) in enumerate(
+                    zip(rng.uniform(0, 4, 100), rng.uniform(0, 4, 100))
+                )
+            ],
+        )
+        ref = None
+        for cs in (0.1, 0.37, 1.0, 5.0):
+            got = sorted(
+                (r.point_id, r.line_id, r.seg_idx, r.snap_dist)
+                for r in snap_points(
+                    pts, segs, 0.4, cell_size=cs
+                ).collect()
+            )
+            if ref is None:
+                ref = got
+            assert got == ref, f"cell_size={cs} changed the result"
+
+    def test_validates_inputs(self, spark):
+        import pytest
+
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        segs = self._segs(spark, [("a", 0, 0.0, 0.0, 1.0, 1.0)])
+        pts = self._pts(spark, [("p", 0.0, 0.0)])
+        with pytest.raises(ValueError, match="max_dist"):
+            snap_points(pts, segs, 0.0)
+        with pytest.raises(ValueError, match="cell_size"):
+            snap_points(pts, segs, 1.0, cell_size=-1.0)
+
+    def test_line_segments_explode(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from ksj2gp_spark.geo import wkb
+        from ksj2gp_spark.operators.spatial import line_segments
+
+        mls = wkb.dumps(
+            wkb.Geometry(
+                wkb.MULTILINESTRING,
+                [
+                    np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]),
+                    np.array([[5.0, 5.0], [6.0, 5.0]]),
+                ],
+            )
+        )
+        ls = wkb.dumps(
+            wkb.Geometry(
+                wkb.LINESTRING, np.array([[2.0, 2.0], [3.0, 3.0]])
+            )
+        )
+        ldf = spark.createDataFrame(
+            pd.DataFrame({"line_id": ["a", "b"], "geometry": [mls, ls]})
+        )
+        got = [
+            (r.line_id, r.seg_idx, r.x1, r.y1, r.x2, r.y2)
+            for r in line_segments(ldf)
+            .orderBy("line_id", "seg_idx")
+            .collect()
+        ]
+        assert got == [
+            ("a", 0, 0.0, 0.0, 1.0, 0.0),
+            ("a", 1, 1.0, 0.0, 1.0, 1.0),
+            ("a", 2, 5.0, 5.0, 6.0, 5.0),  # parts number consecutively
+            ("b", 0, 2.0, 2.0, 3.0, 3.0),
+        ]
+
+    def test_line_segments_rejects_non_lines(self, spark):
+        import pandas as pd
+        import pytest
+
+        from ksj2gp_spark.geo import wkb
+        from ksj2gp_spark.operators.spatial import line_segments
+
+        ldf = spark.createDataFrame(
+            pd.DataFrame(
+                {"line_id": ["a"], "geometry": [wkb.point(1.0, 2.0)]}
+            )
+        )
+        with pytest.raises(Exception, match="LineString"):
+            line_segments(ldf).collect()
+
+    def test_snap_via_wkb_layer(self, spark):
+        """line_segments -> snap_points composition over a WKB road
+        layer equals snapping the hand-built segment relation."""
+        import numpy as np
+        import pandas as pd
+
+        from ksj2gp_spark.geo import wkb
+        from ksj2gp_spark.operators.spatial import (
+            line_segments,
+            snap_points,
+        )
+
+        road = wkb.dumps(
+            wkb.Geometry(
+                wkb.LINESTRING,
+                np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0]]),
+            )
+        )
+        ldf = spark.createDataFrame(
+            pd.DataFrame({"line_id": ["r1"], "geometry": [road]})
+        )
+        pts = self._pts(
+            spark, [("p1", 2.0, 0.5), ("p2", 4.5, 1.0), ("p3", 3.9, 2.9)]
+        )
+        got = {
+            r.point_id: (r.line_id, r.seg_idx, r.snap_x, r.snap_y)
+            for r in snap_points(
+                pts, line_segments(ldf), 1.0
+            ).collect()
+        }
+        assert got == {
+            "p1": ("r1", 0, 2.0, 0.0),
+            "p2": ("r1", 1, 4.0, 1.0),
+            "p3": ("r1", 1, 4.0, 2.9),
+        }
+
+    def test_snap_plan_zero_python(self, spark):
+        """The whole snap — candidate cells, equi-join, projection
+        clamp, distance, top-1 window — must stay JVM-side: no
+        Python eval node anywhere in the executed plan."""
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        segs = self._segs(spark, [("a", 0, 0.0, 0.0, 1.0, 1.0)])
+        pts = self._pts(spark, [("p", 0.5, 0.5)])
+        plan = (
+            snap_points(pts, segs, 0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert node not in plan, node
