@@ -670,6 +670,44 @@ def main() -> None:
 
     timed("fused_20k_polygons_300k_pts", fused_large_layer)
 
+    # Map matching at road-network cardinality: 300k image points
+    # snapped to 50k deterministic road segments over the same bbox.
+    # Entirely JVM-side (cell cover + equi-join + codegen refine +
+    # top-1 window — plan-asserted zero Python), so the lane measures
+    # the operator, not Arrow transfer.
+    def map_match_lane():
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        r = spark.range(0, 50_000, 1, cpus * 2)
+        u1 = ((F.col("id") * 2246822519) % 1048576) / 1048576.0
+        u2 = ((F.col("id") * 2654435761 + 104729) % 1048576) / 1048576.0
+        ang = ((F.col("id") * 1103515245 + 12345) % 1048576) / 1048576.0
+        x1 = fixtures.LON0 + u1 * (fixtures.LON1 - fixtures.LON0)
+        y1 = fixtures.LAT0 + u2 * (fixtures.LAT1 - fixtures.LAT0)
+        segs = r.select(
+            (F.col("id") % 5000).alias("line_id"),
+            (F.col("id") / 5000).cast("int").alias("seg_idx"),
+            x1.alias("x1"),
+            y1.alias("y1"),
+            (x1 + 0.005 * F.cos(ang * 6.283185)).alias("x2"),
+            (y1 + 0.005 * F.sin(ang * 6.283185)).alias("y2"),
+        )
+        probe = fixtures.images_df(
+            spark, 300_000, with_bytes=False, partitions=cpus * 2
+        ).select(
+            F.col("image_id").alias("point_id"), "lon", "lat"
+        )
+        return snap_points(
+            probe,
+            segs,
+            max_dist=0.004,
+            cell_size=0.008,
+            x_col="lon",
+            y_col="lat",
+        ).count()
+
+    timed("map_match_300k_pts_50k_segs", map_match_lane, warm=True)
+
     # Cache hygiene between lane groups: the image fixture is done —
     # drop it before the relational lanes so no lane competes with
     # stale cached blocks for executor memory (the doc corpus lives in
