@@ -434,3 +434,75 @@ def test_pipeline_runner_refuses_oversized_layer(spark, images_table):
             spark, images_table, polys_df, "/tmp/unused_out",
             scheme="grid", res=10, max_broadcast_polygons=5,
         )
+
+
+def test_spark_submit_py_files_runs_pipeline(tmp_path):
+    """The north-star ship mechanism, executed for real: spark-submit
+    --py-files dist/ksj2gp_spark.zip runs a driver script that has NO
+    repo checkout on its path, ingests a polygon layer, assigns tiles
+    to a generated image batch, and writes GeoParquet — the executor
+    Python workers must resolve every ksj2gp_spark import from the
+    shipped zip."""
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "bench/package.py"], check=True, cwd=repo,
+        capture_output=True,
+    )
+    zip_path = os.path.join(repo, "dist", "ksj2gp_spark.zip")
+    job = tmp_path / "job.py"
+    out_dir = tmp_path / "tiles_out"
+    job.write_text(
+        """
+import sys
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.appName("pyfiles-smoke")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from ksj2gp_spark import fixtures
+from ksj2gp_spark.operators import spatial
+from ksj2gp_spark.sinks import geoparquet
+
+imgs = fixtures.images_df(spark, 2000, with_bytes=False, partitions=4)
+polys = fixtures.polygon_layer()
+tiles = spatial.spatial_join_tiles(imgs, polys, scheme="grid", res=10)
+n = tiles.count()
+assert n > 0, n
+manifest = geoparquet.write_geoparquet(
+    polys_df := spark.createDataFrame(polys), sys.argv[1] + "_layer"
+)
+assert sum(m["rows"] for m in manifest) == len(polys)
+tiles.write.mode("overwrite").parquet(sys.argv[1])
+back = spark.read.parquet(sys.argv[1])
+assert back.count() == n
+print("PYFILES_OK", n)
+spark.stop()
+"""
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            str(job), str(out_dir),
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PYFILES_OK" in out.stdout, out.stdout[-2000:]
