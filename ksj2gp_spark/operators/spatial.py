@@ -3363,6 +3363,89 @@ def line_segments(
     )
 
 
+def _segment_cell_cover(
+    segments: DataFrame,
+    seg_cols: list,
+    max_dist: float,
+    cs: float,
+) -> DataFrame:
+    """Grid cells within ``max_dist`` of each segment, pure Catalyst,
+    LINEAR in segment length: the segment is sub-split along its
+    dominant axis into runs of at most one ``cell_size`` (lerp on
+    k/n), and each run contributes the cells of its bbox expanded by
+    ``max_dist``. A whole-bbox cover is quadratic on long diagonals —
+    a 100-cell ferry segment would explode into 10,000 cells where
+    the split emits ~100 × O(1). Coverage is exact for every
+    cell_size: a point within max_dist of the segment is within
+    max_dist of some sub-run, so it shares a cell with that run's
+    padded bbox. The pad carries a +1e-9 guard absorbing the 1-ULP
+    lerp rounding at sub-run ends (x1 + 1.0*(x2-x1) is not always
+    exactly x2); over-covered candidates refine away on the exact
+    distance filter. Emits one row per (segment row, covered cell)
+    with the packed ``_cell`` key — duplicates across adjacent runs
+    sharing a cell ARE emitted (the consumer's top-1 window makes
+    them value-identical no-ops; deduping here would cost a shuffle).
+    """
+    pad = F.lit(float(max_dist) + 1e-9)
+    dxs = F.col("x2") - F.col("x1")
+    dys = F.col("y2") - F.col("y1")
+    nsub = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.greatest(F.abs(dxs), F.abs(dys)) / cs),
+    )
+    sub = segments.select(
+        *seg_cols,
+        dxs.alias("_dx"),
+        dys.alias("_dy"),
+        nsub.alias("_n"),
+    ).select(
+        *seg_cols,
+        "_dx",
+        "_dy",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)
+        ).alias("_k"),
+    )
+    t0 = F.col("_k") / F.col("_n")
+    t1 = (F.col("_k") + 1) / F.col("_n")
+    ax = F.col("x1") + t0 * F.col("_dx")
+    bx = F.col("x1") + t1 * F.col("_dx")
+    ay = F.col("y1") + t0 * F.col("_dy")
+    by = F.col("y1") + t1 * F.col("_dy")
+    return (
+        sub.select(
+            *seg_cols,
+            F.least(ax, bx).alias("_ax"),
+            F.greatest(ax, bx).alias("_bx"),
+            F.least(ay, by).alias("_ay"),
+            F.greatest(ay, by).alias("_by"),
+        )
+        .select(
+            *seg_cols,
+            "_ay",
+            "_by",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("_ax") - pad) / cs).cast("long"),
+                    F.floor((F.col("_bx") + pad) / cs).cast("long"),
+                )
+            ).alias("_ci"),
+        )
+        .select(
+            *seg_cols,
+            "_ci",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("_ay") - pad) / cs).cast("long"),
+                    F.floor((F.col("_by") + pad) / cs).cast("long"),
+                )
+            ).alias("_cj"),
+        )
+        .withColumn("_cell", F.col("_ci") * F.lit(1 << 26) + F.col("_cj"))
+    )
+
+
 def snap_points(
     points: DataFrame,
     segments: DataFrame,
@@ -3383,13 +3466,15 @@ def snap_points(
 
     Scale shape — ZERO Python in the hot path:
 
-    * candidates: each segment maps to every ``cell_size`` grid cell
-      its bbox EXPANDED BY ``max_dist`` overlaps (``sequence`` +
-      ``explode``, pure Catalyst — any segment within max_dist of a
-      point therefore shares the point's cell, for every cell_size);
-      points map to their own cell; candidate pairs are one shuffle
-      hash equi-join on the packed cell key. Both sides are
-      arithmetic projections — whole-stage codegen end to end.
+    * candidates: segment cell covers come from
+      :func:`_segment_cell_cover` — LINEAR in segment length (a
+      dominant-axis sub-split, not a whole-bbox cross product that
+      goes quadratic on long diagonals); points map to their own
+      cell; candidate pairs are one shuffle hash equi-join on the
+      packed cell key. A duplicate (point, segment) candidate via two
+      shared cells refines to value-identical rows, so the top-1
+      window needs no pre-dedup. Both sides are arithmetic
+      projections — whole-stage codegen end to end.
     * refine: point-to-segment distance is scalar math
       (t = clamp(dot/len², 0, 1) then the hypotenuse), again codegen —
       no UDF, no geometry bytes through the join.
@@ -3424,35 +3509,11 @@ def snap_points(
     )
 
     d = F.lit(float(max_dist))
-    segs = segments.select(
-        line_id_col,
-        "seg_idx",
-        "x1",
-        "y1",
-        "x2",
-        "y2",
-        F.explode(
-            F.sequence(
-                F.floor((F.least("x1", "x2") - d) / cs).cast("long"),
-                F.floor((F.greatest("x1", "x2") + d) / cs).cast("long"),
-            )
-        ).alias("_ci"),
-    ).select(
-        line_id_col,
-        "seg_idx",
-        "x1",
-        "y1",
-        "x2",
-        "y2",
-        "_ci",
-        F.explode(
-            F.sequence(
-                F.floor((F.least("y1", "y2") - d) / cs).cast("long"),
-                F.floor((F.greatest("y1", "y2") + d) / cs).cast("long"),
-            )
-        ).alias("_cj"),
-    ).withColumn(
-        "_cell", F.col("_ci") * F.lit(1 << 26) + F.col("_cj")
+    segs = _segment_cell_cover(
+        segments,
+        [line_id_col, "seg_idx", "x1", "y1", "x2", "y2"],
+        max_dist,
+        cs,
     )
 
     cand = pts.join(segs.drop("_ci", "_cj"), "_cell")

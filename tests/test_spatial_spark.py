@@ -2974,3 +2974,49 @@ class TestSnapPoints:
         )
         for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert node not in plan, node
+
+    def test_long_segment_cover_is_linear_not_quadratic(self, spark):
+        """A segment spanning ~100 cells diagonally must cover O(100)
+        cells (dominant-axis sub-split), not the ~100×100 whole-bbox
+        cross product — the difference between a ferry route costing
+        300 candidate cells and 10,000."""
+        from ksj2gp_spark.operators.spatial import (
+            _segment_cell_cover,
+            snap_points,
+        )
+
+        cs, d = 0.01, 0.004
+        segs = self._segs(
+            spark, [("ferry", 0, 0.0, 0.0, 1.0, 1.0)]  # 100 cells/axis
+        )
+        n_cover = _segment_cell_cover(
+            segs, ["line_id", "seg_idx", "x1", "y1", "x2", "y2"], d, cs
+        ).count()
+        assert n_cover < 100 * 12, n_cover  # linear with O(1) factor
+        assert n_cover > 100  # still covers the full diagonal
+        # and the snap stays exact along the whole length
+        pts = self._pts(
+            spark,
+            [("on", 0.5, 0.5), ("near", 0.25, 0.252), ("end", 1.003, 1.0)],
+        )
+        got = {
+            r.point_id: r.snap_dist
+            for r in snap_points(
+                pts, segs, d, cell_size=cs
+            ).collect()
+        }
+        assert got["on"] == 0.0
+        assert got["end"] == 0.003
+        assert abs(got["near"] - 0.002 / 2**0.5) < 1e-6
+
+    def test_cover_pad_catches_lerp_ulp_at_far_end(self, spark):
+        """A point exactly max_dist past the far endpoint of a long
+        sub-split segment must still be a candidate — the +1e-9 cover
+        pad absorbs the k/n lerp's 1-ULP shortfall at t=1."""
+        from ksj2gp_spark.operators.spatial import snap_points
+
+        x2 = 139.123456789  # non-representable → lerp rounds at t=1
+        segs = self._segs(spark, [("r", 0, 130.0, 35.0, x2, 35.9)])
+        pts = self._pts(spark, [("p", x2 + 0.0499999, 35.9)])
+        rows = snap_points(pts, segs, 0.05, cell_size=0.01).collect()
+        assert len(rows) == 1 and rows[0].line_id == "r"
