@@ -101,9 +101,11 @@ def main() -> None:
     for cpus in (8, 32):
         for size in (n, 4 * n):
             recs[(cpus, size)] = run(cpus, size, nseg)
-    assert (
-        len({r["out_rows"] / r["n_points"] for r in recs.values()}) >= 1
-    )
+    # matched-pair counts must be bit-identical across core counts for
+    # the same input size — parallelism can never change the result
+    for size in (n, 4 * n):
+        rows = {recs[(c, size)]["out_rows"] for c in (8, 32)}
+        assert len(rows) == 1, (size, rows)
     # marginal rate from the two-size fit: (wall_4n - wall_n) covers
     # exactly 3n extra points with the fixed per-job cost cancelled
     marg = {

@@ -291,8 +291,20 @@ def _open_zip_uri(uri: str):
         return open(uri, "rb")
     from pyarrow import fs as pafs
 
-    fsys, p = pafs.FileSystem.from_uri(uri)
+    fsys, p = pafs.FileSystem.from_uri(_pyarrow_uri(uri))
     return fsys.open_input_file(p)
+
+
+def _pyarrow_uri(uri: str) -> str:
+    """Translate Hadoop scheme aliases to the names pyarrow.fs
+    recognizes (s3a/s3n → s3): Spark's binaryFile paths carry the
+    Hadoop spelling, and without the translation the member-parallel
+    route would quarantine every archive with ArrowInvalid while the
+    per-archive route reads the same URIs fine."""
+    for alias, canon in (("s3a://", "s3://"), ("s3n://", "s3://")):
+        if uri.startswith(alias):
+            return canon + uri[len(alias):]
+    return uri
 
 
 def list_zip_members(
@@ -321,7 +333,13 @@ def list_zip_members(
                 try:
                     with _open_zip_uri(p) as fh, _zipfile.ZipFile(fh) as zf:
                         lane = source
-                        shp_names = zipsrc.list_shp_files(zf)
+                        # the shp listing decodes every member name —
+                        # skip it when the caller pinned the gml lane
+                        shp_names = (
+                            zipsrc.list_shp_files(zf)
+                            if lane != "gml"
+                            else []
+                        )
                         if lane == "auto":
                             lane = "shp" if shp_names else "gml"
                         if lane == "shp":
@@ -475,22 +493,21 @@ def _auto_ingest_strategy(
     )
     if n_arch > par:
         return "zip", None  # archives already fill the cluster
-    from pyspark.sql import functions as F
-
-    # persist BEFORE the probe aggregate so the scan's rows are cached
-    # and the member route never re-opens a central directory; the
-    # cached frame is (path, member) strings for <= par archives —
-    # bytes, not data
+    # materialize the listing to the driver: it is bounded by
+    # construction (this branch only runs for <= par archives, and a
+    # central directory is (path, member) strings — bytes, not data),
+    # and a local relation both reuses the scan on the member route
+    # (LocalTableScan, no archive re-opened) and leaves nothing
+    # persisted behind (a .persist() here had no owner to unpersist it
+    # once the member route's lazy frame escaped to the caller)
     listing = list_zip_members(
         spark, path, source=source, target_shp=target_shp
-    ).persist()
-    stats = listing.agg(
-        F.countDistinct("path").alias("n_arch"),
-        F.count("member").alias("n_members"),  # err rows: member NULL
-    ).first()
-    if stats.n_members > stats.n_arch:
-        return "member", listing  # at least one multi-member bundle
-    listing.unpersist()
+    )
+    rows = listing.collect()
+    n_arch = len({r["path"] for r in rows})
+    n_members = sum(r["member"] is not None for r in rows)
+    if n_members > n_arch:  # at least one multi-member bundle
+        return "member", spark.createDataFrame(rows, listing.schema)
     return "zip", None
 
 

@@ -111,17 +111,34 @@ def hot_polygon_ids(
     pts_with_cell: DataFrame,
     cover: DataFrame,
     max_group_rows: int,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """Predict which polygons would exceed ``max_group_rows`` candidate
     rows in a cell-keyed candidate join — WITHOUT materializing the
     pair join: one map-side-combinable point-per-cell count, joined to
-    the (polygon_id, cell) cover and summed per polygon. The count is
-    exact (every cover cell contributes its full point count, which is
-    precisely the candidate rows the equi-join would emit). Returns a
-    LAZY (polygon_id) frame of the hot polygons only — broadcast-sized
-    by construction and never collected to the driver."""
+    the (polygon_id, cell) cover and summed per polygon. At
+    ``sample_fraction=1`` the count is exact (every cover cell
+    contributes its full point count, which is precisely the candidate
+    rows the equi-join would emit) but costs a full probe-table scan;
+    at a fraction < 1 the probe is sampled and counts scaled by 1/f —
+    a hot polygon is ≥``max_group_rows`` rows by definition, so even a
+    1% sample sees ~20k of them (Poisson noise <1%), and
+    mis-classification is correctness-neutral either way (splitting a
+    cold polygon just unions more sub-groups; the output row set is
+    split-invariant). Returns a LAZY (polygon_id) frame of the hot
+    polygons only — broadcast-sized by construction and never
+    collected to the driver."""
+    if not (0.0 < sample_fraction <= 1.0):
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
+    if sample_fraction < 1.0:
+        pts_with_cell = pts_with_cell.sample(
+            fraction=sample_fraction, seed=42
+        )
+    scale = 1.0 / sample_fraction
     cell_counts = pts_with_cell.groupBy("cell").agg(
-        F.count("*").alias("_n")
+        (F.count("*") * F.lit(scale)).alias("_n")
     )
     return (
         cover.join(cell_counts, "cell")
@@ -334,6 +351,7 @@ def spatial_join_tiles_dist(
     admin_col: str = "行政区域コード",
     max_group_rows: int | None = 2_000_000,
     n_sub: int = 16,
+    detect_fraction: float = 1.0,
 ) -> DataFrame:
     """Tile assignment for polygon layers too large to hold on the
     driver: the layer stays a DataFrame end-to-end — NOTHING is
@@ -359,8 +377,14 @@ def spatial_join_tiles_dist(
     rows in one cogroup task. Per-polygon candidate counts are
     predicted WITHOUT materializing the pair join
     (:func:`hot_polygon_ids` — one map-side-combinable point-per-cell
-    count joined to the cover and summed; cover-sized work, kept LAZY
-    and broadcast JVM-side, no driver action). Polygons whose
+    count joined to the cover and summed, kept LAZY and broadcast
+    JVM-side, no driver action). The count pass scans the probe table
+    once more and re-runs the cover's Arrow pass; at 10^12-point scale
+    set ``detect_fraction`` (e.g. 0.01) to sample the probe for the
+    detection — hot polygons are ≥``max_group_rows`` rows by
+    definition so a 1% sample still sees ~20k of each, and
+    mis-detection is correctness-neutral (the output row set is
+    split-invariant, pinned in TestDistJoinHotSplit). Polygons whose
     predicted count exceeds ``max_group_rows`` have their candidate
     rows salted by ``xxhash64(image_id)`` into ``n_sub`` sub-groups,
     the geometry row replicated to each sub-key (``n_sub × n_hot``
@@ -398,9 +422,9 @@ def spatial_join_tiles_dist(
     if max_group_rows is not None:
         group_keys = ["polygon_id", "_sub"]
         hot_df = F.broadcast(
-            hot_polygon_ids(pts, cover, max_group_rows).withColumn(
-                "_hot", F.lit(True)
-            )
+            hot_polygon_ids(
+                pts, cover, max_group_rows, sample_fraction=detect_fraction
+            ).withColumn("_hot", F.lit(True))
         )
         cand = (
             cand.join(hot_df, "polygon_id", "left")
@@ -3329,7 +3353,7 @@ def line_segments(
                 else:
                     raise ValueError(
                         f"line_segments expects LineString/"
-                        f"MultiLineString, got {g.type_name}"
+                        f"MultiLineString, got {g.name}"
                     )
                 seg = 0
                 for arr in parts:

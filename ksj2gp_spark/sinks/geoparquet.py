@@ -231,14 +231,19 @@ def write_geoparquet(
             os.replace(tmp, fname)
             yield pd.DataFrame({"file": [fname], "rows": [tbl.num_rows]})
 
-    manifest = [
-        r.asDict()
-        for r in out.mapInPandas(
-            write_part, schema="file string, rows long"
-        ).collect()
-    ]
-    if persisted is not None:
-        persisted.unpersist()
+    try:
+        manifest = [
+            r.asDict()
+            for r in out.mapInPandas(
+                write_part, schema="file string, rows long"
+            ).collect()
+        ]
+    finally:
+        # release the sampling/shuffle cache even when the write job
+        # fails — repeated failed writes must not accumulate pinned
+        # memory+spill blocks
+        if persisted is not None:
+            persisted.unpersist()
     # Sidecar kept as a convenience copy (the authoritative metadata is
     # in each file's footer).
     with open(os.path.join(path, "_geo_metadata.json"), "w") as f:

@@ -360,3 +360,26 @@ class TestAutoStrategy:
             assert got == base, strat
         with pytest.raises(ValueError, match="auto|zip|member"):
             pipeline.ingest_polygons(spark, glob, strategy="rdd")
+
+
+class TestPyarrowUriTranslation:
+    """Hadoop scheme aliases must map to pyarrow.fs names — Spark's
+    binaryFile hands the member route s3a:// URIs that pyarrow
+    rejects verbatim (ArrowInvalid), which would silently quarantine
+    every archive on object storage."""
+
+    def test_hadoop_aliases_translate(self):
+        from ksj2gp_spark.operators.ingest import _pyarrow_uri
+
+        assert (
+            _pyarrow_uri("s3a://bucket/dir/a.zip") == "s3://bucket/dir/a.zip"
+        )
+        assert _pyarrow_uri("s3n://b/k.zip") == "s3://b/k.zip"
+        # already-canonical and local schemes pass through untouched
+        for u in (
+            "s3://bucket/a.zip",
+            "hdfs://nn:8020/a.zip",
+            "gs://bucket/a.zip",
+            "/local/a.zip",
+        ):
+            assert _pyarrow_uri(u) == u

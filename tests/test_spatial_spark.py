@@ -2919,7 +2919,7 @@ class TestSnapPoints:
                 {"line_id": ["a"], "geometry": [wkb.point(1.0, 2.0)]}
             )
         )
-        with pytest.raises(Exception, match="LineString"):
+        with pytest.raises(Exception, match="got Point"):
             line_segments(ldf).collect()
 
     def test_snap_via_wkb_layer(self, spark):
@@ -3020,3 +3020,73 @@ class TestSnapPoints:
         pts = self._pts(spark, [("p", x2 + 0.0499999, 35.9)])
         rows = snap_points(pts, segs, 0.05, cell_size=0.01).collect()
         assert len(rows) == 1 and rows[0].line_id == "r"
+
+
+class TestHotDetectionSampled:
+    """Sampled hot-polygon detection (operators/spatial.py::
+    hot_polygon_ids sample_fraction): scaled counts find the planted
+    metro polygon from a probe sample, and the split path's output row
+    set is invariant to the detection mode."""
+
+    def test_sampled_detection_finds_planted_hot(self, spark):
+        from ksj2gp_spark.operators.cells import (
+            polygon_cover_df,
+            with_cell,
+        )
+        from ksj2gp_spark.operators.spatial import hot_polygon_ids
+
+        imgs, polys = TestDistJoinHotSplit._fixture(spark)
+        pts = with_cell(imgs.select("image_id", "lon", "lat"), "grid", 10)
+        cover = polygon_cover_df(
+            polys.select("polygon_id", "geometry"), "grid", 10
+        )
+        hot = {
+            r["polygon_id"]
+            for r in hot_polygon_ids(
+                pts, cover, 800, sample_fraction=0.5
+            ).collect()
+        }
+        # 2000 planted metro candidates, ~1000 sampled, scaled ×2 —
+        # comfortably past the 800 bar; b/c (~500 each) stay cold
+        assert "metro" in hot
+        assert len(hot) <= 2  # sampling noise may not flag b or c
+
+    def test_row_set_invariant_under_sampled_detection(self, spark):
+        from ksj2gp_spark.operators.spatial import spatial_join_tiles_dist
+
+        imgs, polys = TestDistJoinHotSplit._fixture(spark)
+        key = lambda df: sorted(
+            (r.image_id, r.cell, r.polygon_id, r.admin_code)
+            for r in df.collect()
+        )
+        exact = key(
+            spatial_join_tiles_dist(
+                imgs, polys, scheme="grid", res=10,
+                max_group_rows=800, n_sub=4,
+            )
+        )
+        sampled = key(
+            spatial_join_tiles_dist(
+                imgs, polys, scheme="grid", res=10,
+                max_group_rows=800, n_sub=4, detect_fraction=0.3,
+            )
+        )
+        assert sampled == exact
+
+    def test_invalid_fraction_raises(self, spark):
+        import pytest
+
+        from ksj2gp_spark.operators.cells import (
+            polygon_cover_df,
+            with_cell,
+        )
+        from ksj2gp_spark.operators.spatial import hot_polygon_ids
+
+        imgs, polys = TestDistJoinHotSplit._fixture(spark)
+        pts = with_cell(imgs.select("image_id", "lon", "lat"), "grid", 10)
+        cover = polygon_cover_df(
+            polys.select("polygon_id", "geometry"), "grid", 10
+        )
+        for bad in (0.0, -0.5, 1.5):
+            with pytest.raises(ValueError, match="sample_fraction"):
+                hot_polygon_ids(pts, cover, 800, sample_fraction=bad)
