@@ -5711,6 +5711,211 @@ LIMIT {top_n}"""
     )
 
 
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic per-user trajectory metrics (operators/spatial.py::
+    trajectory_stats): the stay_points synthetic trajectories summed
+    into total great-circle km, longest step, duration and average
+    speed per user. ONE user-key shuffle (window + agg share the
+    partitioning); distances are codegen haversine — the oracle
+    replays the identical lag window and spherical formula in
+    DuckDB."""
+    from ksj2gp_spark.operators.spatial import trajectory_stats
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    seq = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts")
+    )
+    blk = F.floor((seq - F.lit(1)) / F.lit(15.0))
+    jx = (
+        ((F.col("event_id") * F.lit(97) + F.lit(13)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.02)
+    jy = (
+        ((F.col("event_id") * F.lit(31) + F.lit(7)) * F.lit(_MIX))
+        % F.lit(_MOD)
+    ) / F.lit(float(_MOD)) * F.lit(0.02)
+    pings = ev.select(
+        "user_id",
+        "ts",
+        (
+            F.lit(135.0)
+            + (F.col("user_id") % F.lit(10)).cast("double")
+            + blk * F.lit(0.5)
+            + jx
+        ).alias("lon"),
+        (
+            F.lit(34.0)
+            + (F.col("user_id") % F.lit(7)).cast("double") * F.lit(0.5)
+            + blk * F.lit(0.25)
+            + jy
+        ).alias("lat"),
+    )
+    out = trajectory_stats(pings, min_pings=5)
+    return out.select(
+        "user_id",
+        "n_pings",
+        F.round("total_km", 6).alias("total_km"),
+        F.round("max_step_km", 6).alias("max_step_km"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("avg_kmh", 6).alias("avg_kmh"),
+    )
+
+
+_TRAJ_SQL = f"""
+WITH seqd AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS seq
+  FROM events
+),
+pings AS (
+  SELECT user_id, ts,
+         135.0 + CAST(user_id % 10 AS DOUBLE)
+           + floor((seq - 1) / 15.0) * 0.5
+           + ((event_id * 97 + 13) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.02
+           AS lon,
+         34.0 + CAST(user_id % 7 AS DOUBLE) * 0.5
+           + floor((seq - 1) / 15.0) * 0.25
+           + ((event_id * 31 + 7) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.02
+           AS lat
+  FROM seqd
+),
+lagged AS (
+  SELECT user_id, ts, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, lon, lat) AS px,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, lon, lat) AS py
+  FROM pings
+),
+stepped AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN px IS NULL THEN NULL ELSE
+           2 * 6371.0088 * asin(least(sqrt(
+             sin((radians(lat) - radians(py)) / 2)
+               * sin((radians(lat) - radians(py)) / 2)
+             + cos(radians(py)) * cos(radians(lat))
+               * sin((radians(lon) - radians(px)) / 2)
+               * sin((radians(lon) - radians(px)) / 2)
+           ), 1.0)) END AS step
+  FROM lagged
+),
+agg AS (
+  SELECT user_id, count(*) AS n_pings,
+         coalesce(sum(step), 0.0) AS total_km,
+         max(step) AS max_step_km,
+         (max(us) - min(us)) / 1e6 AS duration_s
+  FROM stepped
+  GROUP BY user_id
+)
+SELECT user_id, n_pings,
+       round(total_km, 6) AS total_km,
+       round(max_step_km, 6) AS max_step_km,
+       round(duration_s, 6) AS duration_s,
+       round(CASE WHEN duration_s > 0
+                  THEN total_km / (duration_s / 3600.0) END, 6) AS avg_kmh
+FROM agg
+WHERE n_pings >= 5
+"""
+
+
+def q_dwithin_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-radius big x big point join (operators/spatial.py::
+    dwithin_join_geo): image points derived from events vs POI
+    points derived from supplier, all pairs within 8 great-circle
+    km. Latitude-aware cell prefilter + ONE shuffle equi-join +
+    codegen haversine refine, zero Python; the oracle brute-forces
+    the cross join with the same spherical formula."""
+    from ksj2gp_spark.operators.spatial import dwithin_join_geo
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def jit(a: int, b: int, scale: float):
+        return (
+            ((F.col("event_id") * F.lit(a) + F.lit(b)) * F.lit(_MIX))
+            % F.lit(_MOD)
+        ) / F.lit(float(_MOD)) * F.lit(scale)
+
+    left = ev.filter((F.col("event_id") % F.lit(4)) == F.lit(0)).select(
+        F.col("event_id").alias("image_id"),
+        (
+            F.lit(139.0)
+            + (F.col("user_id") % F.lit(13)).cast("double") * F.lit(0.15)
+            + jit(97, 13, 0.1)
+        ).alias("lon"),
+        (
+            F.lit(34.5)
+            + (F.col("user_id") % F.lit(11)).cast("double") * F.lit(0.12)
+            + jit(31, 7, 0.1)
+        ).alias("lat"),
+    )
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+
+    def sjit(a: int, b: int, scale: float):
+        return (
+            ((F.col("s_suppkey") * F.lit(a) + F.lit(b)) * F.lit(_MIX))
+            % F.lit(_MOD)
+        ) / F.lit(float(_MOD)) * F.lit(scale)
+
+    pois = sup.select(
+        F.col("s_suppkey").alias("poi_id"),
+        (
+            F.lit(139.0)
+            + (F.col("s_suppkey") % F.lit(17)).cast("double") * F.lit(0.11)
+            + sjit(57, 5, 0.05)
+        ).alias("lon"),
+        (
+            F.lit(34.5)
+            + (F.col("s_suppkey") % F.lit(19)).cast("double") * F.lit(0.07)
+            + sjit(41, 3, 0.05)
+        ).alias("lat"),
+    )
+    out = dwithin_join_geo(
+        left, pois, radius_km=8.0,
+        left_id_col="image_id", right_id_col="poi_id",
+    )
+    return out.select(
+        "image_id", "poi_id", F.round("dist_km", 6).alias("dist_km")
+    )
+
+
+_DWITHIN_GEO_SQL = f"""
+WITH left_pts AS (
+  SELECT event_id AS image_id,
+         139.0 + CAST(user_id % 13 AS DOUBLE) * 0.15
+           + ((event_id * 97 + 13) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.1
+           AS lon,
+         34.5 + CAST(user_id % 11 AS DOUBLE) * 0.12
+           + ((event_id * 31 + 7) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.1
+           AS lat
+  FROM events
+  WHERE event_id % 4 = 0
+),
+pois AS (
+  SELECT s_suppkey AS poi_id,
+         139.0 + CAST(s_suppkey % 17 AS DOUBLE) * 0.11
+           + ((s_suppkey * 57 + 5) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.05
+           AS lon,
+         34.5 + CAST(s_suppkey % 19 AS DOUBLE) * 0.07
+           + ((s_suppkey * 41 + 3) * {_MIX} % {_MOD}) / {float(_MOD)} * 0.05
+           AS lat
+  FROM supplier
+),
+pairs AS (
+  SELECT l.image_id, p.poi_id,
+         2 * 6371.0088 * asin(least(sqrt(
+           sin((radians(p.lat) - radians(l.lat)) / 2)
+             * sin((radians(p.lat) - radians(l.lat)) / 2)
+           + cos(radians(l.lat)) * cos(radians(p.lat))
+             * sin((radians(p.lon) - radians(l.lon)) / 2)
+             * sin((radians(p.lon) - radians(l.lon)) / 2)
+         ), 1.0)) AS dist_km
+  FROM left_pts l, pois p
+)
+SELECT image_id, poi_id, round(dist_km, 6) AS dist_km
+FROM pairs
+WHERE dist_km <= 8.0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -5837,6 +6042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "std_ellipse": q_std_ellipse,
         "general_g": q_general_g,
         "join_counts": q_join_counts,
+        "trajectory_stats": q_trajectory_stats,
+        "dwithin_geo": q_dwithin_geo,
     }
 
 
@@ -5982,4 +6189,6 @@ GROUP BY p.admin_code
         "std_ellipse": _ELLIPSE_SQL,
         "general_g": _GENERAL_G_SQL.format(tiles=_TILES_SQL.strip()),
         "join_counts": _JOIN_COUNTS_SQL.format(tiles=_TILES_SQL.strip()),
+        "trajectory_stats": _TRAJ_SQL,
+        "dwithin_geo": _DWITHIN_GEO_SQL,
     }

@@ -3576,3 +3576,228 @@ def snap_points(
             F.round("_dist", 6).alias("snap_dist"),
         )
     )
+
+
+_EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+_KM_PER_DEG = 111.19492664455873  # pi/180 * _EARTH_RADIUS_KM
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km between two WGS84 (lon, lat)
+    pairs, as a pure Catalyst column expression — sin/cos/asin inside
+    whole-stage codegen, no UDF.
+
+    Every other distance in the engine is planar degrees (the right
+    parity contract for the reference's tile/refine outputs, which
+    are degree-space); this is the geodesic lane for metric-radius
+    questions ("images within 5 km of a station"), where degrees
+    lie: at 35°N one longitude degree is ~91 km vs ~111 km per
+    latitude degree. sqrt(a) is clamped to 1 against float drift on
+    near-antipodal pairs (asin(>1) would be NaN).
+    """
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = (rlat2 - rlat1) / F.lit(2.0)
+    dlon = (F.radians(lon2) - F.radians(lon1)) / F.lit(2.0)
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    )
+    # NULL/NaN-preserving clamp: least(NULL, 1.0) would be 1.0
+    # (Spark's least ignores NULLs) and NaN > 1.0 is TRUE under
+    # Spark's NaN ordering — either would silently turn a missing
+    # input (e.g. the first lag row of a trajectory) into a
+    # 20015-km step instead of propagating.
+    s = F.sqrt(a)
+    return F.lit(2.0 * _EARTH_RADIUS_KM) * F.asin(
+        F.when((s > F.lit(1.0)) & ~F.isnan(s), F.lit(1.0)).otherwise(s)
+    )
+
+
+def trajectory_stats(
+    pings: DataFrame,
+    min_pings: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Per-user trajectory metrics over raw pings — the geodesic
+    companion to :func:`stay_points` / :func:`od_matrix`: total
+    great-circle distance travelled, longest single step, wall
+    duration, and average speed. Emits ``(user, n_pings, total_km,
+    max_step_km, duration_s, avg_kmh)``; users with fewer than
+    ``min_pings`` rows drop; ``avg_kmh`` is NULL on zero duration
+    (all pings in the same microsecond), ``max_step_km`` NULL for a
+    single-ping user (only reachable with ``min_pings=1``).
+
+    ONE user-key shuffle: the lag window and the per-user aggregate
+    share the hash partitioning, so Catalyst plans a single Exchange
+    (plan-pinned in tests). Step distances are :func:`haversine_km`
+    — codegen trig, zero Python. Ties on ``ts`` within a user are
+    broken by (x, y) so the step sequence is engine-portable.
+    """
+    from pyspark.sql import Window
+
+    if min_pings < 1:
+        raise ValueError("min_pings must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(ts_col, x_col, y_col)
+    step = haversine_km(
+        F.lag(x_col).over(w),
+        F.lag(y_col).over(w),
+        F.col(x_col),
+        F.col(y_col),
+    )
+    stepped = pings.select(
+        user_col,
+        # cast NTZ -> timestamp first (session TZ UTC in tests/driver);
+        # only the max-min DIFFERENCE is used, so the zone shift cancels
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        step.alias("_step"),
+    )
+    agg = stepped.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.coalesce(F.sum("_step"), F.lit(0.0)).alias("total_km"),
+        F.max("_step").alias("max_step_km"),
+        ((F.max("_us") - F.min("_us")) / F.lit(1e6)).alias("duration_s"),
+    )
+    return agg.filter(F.col("n_pings") >= min_pings).select(
+        user_col,
+        "n_pings",
+        "total_km",
+        "max_step_km",
+        "duration_s",
+        F.when(
+            F.col("duration_s") > 0,
+            F.col("total_km") / (F.col("duration_s") / F.lit(3600.0)),
+        ).alias("avg_kmh"),
+    )
+
+
+def dwithin_join_geo(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_id_col: str = "image_id",
+    right_id_col: str = "poi_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Metric-radius point × point join for TWO DISTRIBUTED sides:
+    every (left, right) pair within ``radius_km`` GREAT-CIRCLE km,
+    emitting ``(left_id, right_id, dist_km)``. The planar
+    :func:`dwithin_join` family answers degree-space questions; this
+    is the "images within 5 km of any station" shape where a degree
+    radius over-matches N-S and under-matches E-W (cos-latitude
+    anisotropy) — at 100 TB that asymmetry is billions of wrong
+    candidate pairs, so the prefilter itself must be
+    latitude-aware.
+
+    Plan shape — ZERO Python anywhere (plan-pinned in tests):
+
+    1. right side maps to ONE grid cell: ``c = cell_deg or
+       radius_km/111.195`` degrees, snapped to ``360/n`` so the
+       longitude ring wraps exactly; the (ci, cj) pair packs into
+       one long key (a codegen projection).
+    2. left side explodes to its candidate cell window: latitude
+       rows are the fixed ``±radius/111.195`` degree band, but the
+       longitude span is PER-ROW — ``Δλ = 2·asin(sin(r/2R)/cos(φm))``
+       with ``φm = |lat| + Δφ``, the tight spherical bound — so a
+       Tokyo row probes ~3 cells while an equator row probes fewer,
+       and polar rows degrade to a correct (wide) full ring instead
+       of a wrong narrow one. ``array_distinct`` caps the ring at n
+       cells. All of it is ``sequence``/``transform``/``explode``
+       codegen arithmetic.
+    3. candidates: ONE shuffle hash equi-join on the packed key (a
+       right point lives in exactly one cell and the probe window is
+       distinct, so each pair appears at most once — no dedup
+       shuffle; AQE skew-join backstops hot metro cells).
+    4. exact refine: ``haversine_km <= radius_km`` — codegen trig.
+
+    Longitude wrap at ±180° is handled (pmod n on both sides, cell
+    width snapped so a 360° shift is exactly n cells); latitudes
+    must be in [-90, 90]. Explode factor at the default cell size is
+    ~3×3 per left row at mid-latitudes — tune ``cell_deg`` upward if
+    the right side is sparse relative to the radius.
+    """
+    import math
+
+    if radius_km <= 0:
+        raise ValueError("radius_km must be positive")
+    if cell_deg is not None and cell_deg <= 0:
+        raise ValueError("cell_deg must be positive")
+    c_req = float(cell_deg if cell_deg is not None else
+                  radius_km / _KM_PER_DEG)
+    n = max(4, int(math.ceil(360.0 / c_req)))
+    c = 360.0 / n  # snapped: a 360° lon shift is exactly n cells
+    dlat_deg = radius_km / _KM_PER_DEG
+    sin_half = math.sin(min(radius_km / (2.0 * _EARTH_RADIUS_KM),
+                            math.pi / 2.0))
+
+    def ci_raw(lon):
+        return F.floor((lon + F.lit(180.0)) / F.lit(c)).cast("long")
+
+    def cj_raw(lat):
+        return F.floor((lat + F.lit(90.0)) / F.lit(c)).cast("long")
+
+    def key(ci, cj):
+        return (cj * F.lit(n) + ci).cast("long")
+
+    r = right.select(
+        F.col(right_id_col).alias("_rid"),
+        F.col(lon_col).alias("_rlon"),
+        F.col(lat_col).alias("_rlat"),
+        key(
+            F.pmod(ci_raw(F.col(lon_col)), F.lit(n)),
+            cj_raw(F.col(lat_col)),
+        ).alias("_cell"),
+    )
+
+    lat = F.col(lat_col)
+    lon = F.col(lon_col)
+    phim = F.radians(
+        F.least(F.abs(lat) + F.lit(dlat_deg), F.lit(90.0))
+    )
+    # cos(phim) -> 0 near the pole gives ratio >= 1 (double inf is
+    # fine) -> full 180° ring, which array_distinct caps at n cells.
+    ratio = F.lit(sin_half) / F.cos(phim)
+    dlon_deg = F.when(ratio >= 1.0, F.lit(180.0)).otherwise(
+        F.degrees(F.lit(2.0) * F.asin(ratio))
+    )
+    ci_lo = ci_raw(lon - dlon_deg)
+    ci_hi = ci_raw(lon + dlon_deg)
+    cj_lo = F.greatest(cj_raw(lat - F.lit(dlat_deg)), F.lit(0).cast("long"))
+    cj_hi = F.least(
+        cj_raw(lat + F.lit(dlat_deg)),
+        F.lit(int(math.floor(180.0 / c))).cast("long"),
+    )
+    cells = F.flatten(
+        F.transform(
+            F.sequence(cj_lo, cj_hi),
+            lambda cj: F.array_distinct(
+                F.transform(
+                    F.sequence(ci_lo, ci_hi),
+                    lambda ci: key(F.pmod(ci, F.lit(n)), cj),
+                )
+            ),
+        )
+    )
+    lf = left.select(
+        F.col(left_id_col).alias("_lid"),
+        F.col(lon_col).alias("_llon"),
+        F.col(lat_col).alias("_llat"),
+        F.explode(cells).alias("_cell"),
+    )
+    dist = haversine_km(
+        F.col("_llon"), F.col("_llat"), F.col("_rlon"), F.col("_rlat")
+    )
+    return (
+        lf.join(r, "_cell")
+        .withColumn("_d", dist)
+        .filter(F.col("_d") <= F.lit(float(radius_km)))
+        .select(
+            F.col("_lid").alias(left_id_col),
+            F.col("_rid").alias(right_id_col),
+            F.col("_d").alias("dist_km"),
+        )
+    )
