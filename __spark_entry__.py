@@ -4423,6 +4423,202 @@ QUALIFY row_number() OVER (
 """
 
 
+_HMM_T = 6  # steps per trajectory in the contract data
+
+
+def q_hmm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (operators/spatial.py::hmm_map_match): Viterbi
+    decode of 150 six-ping trajectories over a deterministic grid of
+    13 horizontal + 14 vertical roads (162 segments). Candidates come
+    from the same pure-Catalyst segment-cell join as snap_roads; the
+    per-trajectory DP (emission d²/σ², transition |route−gap|/β, ties
+    by (cost, line_id, seg_idx)) runs vectorized in ONE applyInPandas
+    over candidate rows only. The oracle replays the identical DP in
+    SQL: forward pass unrolled over the 6 steps, backtrack as argmin
+    re-computation per step — every arithmetic expression is written
+    in the same shape so both engines see bit-identical doubles."""
+    from ksj2gp_spark.operators.spatial import hmm_map_match
+
+    ids = spark.range(150 * _HMM_T)
+    traj = F.floor(F.col("id") / _HMM_T).cast("long")
+    step = F.col("id") % _HMM_T
+    x = (
+        F.lit(130.0)
+        + ((traj * 7919) % 4000).cast("double") / F.lit(1000.0)
+        + step.cast("double") * F.lit(0.08)
+        + (((F.col("id") * 2654435761) % 2001) - 1000).cast("double")
+        / F.lit(100000.0)
+    )
+    y = (
+        F.lit(33.0)
+        + ((traj * 104729) % 4000).cast("double") / F.lit(1000.0)
+        + step.cast("double") * F.lit(0.05)
+        + (((F.col("id") * 40503) % 2001) - 1000).cast("double")
+        / F.lit(100000.0)
+    )
+    pts = ids.select(
+        traj.alias("traj_id"),
+        step.alias("step"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(_HMM_T - 1))).alias(
+        "seg_idx"
+    )
+    horiz = (
+        spark.range(13)
+        .select(F.col("id").alias("line_id"), k)
+        .select(
+            "line_id",
+            "seg_idx",
+            (F.lit(129.6) + F.col("seg_idx")).alias("x1"),
+            (F.lit(33.0) + F.lit(0.4) * F.col("line_id")).alias("y1"),
+            (F.lit(130.6) + F.col("seg_idx")).alias("x2"),
+            (F.lit(33.0) + F.lit(0.4) * F.col("line_id")).alias("y2"),
+        )
+    )
+    vert = (
+        spark.range(14)
+        .select((F.col("id") + 100).alias("line_id"), k)
+        .select(
+            "line_id",
+            "seg_idx",
+            (
+                F.lit(129.8) + F.lit(0.4) * (F.col("line_id") - 100)
+            ).alias("x1"),
+            (F.lit(32.8) + F.col("seg_idx")).alias("y1"),
+            (
+                F.lit(129.8) + F.lit(0.4) * (F.col("line_id") - 100)
+            ).alias("x2"),
+            (F.lit(33.8) + F.col("seg_idx")).alias("y2"),
+        )
+    )
+    return hmm_map_match(
+        pts,
+        horiz.unionByName(vert),
+        max_dist=0.25,
+        sigma=0.125,
+        beta=0.05,
+    )
+
+
+def _hmm_match_sql() -> str:
+    """Unrolled Viterbi DP in DuckDB SQL mirroring q_hmm_match: the
+    forward pass is one CTE per step (cost = MIN over predecessors of
+    prev.cost + |route − gap|/β, plus the candidate's emission), the
+    backtrack re-computes each argmin with the identical expression
+    and tie-order (cost, line_id, seg_idx) — provably the same path
+    the kernel's stored backpointers select."""
+
+    def trans(p: str, n: str) -> str:
+        return (
+            f"abs(sqrt(({n}.sx - {p}.sx)*({n}.sx - {p}.sx)"
+            f" + ({n}.sy - {p}.sy)*({n}.sy - {p}.sy)) - g.gap) / 0.05"
+        )
+
+    parts = [
+        f"""
+WITH pts AS (
+  SELECT CAST(floor(i / {_HMM_T}) AS BIGINT) AS traj, i % {_HMM_T} AS step,
+         130.0 + ((CAST(floor(i / {_HMM_T}) AS BIGINT) * 7919) % 4000) / 1000.0
+               + (i % {_HMM_T}) * 0.08
+               + (((i * 2654435761) % 2001) - 1000) / 100000.0 AS x,
+         33.0 + ((CAST(floor(i / {_HMM_T}) AS BIGINT) * 104729) % 4000) / 1000.0
+              + (i % {_HMM_T}) * 0.05
+              + (((i * 40503) % 2001) - 1000) / 100000.0 AS y
+  FROM range(0, {150 * _HMM_T}) t(i)
+),
+segs AS (
+  SELECT i AS line_id, CAST(k AS INTEGER) AS seg_idx,
+         129.6 + k AS x1, 33.0 + 0.4 * i AS y1,
+         130.6 + k AS x2, 33.0 + 0.4 * i AS y2
+  FROM range(0, 13) a(i) CROSS JOIN range(0, {_HMM_T}) b(k)
+  UNION ALL
+  SELECT 100 + j, CAST(k AS INTEGER),
+         129.8 + 0.4 * ((100 + j) - 100), 32.8 + k,
+         129.8 + 0.4 * ((100 + j) - 100), 33.8 + k
+  FROM range(0, 14) a(j) CROSS JOIN range(0, {_HMM_T}) b(k)
+),
+proj AS (
+  SELECT p.traj, p.step, p.x, p.y, s.line_id, s.seg_idx, s.x1, s.y1,
+         s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+         CASE WHEN (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1) = 0
+              THEN 0.0
+              ELSE greatest(0.0, least(1.0,
+                ((p.x - s.x1)*(s.x2-s.x1) + (p.y - s.y1)*(s.y2-s.y1))
+                / ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))))
+         END AS t
+  FROM pts p CROSS JOIN segs s
+),
+cand0 AS (
+  SELECT traj, step, line_id, seg_idx,
+         x1 + t*dx AS sx, y1 + t*dy AS sy,
+         (x - (x1 + t*dx))*(x - (x1 + t*dx))
+           + (y - (y1 + t*dy))*(y - (y1 + t*dy)) AS d2
+  FROM proj
+),
+cand AS (
+  SELECT traj, step, line_id, seg_idx, sx, sy,
+         sqrt(d2) AS dist, d2 / 0.015625 AS emis
+  FROM cand0 WHERE sqrt(d2) <= 0.25
+),
+gaps AS (
+  SELECT b.traj, b.step,
+         sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) AS gap
+  FROM pts a JOIN pts b ON b.traj = a.traj AND b.step = a.step + 1
+),
+v0 AS (
+  SELECT traj, line_id, seg_idx, sx, sy, dist, emis AS cost
+  FROM cand WHERE step = 0
+)"""
+    ]
+    for s in range(1, _HMM_T):
+        parts.append(
+            f""",
+v{s} AS (
+  SELECT c.traj, c.line_id, c.seg_idx, c.sx, c.sy, c.dist,
+         MIN(p.cost + {trans('p', 'c')}) + c.emis AS cost
+  FROM cand c
+  JOIN v{s - 1} p ON p.traj = c.traj
+  JOIN gaps g ON g.traj = c.traj AND g.step = {s}
+  WHERE c.step = {s}
+  GROUP BY c.traj, c.line_id, c.seg_idx, c.sx, c.sy, c.dist, c.emis
+)"""
+        )
+    last = _HMM_T - 1
+    parts.append(
+        f""",
+b{last} AS (
+  SELECT traj, line_id, seg_idx, sx, sy, dist
+  FROM v{last}
+  QUALIFY row_number() OVER (
+    PARTITION BY traj ORDER BY cost, line_id, seg_idx) = 1
+)"""
+    )
+    for s in range(last - 1, -1, -1):
+        parts.append(
+            f""",
+b{s} AS (
+  SELECT p.traj, p.line_id, p.seg_idx, p.sx, p.sy, p.dist
+  FROM v{s} p
+  JOIN b{s + 1} n ON n.traj = p.traj
+  JOIN gaps g ON g.traj = p.traj AND g.step = {s + 1}
+  QUALIFY row_number() OVER (
+    PARTITION BY p.traj
+    ORDER BY p.cost + {trans('p', 'n')}, p.line_id, p.seg_idx) = 1
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT traj AS traj_id, CAST({s} AS BIGINT) AS step, line_id,"
+        f" seg_idx,\n       round(sx, 6) AS snap_x,"
+        f" round(sy, 6) AS snap_y, round(dist, 6) AS snap_dist"
+        f"\nFROM b{s}"
+        for s in range(_HMM_T)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5999,6 +6195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "events_range_join": q_events_range_join,
         "snap_roads": q_snap_roads,
+        "hmm_match": q_hmm_match,
         "image_patches": q_image_patches,
         "doc_length_quantiles": q_doc_length_quantiles,
         "zonal_stats_admin": q_zonal_stats,
@@ -6146,6 +6343,7 @@ GROUP BY p.admin_code
         "bm25_rank": _bm25_sql(),
         "events_range_join": _RANGE_JOIN_SQL,
         "snap_roads": _SNAP_ROADS_SQL,
+        "hmm_match": _hmm_match_sql(),
         "image_patches": _IMAGE_PATCHES_SQL,
         "doc_length_quantiles": _QUANTILES_SQL,
         "zonal_stats_admin": _zonal_sql(),

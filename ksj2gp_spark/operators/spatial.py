@@ -3801,3 +3801,227 @@ def dwithin_join_geo(
             F.col("_d").alias("dist_km"),
         )
     )
+
+
+def _viterbi_kernel(
+    sigma2: float,
+    beta: float,
+    max_step_gap,
+    traj_col: str,
+    out_cols: list,
+):
+    """Per-trajectory Viterbi DP for :func:`hmm_map_match`.
+
+    Candidates arrive pre-sorted by (step, line_id, seg_idx); numpy
+    ``argmin`` takes the FIRST minimum, so tie-breaks are exactly
+    ``ORDER BY cost, line_id, seg_idx`` — the same deterministic
+    order the SQL oracle uses. All arithmetic is written in the same
+    shape as the oracle (explicit sqrt of a sum of squares, left-to-
+    right additions) so both engines see bit-identical doubles.
+    """
+
+    def match_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["step", "line_id", "seg_idx"], kind="mergesort"
+        ).reset_index(drop=True)
+        steps = pdf["step"].to_numpy()
+        uniq = np.unique(steps)
+        # split into runs: a gap in step numbering larger than
+        # max_step_gap breaks the chain (off-network excursions
+        # shouldn't anchor route continuity across the hole)
+        runs = []
+        cur = [uniq[0]]
+        for s_val in uniq[1:]:
+            if (
+                max_step_gap is not None
+                and s_val - cur[-1] > max_step_gap
+            ):
+                runs.append(cur)
+                cur = []
+            cur.append(s_val)
+        runs.append(cur)
+
+        sx = pdf["_sx"].to_numpy()
+        sy = pdf["_sy"].to_numpy()
+        d2 = pdf["_d2"].to_numpy()
+        px = pdf["_px"].to_numpy()
+        py = pdf["_py"].to_numpy()
+        emis = d2 / sigma2
+        picked = []
+        for run in runs:
+            idx_per = [np.flatnonzero(steps == s_val) for s_val in run]
+            best = emis[idx_per[0]]
+            backptr = []
+            for k in range(1, len(idx_per)):
+                prev, curi = idx_per[k - 1], idx_per[k]
+                gx = px[curi[0]] - px[prev[0]]
+                gy = py[curi[0]] - py[prev[0]]
+                gap = np.sqrt(gx * gx + gy * gy)
+                dxm = sx[curi][None, :] - sx[prev][:, None]
+                dym = sy[curi][None, :] - sy[prev][:, None]
+                route = np.sqrt(dxm * dxm + dym * dym)
+                tot = best[:, None] + np.abs(route - gap) / beta
+                bp = np.argmin(tot, axis=0)
+                backptr.append(bp)
+                best = tot[bp, np.arange(len(curi))] + emis[curi]
+            j = int(np.argmin(best))
+            for k in range(len(idx_per) - 1, 0, -1):
+                picked.append(idx_per[k][j])
+                j = int(backptr[k - 1][j])
+            picked.append(idx_per[0][j])
+        sel = pdf.iloc[sorted(picked)]
+        return pd.DataFrame(
+            {
+                traj_col: sel[traj_col].to_numpy(),
+                "step": sel["step"].to_numpy(),
+                "line_id": sel["line_id"].to_numpy(),
+                "seg_idx": sel["seg_idx"].to_numpy(),
+                "snap_x": np.round(sel["_sx"].to_numpy(), 6),
+                "snap_y": np.round(sel["_sy"].to_numpy(), 6),
+                "snap_dist": np.round(
+                    np.sqrt(sel["_d2"].to_numpy()), 6
+                ),
+            }
+        )[out_cols]
+
+    return match_one
+
+
+def hmm_map_match(
+    points: DataFrame,
+    segments: DataFrame,
+    max_dist: float,
+    sigma: float | None = None,
+    beta: float | None = None,
+    cell_size: float | None = None,
+    max_step_gap: int | None = None,
+    traj_id_col: str = "traj_id",
+    step_col: str = "step",
+    x_col: str = "x",
+    y_col: str = "y",
+    line_id_col: str = "line_id",
+) -> DataFrame:
+    """HMM map matching (Newson & Krumm 2009 shape): assign every GPS
+    ping of a trajectory to the road segment a Viterbi decode picks —
+    the segment sequence that maximizes emission (closeness to the
+    segment) AND transition (route continuity) likelihood jointly —
+    instead of :func:`snap_points`'s independent nearest-segment
+    choice, which zig-zags between a main road and its parallel side
+    street on noisy pings. Emission cost is ``d²/σ²`` (snap distance
+    to the candidate), transition cost ``|route − gap|/β`` where
+    ``route`` is the straight-line distance between consecutive snap
+    positions and ``gap`` the distance between the raw pings (a
+    routing-graph route distance slots into the same cost without
+    changing the plan). Emits one row per matched ping —
+    ``(traj_id, step, line_id, seg_idx, snap_x, snap_y, snap_dist)``
+    — pings with no segment within ``max_dist`` are absent, and a
+    step-numbering gap larger than ``max_step_gap`` (when set)
+    breaks the chain so an off-network excursion can't anchor
+    continuity across the hole. (traj, step) pairs must be unique.
+
+    Scale shape — candidates never leave Catalyst, DP touches only
+    candidate rows:
+
+    * candidate pairs reuse :func:`snap_points`'s machinery — the
+      LINEAR dominant-axis segment cell cover joined to ping cells on
+      a packed int64 key, then the codegen projection/clamp/distance
+      refine — ONE shuffle, zero Python, the 10^12-ping side is one
+      map pass before its shuffle.
+    * the Viterbi DP runs per-trajectory via ``applyInPandas`` —
+      ONE traj-keyed shuffle of candidate rows only (7 numeric
+      columns, no geometry bytes). Per-step work is a vectorized
+      |prev|×|cur| numpy block; candidate counts per ping are bounded
+      by the cell prefilter, and trajectory length is bounded by the
+      caller's sessionization (split by day/vehicle-shift at ingest —
+      the same contract every per-key stateful op in this engine
+      documents). Hot cells (dense urban networks) salt exactly like
+      the PIP join's Tokyo skew if a profile shows it.
+
+    Default ``sigma = max_dist / 2``, ``beta = max_dist / 5``.
+    Tie-breaks are deterministic by (cost, line_id, seg_idx) at every
+    argmin — the oracle replays the identical DP in SQL.
+    """
+    if max_dist <= 0:
+        raise ValueError("max_dist must be positive")
+    sg = float(sigma if sigma is not None else max_dist / 2.0)
+    bt = float(beta if beta is not None else max_dist / 5.0)
+    if sg <= 0 or bt <= 0:
+        raise ValueError("sigma and beta must be positive")
+    cs = float(cell_size if cell_size is not None else max_dist)
+    if cs <= 0:
+        raise ValueError("cell_size must be positive")
+
+    ptypes = dict(points.dtypes)
+    px, py = F.col(x_col), F.col(y_col)
+    pts = points.select(
+        F.col(traj_id_col),
+        F.col(step_col).alias("step"),
+        px.alias("_px"),
+        py.alias("_py"),
+        (
+            F.floor(px / cs).cast("long") * F.lit(1 << 26)
+            + F.floor(py / cs).cast("long")
+        ).alias("_cell"),
+    )
+    segs = _segment_cell_cover(
+        segments,
+        [line_id_col, "seg_idx", "x1", "y1", "x2", "y2"],
+        max_dist,
+        cs,
+    ).drop("_ci", "_cj")
+
+    cand = pts.join(segs, "_cell")
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    len2 = dx * dx + dy * dy
+    t_raw = (
+        (F.col("_px") - F.col("x1")) * dx
+        + (F.col("_py") - F.col("y1")) * dy
+    )
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw / len2))
+    )
+    sx = F.col("x1") + t * dx
+    sy = F.col("y1") + t * dy
+    ddx = F.col("_px") - sx
+    ddy = F.col("_py") - sy
+    d2 = ddx * ddx + ddy * ddy
+    refined = (
+        cand.withColumn("_sx", sx)
+        .withColumn("_sy", sy)
+        .withColumn("_d2", d2)
+        .filter(F.sqrt(F.col("_d2")) <= F.lit(float(max_dist)))
+        # duplicate (ping, segment) candidates via two shared cover
+        # cells are value-identical; dedup before the DP (a repeated
+        # candidate would otherwise double its column in the
+        # transition matrix — harmless for the argmin but wasteful)
+        .dropDuplicates([traj_id_col, "step", line_id_col, "seg_idx"])
+        .select(
+            F.col(traj_id_col),
+            "step",
+            F.col(line_id_col).alias("line_id"),
+            "seg_idx",
+            "_px",
+            "_py",
+            "_sx",
+            "_sy",
+            "_d2",
+        )
+    )
+    out_cols = [
+        traj_id_col,
+        "step",
+        "line_id",
+        "seg_idx",
+        "snap_x",
+        "snap_y",
+        "snap_dist",
+    ]
+    kernel = _viterbi_kernel(sg * sg, bt, max_step_gap, traj_id_col, out_cols)
+    ltype = dict(segments.dtypes)[line_id_col]
+    schema = (
+        f"{traj_id_col} {ptypes[traj_id_col]}, "
+        f"step {ptypes[step_col]}, line_id {ltype}, seg_idx int, "
+        "snap_x double, snap_y double, snap_dist double"
+    )
+    return refined.groupBy(traj_id_col).applyInPandas(kernel, schema=schema)
