@@ -708,6 +708,65 @@ def main() -> None:
 
     timed("map_match_300k_pts_50k_segs", map_match_lane, warm=True)
 
+    # HMM map matching at GPS-feed cardinality: 2M pings in 100k
+    # 20-step trajectories over a 0.1-degree road grid. Unlike the
+    # snap lane (pure JVM) this one crosses the Arrow boundary: the
+    # bucketed Viterbi DP (tensor kernel, ~6 ms per bucket) decodes
+    # every ping; the lane measures candidate join + the one
+    # bucket-keyed exchange + transfer + DP end to end.
+    def hmm_lane():
+        from ksj2gp_spark.operators.spatial import hmm_map_match
+
+        T = 20
+        n = 2_000_000
+        r = spark.range(0, n, 1, cpus * 4)
+        traj = F.floor(F.col("id") / T).cast("long")
+        step = F.col("id") % T
+        u1 = ((traj * 69069 + 1) % 1048576) / 1048576.0
+        u2 = ((traj * 48271 + 7) % 1048576) / 1048576.0
+        n1 = (((F.col("id") * 2654435761) % 2001) - 1000) / 100000.0
+        n2 = (((F.col("id") * 40503) % 2001) - 1000) / 100000.0
+        pings = r.select(
+            traj.alias("traj_id"),
+            step.alias("step"),
+            (128.0 + u1 * 17.0 + step * 0.03 + n1).alias("x"),
+            (30.0 + u2 * 15.0 + step * 0.02 + n2).alias("y"),
+        )
+        h = spark.range(0, 161 * 18, 1, cpus).select(
+            (F.col("id") % 161).alias("line_id"),
+            (F.col("id") / 161).cast("int").alias("seg_idx"),
+        )
+        h = h.select(
+            "line_id",
+            "seg_idx",
+            (128.0 + F.col("seg_idx")).alias("x1"),
+            (30.0 + 0.1 * F.col("line_id")).alias("y1"),
+            (129.0 + F.col("seg_idx")).alias("x2"),
+            (30.0 + 0.1 * F.col("line_id")).alias("y2"),
+        )
+        v = spark.range(0, 181 * 16, 1, cpus).select(
+            (100000 + F.col("id") % 181).alias("line_id"),
+            (F.col("id") / 181).cast("int").alias("seg_idx"),
+        )
+        v = v.select(
+            "line_id",
+            "seg_idx",
+            (128.0 + 0.1 * (F.col("line_id") - 100000)).alias("x1"),
+            (30.0 + F.col("seg_idx")).alias("y1"),
+            (128.0 + 0.1 * (F.col("line_id") - 100000)).alias("x2"),
+            (31.0 + F.col("seg_idx")).alias("y2"),
+        )
+        return hmm_map_match(
+            pings,
+            h.unionByName(v),
+            max_dist=0.05,
+            sigma=0.025,
+            beta=0.01,
+            cell_size=0.05,
+        ).count()
+
+    timed("hmm_match_2m_pings", hmm_lane, warm=True)
+
     # Cache hygiene between lane groups: the image fixture is done —
     # drop it before the relational lanes so no lane competes with
     # stale cached blocks for executor memory (the doc corpus lives in

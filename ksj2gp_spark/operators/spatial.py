@@ -3405,69 +3405,67 @@ def _segment_cell_cover(
     padded bbox. The pad carries a +1e-9 guard absorbing the 1-ULP
     lerp rounding at sub-run ends (x1 + 1.0*(x2-x1) is not always
     exactly x2); over-covered candidates refine away on the exact
-    distance filter. Emits one row per (segment row, covered cell)
-    with the packed ``_cell`` key — duplicates across adjacent runs
-    sharing a cell ARE emitted (the consumer's top-1 window makes
-    them value-identical no-ops; deduping here would cost a shuffle).
+    distance filter.
+
+    Emits one row per (segment row, covered cell) with the packed
+    ``_cell`` key, DISTINCT per segment row: adjacent runs share
+    ~2/3 of their padded cells, and the naive emit carries a ~4.5×
+    duplicate factor straight into the candidate join (profiled on
+    the map-matching lane — 7.7M candidate rows for 1.7M distinct,
+    plus the dropDuplicates shuffle the consumer then needs). The
+    dedup here is MAP-SIDE — the run→cell expansion happens inside
+    nested ``transform`` higher-order functions so ``array_distinct``
+    sees the whole segment's cells in one row, then a single explode
+    streams the distinct set. No shuffle, and downstream (point,
+    segment) candidate pairs are unique by construction because a
+    point joins on exactly one cell. The transient per-row array is
+    O(length / cell_size) entries — bounded by the same cell_size
+    tuning the join fan-out already requires.
     """
     pad = F.lit(float(max_dist) + 1e-9)
+    csl = F.lit(float(cs))
     dxs = F.col("x2") - F.col("x1")
     dys = F.col("y2") - F.col("y1")
     nsub = F.greatest(
         F.lit(1).cast("long"),
-        F.ceil(F.greatest(F.abs(dxs), F.abs(dys)) / cs),
+        F.ceil(F.greatest(F.abs(dxs), F.abs(dys)) / csl),
     )
-    sub = segments.select(
+
+    def run_cells(k):
+        t0 = k / F.col("_n")
+        t1 = (k + F.lit(1)) / F.col("_n")
+        ax = F.col("x1") + t0 * F.col("_dx")
+        bx = F.col("x1") + t1 * F.col("_dx")
+        ay = F.col("y1") + t0 * F.col("_dy")
+        by = F.col("y1") + t1 * F.col("_dy")
+        ci_lo = F.floor((F.least(ax, bx) - pad) / csl).cast("long")
+        ci_hi = F.floor((F.greatest(ax, bx) + pad) / csl).cast("long")
+        cj_lo = F.floor((F.least(ay, by) - pad) / csl).cast("long")
+        cj_hi = F.floor((F.greatest(ay, by) + pad) / csl).cast("long")
+        return F.flatten(
+            F.transform(
+                F.sequence(ci_lo, ci_hi),
+                lambda ci: F.transform(
+                    F.sequence(cj_lo, cj_hi),
+                    lambda cj: ci * F.lit(1 << 26) + cj,
+                ),
+            )
+        )
+
+    cells = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("_n") - 1),
+                run_cells,
+            )
+        )
+    )
+    return segments.select(
         *seg_cols,
         dxs.alias("_dx"),
         dys.alias("_dy"),
         nsub.alias("_n"),
-    ).select(
-        *seg_cols,
-        "_dx",
-        "_dy",
-        "_n",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)
-        ).alias("_k"),
-    )
-    t0 = F.col("_k") / F.col("_n")
-    t1 = (F.col("_k") + 1) / F.col("_n")
-    ax = F.col("x1") + t0 * F.col("_dx")
-    bx = F.col("x1") + t1 * F.col("_dx")
-    ay = F.col("y1") + t0 * F.col("_dy")
-    by = F.col("y1") + t1 * F.col("_dy")
-    return (
-        sub.select(
-            *seg_cols,
-            F.least(ax, bx).alias("_ax"),
-            F.greatest(ax, bx).alias("_bx"),
-            F.least(ay, by).alias("_ay"),
-            F.greatest(ay, by).alias("_by"),
-        )
-        .select(
-            *seg_cols,
-            "_ay",
-            "_by",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("_ax") - pad) / cs).cast("long"),
-                    F.floor((F.col("_bx") + pad) / cs).cast("long"),
-                )
-            ).alias("_ci"),
-        )
-        .select(
-            *seg_cols,
-            "_ci",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("_ay") - pad) / cs).cast("long"),
-                    F.floor((F.col("_by") + pad) / cs).cast("long"),
-                )
-            ).alias("_cj"),
-        )
-        .withColumn("_cell", F.col("_ci") * F.lit(1 << 26) + F.col("_cj"))
-    )
+    ).select(*seg_cols, F.explode(cells).alias("_cell"))
 
 
 def snap_points(
@@ -3493,12 +3491,12 @@ def snap_points(
     * candidates: segment cell covers come from
       :func:`_segment_cell_cover` — LINEAR in segment length (a
       dominant-axis sub-split, not a whole-bbox cross product that
-      goes quadratic on long diagonals); points map to their own
+      goes quadratic on long diagonals, deduped map-side so each
+      (segment, cell) is emitted once); points map to their own
       cell; candidate pairs are one shuffle hash equi-join on the
-      packed cell key. A duplicate (point, segment) candidate via two
-      shared cells refines to value-identical rows, so the top-1
-      window needs no pre-dedup. Both sides are arithmetic
-      projections — whole-stage codegen end to end.
+      packed cell key, unique per (point, segment) by construction.
+      Both sides are arithmetic projections — whole-stage codegen
+      end to end (the cover's array HOFs are JVM expressions).
     * refine: point-to-segment distance is scalar math
       (t = clamp(dot/len², 0, 1) then the hypotenuse), again codegen —
       no UDF, no geometry bytes through the join.
@@ -3540,7 +3538,7 @@ def snap_points(
         cs,
     )
 
-    cand = pts.join(segs.drop("_ci", "_cj"), "_cell")
+    cand = pts.join(segs, "_cell")
     dx = F.col("x2") - F.col("x1")
     dy = F.col("y2") - F.col("y1")
     len2 = dx * dx + dy * dy
@@ -3810,66 +3808,156 @@ def _viterbi_kernel(
     traj_col: str,
     out_cols: list,
 ):
-    """Per-trajectory Viterbi DP for :func:`hmm_map_match`.
+    """Viterbi DP for :func:`hmm_map_match` over a BUCKET of
+    trajectories (each kernel call decodes every trajectory whose
+    hash landed in its bucket — one sort + boundary scan instead of
+    one applyInPandas invocation per trajectory, which at 10^12 pings
+    would pay the per-group Arrow/pandas setup ~5×10^10 times).
 
-    Candidates arrive pre-sorted by (step, line_id, seg_idx); numpy
-    ``argmin`` takes the FIRST minimum, so tie-breaks are exactly
-    ``ORDER BY cost, line_id, seg_idx`` — the same deterministic
-    order the SQL oracle uses. All arithmetic is written in the same
-    shape as the oracle (explicit sqrt of a sum of squares, left-to-
-    right additions) so both engines see bit-identical doubles.
+    Candidates arrive pre-sorted by (traj, step, line_id, seg_idx);
+    numpy ``argmin`` takes the FIRST minimum, so tie-breaks are
+    exactly ``ORDER BY cost, line_id, seg_idx`` — the same
+    deterministic order the SQL oracle uses. All arithmetic is
+    written in the same shape as the oracle (explicit sqrt of a sum
+    of squares, left-to-right additions) so both engines see
+    bit-identical doubles.
+
+    The DP is TENSOR-shaped, vectorized ACROSS trajectories: a
+    per-trajectory step loop would pay Python/numpy dispatch once per
+    (trajectory, step) — millions of tiny |prev|×|cur| blocks per
+    bucket, which profiling showed dominating the whole operator.
+    Instead candidates pad to the bucket's max span width K (+inf
+    emission on padding, so argmin semantics are untouched) and ONE
+    step loop of length max-track-length advances every chain in the
+    bucket simultaneously on (runs, K, K) blocks. Elementwise
+    arithmetic is unchanged (same sqrt/abs/add shapes), so results
+    stay bit-identical to the scalar form the oracle replays; np
+    ``argmin`` still takes the first minimum, so tie-breaks remain
+    ``ORDER BY cost, line_id, seg_idx``. Runs are processed in
+    ceil-log2 (length, width) COHORTS so padding waste is bounded at
+    2× per axis — one long track in a bucket of short ones can't
+    inflate everyone's (runs, maxT, K) tensor — and absolute memory
+    is bounded by the cell prefilter (K) and caller sessionization
+    (maxT).
     """
 
-    def match_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    traj_col: pdf[traj_col],
+                    "step": pdf["step"],
+                    "line_id": pdf["line_id"],
+                    "seg_idx": pdf["seg_idx"],
+                    "snap_x": pd.Series(dtype="float64"),
+                    "snap_y": pd.Series(dtype="float64"),
+                    "snap_dist": pd.Series(dtype="float64"),
+                }
+            )[out_cols]
         pdf = pdf.sort_values(
-            ["step", "line_id", "seg_idx"], kind="mergesort"
+            [traj_col, "step", "line_id", "seg_idx"], kind="mergesort"
         ).reset_index(drop=True)
-        steps = pdf["step"].to_numpy()
-        uniq = np.unique(steps)
-        # split into runs: a gap in step numbering larger than
-        # max_step_gap breaks the chain (off-network excursions
-        # shouldn't anchor route continuity across the hole)
-        runs = []
-        cur = [uniq[0]]
-        for s_val in uniq[1:]:
-            if (
-                max_step_gap is not None
-                and s_val - cur[-1] > max_step_gap
-            ):
-                runs.append(cur)
-                cur = []
-            cur.append(s_val)
-        runs.append(cur)
-
+        tvals = pdf[traj_col].to_numpy()
+        steps_all = pdf["step"].to_numpy()
         sx = pdf["_sx"].to_numpy()
         sy = pdf["_sy"].to_numpy()
-        d2 = pdf["_d2"].to_numpy()
         px = pdf["_px"].to_numpy()
         py = pdf["_py"].to_numpy()
-        emis = d2 / sigma2
-        picked = []
-        for run in runs:
-            idx_per = [np.flatnonzero(steps == s_val) for s_val in run]
-            best = emis[idx_per[0]]
-            backptr = []
-            for k in range(1, len(idx_per)):
-                prev, curi = idx_per[k - 1], idx_per[k]
-                gx = px[curi[0]] - px[prev[0]]
-                gy = py[curi[0]] - py[prev[0]]
-                gap = np.sqrt(gx * gx + gy * gy)
-                dxm = sx[curi][None, :] - sx[prev][:, None]
-                dym = sy[curi][None, :] - sy[prev][:, None]
-                route = np.sqrt(dxm * dxm + dym * dym)
-                tot = best[:, None] + np.abs(route - gap) / beta
-                bp = np.argmin(tot, axis=0)
-                backptr.append(bp)
-                best = tot[bp, np.arange(len(curi))] + emis[curi]
-            j = int(np.argmin(best))
-            for k in range(len(idx_per) - 1, 0, -1):
-                picked.append(idx_per[k][j])
-                j = int(backptr[k - 1][j])
-            picked.append(idx_per[0][j])
-        sel = pdf.iloc[sorted(picked)]
+        emis = pdf["_d2"].to_numpy() / sigma2
+        # one span per (traj, step): candidate rows for that ping
+        new_span = np.r_[
+            True,
+            (tvals[1:] != tvals[:-1]) | (steps_all[1:] != steps_all[:-1]),
+        ]
+        span_lo = np.flatnonzero(new_span)
+        span_hi = np.append(span_lo[1:], len(tvals))
+        span_traj = tvals[span_lo]
+        span_step = steps_all[span_lo]
+        # a run = one Viterbi chain: break at trajectory changes and
+        # (when max_step_gap is set) at step-numbering holes larger
+        # than the gap — off-network excursions shouldn't anchor
+        # route continuity across the hole
+        brk = span_traj[1:] != span_traj[:-1]
+        if max_step_gap is not None:
+            brk = brk | (span_step[1:] - span_step[:-1] > max_step_gap)
+        run_lo = np.flatnonzero(np.r_[True, brk])
+        run_hi = np.append(run_lo[1:], len(span_lo))
+
+        lens = run_hi - run_lo  # chain length (spans) per run
+        widths = span_hi - span_lo  # candidates per span
+        # per-run max candidate width (runs are contiguous span
+        # ranges, so reduceat gives it in one pass)
+        run_kmax = np.maximum.reduceat(widths, run_lo)
+        # COHORTS by length power-of-two: padding a (runs, maxT, K)
+        # tensor to the bucket-global maxima would let one 10k-step
+        # track inflate every 20-step track's padding ~500×; within a
+        # ceil-log2 cohort the waste is bounded at 2× on each axis
+        cohort_key = (
+            np.ceil(np.log2(np.maximum(lens, 2))).astype(np.int64) * 64
+            + np.ceil(np.log2(np.maximum(run_kmax, 2))).astype(np.int64)
+        )
+        picked_parts = []
+        for key in np.unique(cohort_key):
+            rs = np.flatnonzero(cohort_key == key)
+            lens_c = lens[rs]
+            max_t = int(lens_c.max())
+            kmax = int(run_kmax[rs].max())
+            # span id per (run, t) within the cohort
+            t_idx = np.arange(max_t)
+            live = t_idx[None, :] < lens_c[:, None]  # (R, T)
+            sid = np.where(live, run_lo[rs][:, None] + t_idx[None, :], 0)
+            lo_rt = span_lo[sid]  # (R, T) first candidate row per span
+            c_rt = np.where(live, widths[sid], 0)  # candidates per span
+            # padded candidate row per (run, t, k); padding -> row 0
+            k_idx = np.arange(kmax)
+            kvalid = k_idx[None, None, :] < c_rt[:, :, None]  # (R, T, K)
+            ridx = np.where(
+                kvalid, lo_rt[:, :, None] + k_idx[None, None, :], 0
+            )
+            E = np.where(kvalid, emis[ridx], np.inf)  # padded emission
+            SX = sx[ridx]
+            SY = sy[ridx]
+            # ping coords are span-level (same across a span's rows)
+            PX = px[lo_rt]
+            PY = py[lo_rt]
+
+            best = E[:, 0, :].copy()  # (R, K); padded slots +inf
+            n_c = len(rs)
+            backptr = np.zeros((n_c, max_t, kmax), dtype=np.int64)
+            for t in range(1, max_t):
+                act = np.flatnonzero(live[:, t])
+                if len(act) == 0:
+                    break
+                gx = PX[act, t] - PX[act, t - 1]
+                gy = PY[act, t] - PY[act, t - 1]
+                gap = np.sqrt(gx * gx + gy * gy)  # (A,)
+                dxm = SX[act, t, None, :] - SX[act, t - 1, :, None]
+                dym = SY[act, t, None, :] - SY[act, t - 1, :, None]
+                route = np.sqrt(dxm * dxm + dym * dym)  # (A, Kp, Kc)
+                tot = best[act, :, None] + np.abs(
+                    route - gap[:, None, None]
+                ) / beta
+                bp = np.argmin(tot, axis=1)  # (A, Kc) first-min tie order
+                backptr[act, t] = bp
+                best[act] = (
+                    np.take_along_axis(tot, bp[:, None, :], axis=1)[:, 0, :]
+                    + E[act, t]
+                )
+            # backtrack, vectorized across runs: j tracks the winning
+            # candidate slot per run from its LAST step down to 0
+            # (best stopped updating when each run's chain ended, so
+            # argmin on the final `best` is each run's own terminal
+            # argmin; padded slots are +inf and never win)
+            j = np.argmin(best, axis=1)  # (R,)
+            picked_rows = np.empty((n_c, max_t), dtype=np.int64)
+            for t in range(max_t - 1, 0, -1):
+                act = live[:, t]
+                picked_rows[act, t] = lo_rt[act, t] + j[act]
+                j = np.where(act, backptr[np.arange(n_c), t, j], j)
+            picked_rows[:, 0] = lo_rt[:, 0] + j
+            picked_parts.append(picked_rows[live])
+        picked = np.concatenate(picked_parts)
+        sel = pdf.iloc[np.sort(picked)]
         return pd.DataFrame(
             {
                 traj_col: sel[traj_col].to_numpy(),
@@ -3884,7 +3972,7 @@ def _viterbi_kernel(
             }
         )[out_cols]
 
-    return match_one
+    return match_bucket
 
 
 def hmm_map_match(
@@ -3895,6 +3983,7 @@ def hmm_map_match(
     beta: float | None = None,
     cell_size: float | None = None,
     max_step_gap: int | None = None,
+    bucket_count: int | None = None,
     traj_id_col: str = "traj_id",
     step_col: str = "step",
     x_col: str = "x",
@@ -3927,15 +4016,23 @@ def hmm_map_match(
       a packed int64 key, then the codegen projection/clamp/distance
       refine — ONE shuffle, zero Python, the 10^12-ping side is one
       map pass before its shuffle.
-    * the Viterbi DP runs per-trajectory via ``applyInPandas`` —
-      ONE traj-keyed shuffle of candidate rows only (7 numeric
-      columns, no geometry bytes). Per-step work is a vectorized
-      |prev|×|cur| numpy block; candidate counts per ping are bounded
-      by the cell prefilter, and trajectory length is bounded by the
-      caller's sessionization (split by day/vehicle-shift at ingest —
-      the same contract every per-key stateful op in this engine
-      documents). Hot cells (dense urban networks) salt exactly like
-      the PIP join's Tokyo skew if a profile shows it.
+    * the Viterbi DP runs via ``applyInPandas`` over trajectory-HASH
+      BUCKETS (``bucket_count``, default 32 × shuffle width) — ONE
+      bucket-keyed shuffle of candidate rows only (7 numeric columns,
+      no geometry bytes), with an explicit ``repartition`` on the
+      bucket key so AQE's size-based coalescing can't fold the small-
+      byte DP exchange into a handful of tasks and serialize the
+      Python stage. Each kernel call decodes every whole trajectory
+      in its bucket with one sort + vectorized span scan, so the
+      per-group Arrow/pandas setup amortizes over thousands of
+      trajectories instead of being paid once per GPS track. Per-step
+      work is a vectorized |prev|×|cur| numpy block over contiguous
+      slices; candidate counts per ping are bounded by the cell
+      prefilter, and trajectory length is bounded by the caller's
+      sessionization (split by day/vehicle-shift at ingest — the same
+      contract every per-key stateful op in this engine documents).
+      Hot cells (dense urban networks) salt exactly like the PIP
+      join's Tokyo skew if a profile shows it.
 
     Default ``sigma = max_dist / 2``, ``beta = max_dist / 5``.
     Tie-breaks are deterministic by (cost, line_id, seg_idx) at every
@@ -3968,7 +4065,7 @@ def hmm_map_match(
         [line_id_col, "seg_idx", "x1", "y1", "x2", "y2"],
         max_dist,
         cs,
-    ).drop("_ci", "_cj")
+    )
 
     cand = pts.join(segs, "_cell")
     dx = F.col("x2") - F.col("x1")
@@ -3991,11 +4088,10 @@ def hmm_map_match(
         .withColumn("_sy", sy)
         .withColumn("_d2", d2)
         .filter(F.sqrt(F.col("_d2")) <= F.lit(float(max_dist)))
-        # duplicate (ping, segment) candidates via two shared cover
-        # cells are value-identical; dedup before the DP (a repeated
-        # candidate would otherwise double its column in the
-        # transition matrix — harmless for the argmin but wasteful)
-        .dropDuplicates([traj_id_col, "step", line_id_col, "seg_idx"])
+        # (ping, segment) candidate pairs are unique by construction:
+        # the ping joins on its single cell and the cover emits each
+        # (segment, cell) once (array_distinct inside
+        # _segment_cell_cover) — no dedup shuffle needed before the DP
         .select(
             F.col(traj_id_col),
             "step",
@@ -4024,4 +4120,34 @@ def hmm_map_match(
         f"step {ptypes[step_col]}, line_id {ltype}, seg_idx int, "
         "snap_x double, snap_y double, snap_dist double"
     )
-    return refined.groupBy(traj_id_col).applyInPandas(kernel, schema=schema)
+    # group by a trajectory-hash BUCKET, not the trajectory: one
+    # kernel call decodes ~(n_traj / n_buckets) whole trajectories
+    # (each lands entirely in its bucket), amortizing the per-group
+    # Arrow/pandas setup that a per-trajectory groupBy would pay once
+    # per GPS track. Bucket count scales with the session's shuffle
+    # width so a bucket's candidate rows stay a fraction of one
+    # shuffle partition.
+    sess = points.sparkSession
+    shuffle_parts = int(
+        sess.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if bucket_count is None:
+        bucket_count = 32 * shuffle_parts
+    if bucket_count < 1:
+        raise ValueError("bucket_count must be positive")
+    bucketed = refined.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(traj_id_col)), F.lit(bucket_count))
+    )
+    # pin the DP stage's width with an EXPLICIT repartition on the
+    # bucket key: the candidate rows are 7 numeric columns, small
+    # enough in bytes that AQE's size-based coalescing would fold the
+    # groupBy exchange into a handful of tasks and serialize the
+    # Python DP (the member-ingest lane measured exactly this trap).
+    # HashPartitioning(_b, N) satisfies applyInPandas's clustered-
+    # distribution requirement, so no second exchange is added, and
+    # user-specified repartition counts are AQE-immune.
+    n_parts = max(
+        sess.sparkContext.defaultParallelism * 2, shuffle_parts
+    )
+    bucketed = bucketed.repartition(n_parts, "_b")
+    return bucketed.groupBy("_b").applyInPandas(kernel, schema=schema)

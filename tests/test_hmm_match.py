@@ -200,3 +200,128 @@ class TestHmmMapMatch:
         assert plan.count("FlatMapGroupsInPandas") == 1
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_mixed_length_cohorts_match_scalar_reference(self, spark):
+        # the tensor kernel splits a bucket's runs into ceil-log2
+        # (length, width) cohorts; pin that path with trajectories of
+        # very different lengths AND candidate widths, all forced into
+        # ONE kernel call (bucket_count=1), against an independent
+        # scalar per-trajectory Viterbi computed here
+        rng = np.random.RandomState(7)
+        segs_rows = [
+            (i, 0, 0.0, 0.1 * i, 5.0, 0.1 * i) for i in range(4)
+        ] + [
+            # dense vertical cluster near x=2 raises K for pings there
+            (10 + i, 0, 2.0 + 0.01 * i, -0.2, 2.0 + 0.01 * i, 0.6)
+            for i in range(6)
+        ]
+        pts_rows = []
+        for traj, n_steps in [(1, 37), (2, 3), (3, 7), (4, 1), (5, 12)]:
+            xs = np.round(rng.uniform(0.0, 5.0, n_steps), 3)
+            ys = np.round(rng.uniform(-0.05, 0.35, n_steps), 3)
+            pts_rows += [
+                (traj, s, float(xs[s]), float(ys[s]))
+                for s in range(n_steps)
+            ]
+        max_dist, sigma, beta = 0.3, 0.15, 0.06
+
+        def scalar_reference():
+            segs = sorted(segs_rows)  # (line_id, seg_idx) order
+            rows = []
+            by_traj = {}
+            for traj, s, x, y in pts_rows:
+                by_traj.setdefault(traj, []).append((s, x, y))
+            for traj, steps in sorted(by_traj.items()):
+                cands = []  # per step: list of (line, seg, sx, sy, d2)
+                kept_steps = []
+                for s, x, y in sorted(steps):
+                    cc = []
+                    for line, seg, x1, y1, x2, y2 in segs:
+                        dx, dy = x2 - x1, y2 - y1
+                        ln2 = dx * dx + dy * dy
+                        t = (
+                            0.0
+                            if ln2 == 0.0
+                            else max(
+                                0.0,
+                                min(1.0, ((x - x1) * dx + (y - y1) * dy) / ln2),
+                            )
+                        )
+                        sx_, sy_ = x1 + t * dx, y1 + t * dy
+                        d2 = (x - sx_) * (x - sx_) + (y - sy_) * (y - sy_)
+                        if np.sqrt(d2) <= max_dist:
+                            cc.append((line, seg, sx_, sy_, d2, x, y))
+                    if cc:
+                        cands.append(cc)
+                        kept_steps.append(s)
+                if not cands:
+                    continue
+                best = [c[4] / (sigma * sigma) for c in cands[0]]
+                bps = []
+                for k in range(1, len(cands)):
+                    prev, cur = cands[k - 1], cands[k]
+                    gx = cur[0][5] - prev[0][5]
+                    gy = cur[0][6] - prev[0][6]
+                    gap = np.sqrt(gx * gx + gy * gy)
+                    nb, bp = [], []
+                    for j, c in enumerate(cur):
+                        tots = [
+                            best[i]
+                            + abs(
+                                np.sqrt(
+                                    (c[2] - p[2]) * (c[2] - p[2])
+                                    + (c[3] - p[3]) * (c[3] - p[3])
+                                )
+                                - gap
+                            )
+                            / beta
+                            for i, p in enumerate(prev)
+                        ]
+                        bi = int(np.argmin(tots))
+                        bp.append(bi)
+                        nb.append(tots[bi] + c[4] / (sigma * sigma))
+                    bps.append(bp)
+                    best = nb
+                j = int(np.argmin(best))
+                picked = []
+                for k in range(len(cands) - 1, 0, -1):
+                    picked.append((k, j))
+                    j = bps[k - 1][j]
+                picked.append((0, j))
+                for k, j in sorted(picked):
+                    line, seg, sx_, sy_, d2, _, _ = cands[k][j]
+                    rows.append(
+                        (
+                            traj,
+                            kept_steps[k],
+                            line,
+                            seg,
+                            round(sx_, 6),
+                            round(sy_, 6),
+                            round(float(np.sqrt(d2)), 6),
+                        )
+                    )
+            return sorted(rows)
+
+        expected = scalar_reference()
+        for bc in (1, None):
+            got = sorted(
+                (
+                    r.traj_id,
+                    r.step,
+                    r.line_id,
+                    r.seg_idx,
+                    round(r.snap_x, 6),
+                    round(r.snap_y, 6),
+                    round(r.snap_dist, 6),
+                )
+                for r in hmm_map_match(
+                    _pts(spark, pts_rows),
+                    _segs(spark, segs_rows),
+                    max_dist=max_dist,
+                    sigma=sigma,
+                    beta=beta,
+                    bucket_count=bc,
+                ).collect()
+            )
+            assert got == expected, f"bucket_count={bc}"
