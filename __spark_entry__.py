@@ -4619,6 +4619,95 @@ b{s} AS (
     return "".join(parts)
 
 
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join (operators/spatial.py::
+    trajectory_hausdorff_join): exact discrete Hausdorff distance
+    over 60 six-point trajectories — 40 scattered tracks plus 20
+    jittered near-copies of the first 20 (jitter <= 0.008 degrees),
+    threshold 0.05. Candidate point pairs come from a grid-cell
+    equi-join (neighbor-ring expansion on one side), per-point minima
+    and per-direction maxima are plain aggregations, and an exact
+    coverage test (captured distinct points vs the trajectory's
+    count) drops any pair a single far point disqualifies — all
+    Catalyst, zero Python. The oracle computes the same Hausdorff
+    naively over the full point cross-product in DuckDB."""
+    from ksj2gp_spark.operators.spatial import trajectory_hausdorff_join
+
+    base = spark.range(40 * 6)
+    t = F.floor(F.col("id") / 6).cast("long")
+    k = F.col("id") % 6
+    bx = ((t * 7919) % 1000).cast("double") / F.lit(100.0)
+    by = ((t * 104729) % 1000).cast("double") / F.lit(100.0)
+    x = bx + k.cast("double") * F.lit(0.1) + (
+        ((t * 31 + k * 17) % 7).cast("double") / F.lit(1000.0)
+    )
+    y = by + k.cast("double") * F.lit(0.07) + (
+        ((t * 13 + k * 29) % 7).cast("double") / F.lit(1000.0)
+    )
+    pts = base.select(t.alias("traj_id"), x.alias("x"), y.alias("y"))
+    copies = spark.range(20 * 6)
+    tc = F.floor(F.col("id") / 6).cast("long")
+    kc = F.col("id") % 6
+    bxc = ((tc * 7919) % 1000).cast("double") / F.lit(100.0)
+    byc = ((tc * 104729) % 1000).cast("double") / F.lit(100.0)
+    xc = (
+        bxc
+        + kc.cast("double") * F.lit(0.1)
+        + (((tc * 31 + kc * 17) % 7).cast("double") / F.lit(1000.0))
+        + (((tc + kc) % 5).cast("double") / F.lit(625.0))
+    )
+    yc = (
+        byc
+        + kc.cast("double") * F.lit(0.07)
+        + (((tc * 13 + kc * 29) % 7).cast("double") / F.lit(1000.0))
+        + (((tc * 3 + kc) % 5).cast("double") / F.lit(625.0))
+    )
+    cpts = copies.select(
+        (tc + 100).alias("traj_id"), xc.alias("x"), yc.alias("y")
+    )
+    return trajectory_hausdorff_join(
+        pts.unionByName(cpts), max_dist=0.05, cell_size=0.05
+    )
+
+
+_HAUSDORFF_SQL = """
+WITH pts AS (
+  SELECT CAST(floor(i / 6) AS BIGINT) AS traj,
+         ((CAST(floor(i / 6) AS BIGINT) * 7919) % 1000) / 100.0
+           + (i % 6) * 0.1
+           + ((CAST(floor(i / 6) AS BIGINT) * 31 + (i % 6) * 17) % 7) / 1000.0 AS x,
+         ((CAST(floor(i / 6) AS BIGINT) * 104729) % 1000) / 100.0
+           + (i % 6) * 0.07
+           + ((CAST(floor(i / 6) AS BIGINT) * 13 + (i % 6) * 29) % 7) / 1000.0 AS y
+  FROM range(0, 240) s(i)
+  UNION ALL
+  SELECT CAST(floor(i / 6) AS BIGINT) + 100,
+         ((CAST(floor(i / 6) AS BIGINT) * 7919) % 1000) / 100.0
+           + (i % 6) * 0.1
+           + ((CAST(floor(i / 6) AS BIGINT) * 31 + (i % 6) * 17) % 7) / 1000.0
+           + ((CAST(floor(i / 6) AS BIGINT) + (i % 6)) % 5) / 625.0,
+         ((CAST(floor(i / 6) AS BIGINT) * 104729) % 1000) / 100.0
+           + (i % 6) * 0.07
+           + ((CAST(floor(i / 6) AS BIGINT) * 13 + (i % 6) * 29) % 7) / 1000.0
+           + ((CAST(floor(i / 6) AS BIGINT) * 3 + (i % 6)) % 5) / 625.0
+  FROM range(0, 120) s(i)
+),
+dmin AS (
+  SELECT a.traj AS ta, b.traj AS tb, a.x AS ax, a.y AS ay,
+         MIN(sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y))) AS dm
+  FROM pts a JOIN pts b ON a.traj <> b.traj
+  GROUP BY a.traj, b.traj, a.x, a.y
+),
+h AS (
+  SELECT ta, tb, MAX(dm) AS h FROM dmin GROUP BY ta, tb
+)
+SELECT h1.ta AS traj_a, h1.tb AS traj_b,
+       greatest(h1.h, h2.h) AS hausdorff
+FROM h h1 JOIN h h2 ON h1.ta = h2.tb AND h1.tb = h2.ta
+WHERE h1.ta < h1.tb AND greatest(h1.h, h2.h) <= 0.05
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6196,6 +6285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
+        "hausdorff_pairs": q_hausdorff_pairs,
         "image_patches": q_image_patches,
         "doc_length_quantiles": q_doc_length_quantiles,
         "zonal_stats_admin": q_zonal_stats,
@@ -6344,6 +6434,7 @@ GROUP BY p.admin_code
         "events_range_join": _RANGE_JOIN_SQL,
         "snap_roads": _SNAP_ROADS_SQL,
         "hmm_match": _hmm_match_sql(),
+        "hausdorff_pairs": _HAUSDORFF_SQL,
         "image_patches": _IMAGE_PATCHES_SQL,
         "doc_length_quantiles": _QUANTILES_SQL,
         "zonal_stats_admin": _zonal_sql(),

@@ -4151,3 +4151,151 @@ def hmm_map_match(
     )
     bucketed = bucketed.repartition(n_parts, "_b")
     return bucketed.groupBy("_b").applyInPandas(kernel, schema=schema)
+
+
+def trajectory_hausdorff_join(
+    points: DataFrame,
+    max_dist: float,
+    cell_size: float | None = None,
+    traj_id_col: str = "traj_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Trajectory-similarity self-join: all unordered trajectory
+    pairs whose discrete Hausdorff distance is at most ``max_dist``,
+    with the exact distance. ``H(A,B) = max(h(A,B), h(B,A))`` where
+    ``h(A,B) = max over a in A of min over b in B of euclid(a, b)``
+    — the classic "every point of each track is near the other
+    track" similarity used for route dedup and co-travel detection.
+    Emits ``(traj_a, traj_b, hausdorff)`` with ``traj_a < traj_b``.
+
+    Entirely Catalyst — joins and aggregations, zero Python:
+
+    * candidate point pairs come from a grid-cell equi-join: one side
+      keyed by its own cell, the other expanded to the
+      ``ceil(max_dist / cell_size)``-ring neighborhood, so every
+      cross-trajectory point pair within ``max_dist`` appears (in
+      both directions) and nothing like an all-pairs product is ever
+      formed. The exact distance filter runs inside the join's
+      whole-stage codegen.
+    * PRUNING IS EXACT: if ``H(A,B) <= max_dist`` then every point of
+      A has its true nearest B-point within ``max_dist`` — inside
+      the cell neighborhood — so per-point minima over captured
+      pairs ARE the true minima for every surviving pair. A
+      trajectory point with NO captured partner proves
+      ``h > max_dist``, so the pair is dropped by the coverage test
+      (per-direction captured-point count vs the trajectory's point
+      count) before any value comparison.
+    * aggregation ladder: per (ordered pair, source point) min →
+      per unordered pair, per-direction conditional max + coverage
+      count → filter. Three shuffles total on 8-byte-ish keys; the
+      per-trajectory point-count side joins in by trajectory id
+      (broadcast when small, shuffle otherwise).
+
+    Dense-area skew concentrates candidate pairs in hot cells — the
+    same data-driven hot-cell salting as the PIP join applies, and
+    bounded track length (caller sessionization, same contract as
+    :func:`hmm_map_match`) bounds per-pair work.
+    """
+    if max_dist <= 0:
+        raise ValueError("max_dist must be positive")
+    cs = float(cell_size if cell_size is not None else max_dist)
+    if cs <= 0:
+        raise ValueError("cell_size must be positive")
+    reach = int(np.ceil(float(max_dist) / cs))
+
+    pts = points.select(
+        F.col(traj_id_col).alias("_t"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.floor(F.col(x_col) / cs).cast("long").alias("_ci"),
+        F.floor(F.col(y_col) / cs).cast("long").alias("_cj"),
+    )
+    # distinct coordinates per trajectory (exact-coverage
+    # denominator — duplicate pings at the same spot collapse in the
+    # per-point min below, and min/max over a multiset equals the
+    # set's, so coverage counts distinct positions on both sides)
+    counts = pts.groupBy("_t").agg(
+        F.count_distinct(F.col("_x"), F.col("_y")).alias("_n")
+    )
+
+    plain = pts.select(
+        F.col("_t").alias("_tb"),
+        F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+        (F.col("_ci") * F.lit(1 << 26) + F.col("_cj")).alias("_cell"),
+    )
+    off = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(-reach), F.lit(reach)),
+                lambda di: F.transform(
+                    F.sequence(F.lit(-reach), F.lit(reach)),
+                    lambda dj: di * F.lit(1 << 26) + dj,
+                ),
+            )
+        )
+    ).alias("_off")
+    expanded = pts.select(
+        F.col("_t").alias("_ta"),
+        F.col("_x").alias("_ax"),
+        F.col("_y").alias("_ay"),
+        (F.col("_ci") * F.lit(1 << 26) + F.col("_cj")).alias("_c0"),
+        off,
+    ).select(
+        "_ta",
+        "_ax",
+        "_ay",
+        (F.col("_c0") + F.col("_off")).alias("_cell"),
+    )
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    dist = F.sqrt(dx * dx + dy * dy)
+    pairs = (
+        expanded.join(plain, "_cell")
+        .filter(F.col("_ta") != F.col("_tb"))
+        .select("_ta", "_tb", "_ax", "_ay", dist.alias("_d"))
+        .filter(F.col("_d") <= F.lit(float(max_dist)))
+    )
+    # per (ordered pair, source point): true nearest-partner distance
+    dmin = pairs.groupBy("_ta", "_tb", "_ax", "_ay").agg(
+        F.min("_d").alias("_dmin")
+    )
+    lk = F.least(F.col("_ta"), F.col("_tb"))
+    gk = F.greatest(F.col("_ta"), F.col("_tb"))
+    fwd = F.col("_ta") < F.col("_tb")
+    agg = (
+        dmin.select(
+            lk.alias("_lo"),
+            gk.alias("_hi"),
+            fwd.alias("_fwd"),
+            "_ta",
+            "_dmin",
+        )
+        .groupBy("_lo", "_hi")
+        .agg(
+            F.max(F.when(F.col("_fwd"), F.col("_dmin"))).alias("_h_ab"),
+            F.max(F.when(~F.col("_fwd"), F.col("_dmin"))).alias("_h_ba"),
+            F.count(F.when(F.col("_fwd"), F.lit(1))).alias("_cov_a"),
+            F.count(F.when(~F.col("_fwd"), F.lit(1))).alias("_cov_b"),
+        )
+    )
+    out = (
+        agg.join(counts.withColumnRenamed("_t", "_lo"), "_lo")
+        .withColumnRenamed("_n", "_na")
+        .join(counts.withColumnRenamed("_t", "_hi"), "_hi")
+        .withColumnRenamed("_n", "_nb")
+        .filter(
+            (F.col("_cov_a") == F.col("_na"))
+            & (F.col("_cov_b") == F.col("_nb"))
+        )
+        .select(
+            F.col("_lo").alias("traj_a"),
+            F.col("_hi").alias("traj_b"),
+            F.greatest(F.col("_h_ab"), F.col("_h_ba")).alias(
+                "hausdorff"
+            ),
+        )
+        .filter(F.col("hausdorff") <= F.lit(float(max_dist)))
+    )
+    return out
