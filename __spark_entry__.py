@@ -6201,6 +6201,314 @@ WHERE dist_km <= 8.0
 """
 
 
+
+def q_variogram_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram (operators/spatial.py::
+    empirical_variogram, Matheron 1962) of the station surface
+    (customer-derived image anchors, value = c_custkey % 97): all
+    unordered pairs within 0.05 deg binned into 6 lags, gamma =
+    avg(dv^2)/2 per bin. The Spark side is the 3x3 cell-neighborhood
+    self-join (exactly-once pair emission, no dedup shuffle); the
+    oracle is the brute-force cross join — the hash match PROVES the
+    prune emits every in-range pair exactly once."""
+    from ksj2gp_spark.operators.spatial import empirical_variogram
+
+    stations = _images_from_customer(spark, sf_dir).select(
+        F.col("image_id").alias("point_id"),
+        "lon",
+        "lat",
+        (F.substring("image_id", 4, 8).cast("long") % 97)
+        .cast("double")
+        .alias("value"),
+    )
+    return empirical_variogram(stations, max_lag=0.05, n_bins=6)
+
+
+_VARIOGRAM_SQL = f"""
+WITH {_IMAGES_CTE.strip().rstrip()},
+stations AS (
+  SELECT image_id AS pid, lon, lat,
+         CAST(CAST(substring(image_id, 4, 8) AS BIGINT) % 97 AS DOUBLE) AS v
+  FROM images
+),
+pairs AS (
+  SELECT a.lon - b.lon AS dx, a.lat - b.lat AS dy, a.v - b.v AS dv
+  FROM stations a JOIN stations b ON a.pid < b.pid
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat) <= 0.05 * 0.05
+)
+SELECT LEAST(CAST(floor(sqrt(dx * dx + dy * dy) / {0.05 / 6!r}) AS INT),
+             5) AS bin,
+       count(*) AS n_pairs,
+       round(avg(sqrt(dx * dx + dy * dy)), 6) AS avg_dist,
+       round(avg(dv * dv) / 2.0, 6) AS gamma
+FROM pairs GROUP BY bin
+"""
+
+
+def q_krige_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local ordinary kriging (operators/spatial.py::ordinary_krige,
+    Cressie 1993) with k=2 neighbors: 2,000 deterministic targets
+    predicted from their two nearest stations within 0.05 deg under an
+    exponential variogram (nugget 0.5, psill 40, range 0.02). The
+    Spark side runs the GENERAL batched np.linalg.solve kernel; the
+    oracle replays the k<=2 system in CLOSED FORM (w2-w1 =
+    (g1t-g2t)/g12 from the 3x3 lagrange system; the n=1 degenerate
+    collapses to w=1, var=2*g1t) — so the hash match proves the
+    linear-algebra kernel against an independent derivation, not
+    against itself."""
+    from ksj2gp_spark.operators.spatial import ordinary_krige
+
+    stations = _images_from_customer(spark, sf_dir).select(
+        F.col("image_id").alias("station_id"),
+        "lon",
+        "lat",
+        (F.substring("image_id", 4, 8).cast("long") % 97)
+        .cast("double")
+        .alias("value"),
+    )
+    k = F.col("id")
+    t_lon = F.lit(139.0) + (
+        ((k * F.lit(53) + F.lit(11)) * F.lit(_MIX) % F.lit(_MOD))
+        / F.lit(float(_MOD))
+    ) * F.lit(2.0)
+    t_lat = F.lit(35.0) + (
+        ((k * F.lit(29) + F.lit(3)) * F.lit(_MIX) % F.lit(_MOD))
+        / F.lit(float(_MOD))
+    ) * F.lit(2.0)
+    targets = spark.range(2000).select(
+        k.alias("target_id"), t_lon.alias("lon"), t_lat.alias("lat")
+    )
+    return ordinary_krige(
+        targets,
+        stations,
+        radius=0.05,
+        k=2,
+        model="exponential",
+        nugget=0.5,
+        psill=40.0,
+        vrange=0.02,
+    )
+
+
+def _gamma_sql(dexpr: str) -> str:
+    """Exponential variogram gamma as SQL (nugget 0.5, psill 40,
+    range 0.02), 0 at d=0 — the twin of _variogram_gamma_np."""
+    return (
+        f"CASE WHEN {dexpr} > 0 "
+        f"THEN 0.5 + 40.0 * (1.0 - exp(-({dexpr}) / 0.02)) "
+        f"ELSE 0.0 END"
+    )
+
+
+_KRIGE_SQL = f"""
+WITH {_IMAGES_CTE.strip().rstrip()},
+stations AS (
+  SELECT image_id AS sid, lon, lat,
+         CAST(CAST(substring(image_id, 4, 8) AS BIGINT) % 97 AS DOUBLE) AS v
+  FROM images
+),
+targets AS (
+  SELECT i AS target_id,
+         139.0 + ((i * 53 + 11) * {_MIX} % {_MOD}) / {float(_MOD)} * 2.0 AS lon,
+         35.0 + ((i * 29 + 3) * {_MIX} % {_MOD}) / {float(_MOD)} * 2.0 AS lat
+  FROM range(0, 2000) t(i)
+),
+cand AS (
+  SELECT t.target_id, s.sid, s.lon AS sx, s.lat AS sy, s.v,
+         (t.lon - s.lon) * (t.lon - s.lon)
+         + (t.lat - s.lat) * (t.lat - s.lat) AS d2
+  FROM targets t CROSS JOIN stations s
+  WHERE (t.lon - s.lon) * (t.lon - s.lon)
+        + (t.lat - s.lat) * (t.lat - s.lat) <= 0.05 * 0.05
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY target_id ORDER BY d2, sid) AS rn
+  FROM cand
+),
+top2 AS (
+  SELECT target_id,
+         count(*) AS n_used,
+         max(CASE WHEN rn = 1 THEN sx END) AS x1,
+         max(CASE WHEN rn = 1 THEN sy END) AS y1,
+         max(CASE WHEN rn = 1 THEN v END) AS v1,
+         max(CASE WHEN rn = 1 THEN sqrt(d2) END) AS d1,
+         max(CASE WHEN rn = 2 THEN sx END) AS x2,
+         max(CASE WHEN rn = 2 THEN sy END) AS y2,
+         max(CASE WHEN rn = 2 THEN v END) AS v2,
+         max(CASE WHEN rn = 2 THEN sqrt(d2) END) AS d2d
+  FROM rk WHERE rn <= 2 GROUP BY target_id
+),
+solved AS (
+  SELECT target_id, n_used, v1,
+         {_gamma_sql("d1")} AS g1,
+         {_gamma_sql("d2d")} AS g2,
+         {_gamma_sql("sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))")}
+           AS g12,
+         v2
+  FROM top2
+),
+weights AS (
+  SELECT target_id, n_used, v1, v2, g1, g2, g12,
+         (1.0 + (g1 - g2) / g12) / 2.0 AS w2
+  FROM solved WHERE n_used = 2
+)
+SELECT target_id, n_used,
+       round((1.0 - w2) * v1 + w2 * v2, 6) AS krige_value,
+       round((1.0 - w2) * g1 + w2 * g2 + (g1 - g12 * w2), 6) AS krige_var
+FROM weights
+UNION ALL
+SELECT target_id, n_used, round(v1, 6) AS krige_value,
+       round(2.0 * g1, 6) AS krige_var
+FROM solved WHERE n_used = 1
+"""
+
+
+def q_admin_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group geometric median (operators/spatial.py::
+    geometric_median, Weiszfeld 1937): the image anchors bucketed into
+    12 groups, 3 fixed Weiszfeld iterations from the centroid. The
+    oracle replays the SAME finite iteration schedule as three chained
+    SQL aggregations — iteration-for-iteration parity, the kmeans
+    replay pattern."""
+    from ksj2gp_spark.operators.spatial import geometric_median
+
+    pts = _images_from_customer(spark, sf_dir).select(
+        (F.substring("image_id", 4, 8).cast("long") % 12).alias("grp"),
+        "lon",
+        "lat",
+    )
+    return geometric_median(pts, group_col="grp", iters=3)
+
+
+def _weiszfeld_step_sql(prev: str, nxt: str) -> str:
+    """One Weiszfeld iteration as SQL, the twin of the Catalyst step in
+    geometric_median (same greatest(sqrt, 1e-12) floor)."""
+    return f"""
+{nxt} AS (
+  SELECT j.g,
+         sum(j.x * j.w) / sum(j.w) AS mx,
+         sum(j.y * j.w) / sum(j.w) AS my,
+         count(*) AS n
+  FROM (
+    SELECT p.g, p.x, p.y,
+           1.0 / greatest(sqrt((p.x - e.mx) * (p.x - e.mx)
+                               + (p.y - e.my) * (p.y - e.my)), 1e-12) AS w
+    FROM pts p JOIN {prev} e ON p.g = e.g
+  ) j GROUP BY j.g
+)"""
+
+
+_MEDIAN_SQL = f"""
+WITH {_IMAGES_CTE.strip().rstrip()},
+pts AS (
+  SELECT CAST(substring(image_id, 4, 8) AS BIGINT) % 12 AS g,
+         lon AS x, lat AS y
+  FROM images
+),
+it0 AS (
+  SELECT g, avg(x) AS mx, avg(y) AS my, count(*) AS n
+  FROM pts GROUP BY g
+),{_weiszfeld_step_sql("it0", "it1")},{_weiszfeld_step_sql("it1", "it2")},{_weiszfeld_step_sql("it2", "it3")}
+SELECT g AS grp, n AS n_points,
+       round(mx, 6) AS med_lon, round(my, 6) AS med_lat
+FROM it3
+"""
+
+
+def q_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash tiling (operators/cells.py::geohash_col, Niemeyer 2008):
+    precision-6 geohash of every image anchor, counted per cell — the
+    third cell scheme next to hex/s2/grid. Both sides are generated
+    from the SAME bit-layout table (geohash_col unrolls it as Catalyst
+    expressions, geohash_sql as ANSI SQL), so the hash match pins the
+    35-bit interleave + base-32 mapping bit for bit across engines."""
+    from ksj2gp_spark.operators.cells import geohash_col
+
+    imgs = _images_from_customer(spark, sf_dir)
+    return (
+        imgs.select(
+            geohash_col(F.col("lon"), F.col("lat"), 6).alias("geohash")
+        )
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+def _geohash_tiles_sql() -> str:
+    from ksj2gp_spark.operators.cells import geohash_sql
+
+    return f"""
+WITH {_IMAGES_CTE.strip().rstrip()},
+gh AS (
+  SELECT {geohash_sql("lon", "lat", 6)} AS geohash FROM images
+)
+SELECT geohash, count(*) AS n_images FROM gh GROUP BY geohash
+"""
+
+
+def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image sharpness/contrast statistics over REAL decoded pixels
+    (operators/images.py::sharpness_scores — variance-of-Laplacian
+    focus measure, Pech-Pacheco et al. 2000): the PNG rows (lossless)
+    of the 2,000-image fixture. Every output is an exact int64 sum of
+    integer pixel values, so the DuckDB oracle re-derives ALL of them
+    BIGINT-exact from the pixel formula (green channel =
+    (base*3 + seed) % 256, imagecodec.make_test_image) — per-pixel
+    decode fidelity AND the Laplacian arithmetic pinned in one hash."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators.images import sharpness_scores
+
+    imgs = fixtures.images_df(spark, 2000, with_bytes=True).filter(
+        F.col("fmt") == "png"
+    )
+    return sharpness_scores(imgs).select(
+        "image_id", "n_pix", "sum_p", "sum_p2", "lap_sq_sum", "n_interior"
+    )
+
+
+def _g_px_sql(y: str, x: str) -> str:
+    """Green-channel value at (y, x) as exact integer SQL — the twin of
+    make_test_image (base formula) + channel g = (base*3 + i) % 256."""
+    base = (
+        f"(({x}) * 255 // (w - 1)"
+        f" + (({y}) * 255 // (h - 1)) * (i % 3 + 1)"
+        f" + i * 37)"
+    )
+    return f"(({base} * 3 + i) % 256)"
+
+
+_SHARPNESS_SQL = f"""
+WITH dims AS (
+  SELECT i, 8 + i % 9 AS h, 8 + (i * 3) % 9 AS w
+  FROM range(0, 2000) t(i) WHERE i % 3 <> 0
+),
+px AS (
+  SELECT i, h, w, y, x,
+         {_g_px_sql("y", "x")} AS g,
+         CASE WHEN y >= 1 AND y <= h - 2 AND x >= 1 AND x <= w - 2
+              THEN 4 * {_g_px_sql("y", "x")}
+                   - {_g_px_sql("y - 1", "x")}
+                   - {_g_px_sql("y + 1", "x")}
+                   - {_g_px_sql("y", "x - 1")}
+                   - {_g_px_sql("y", "x + 1")}
+         END AS lap
+  FROM dims,
+       UNNEST(generate_series(0, h - 1)) ty(y),
+       UNNEST(generate_series(0, w - 1)) tx(x)
+)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(sum(g) AS BIGINT) AS sum_p,
+       CAST(sum(g * g) AS BIGINT) AS sum_p2,
+       CAST(coalesce(sum(lap * lap), 0) AS BIGINT) AS lap_sq_sum,
+       CAST(sum(CASE WHEN lap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_interior
+FROM px GROUP BY i
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -6286,6 +6594,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "variogram_admin": q_variogram_admin,
+        "krige_stations": q_krige_stations,
+        "admin_median_center": q_admin_median_center,
+        "geohash_tiles": q_geohash_tiles,
+        "image_sharpness": q_image_sharpness,
         "image_patches": q_image_patches,
         "doc_length_quantiles": q_doc_length_quantiles,
         "zonal_stats_admin": q_zonal_stats,
@@ -6435,6 +6748,11 @@ GROUP BY p.admin_code
         "snap_roads": _SNAP_ROADS_SQL,
         "hmm_match": _hmm_match_sql(),
         "hausdorff_pairs": _HAUSDORFF_SQL,
+        "variogram_admin": _VARIOGRAM_SQL,
+        "krige_stations": _KRIGE_SQL,
+        "admin_median_center": _MEDIAN_SQL,
+        "geohash_tiles": _geohash_tiles_sql(),
+        "image_sharpness": _SHARPNESS_SQL,
         "image_patches": _IMAGE_PATCHES_SQL,
         "doc_length_quantiles": _QUANTILES_SQL,
         "zonal_stats_admin": _zonal_sql(),

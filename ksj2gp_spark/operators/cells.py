@@ -271,3 +271,90 @@ def polygon_cover_df(
                 )
 
     return polygons.mapInPandas(explode, schema=f"cell long, {id_col} string")
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_layout(precision: int):
+    if not (1 <= precision <= 12):
+        raise ValueError("geohash precision must be in 1..12")
+    total = 5 * precision
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    return total, nlon, nlat
+
+
+def geohash_col(lon, lat, precision: int = 6):
+    """Geohash (Niemeyer 2008, public domain) of a lon/lat point as a
+    PURE Catalyst string column — no UDF, whole-stage codegen end to
+    end, so encoding 10^12 points is a map-only pass.
+
+    The standard construction: quantize lon to ceil(5p/2) bits and lat
+    to floor(5p/2) bits, interleave starting with lon (bit 0 = MSB),
+    emit 5-bit groups through the base-32 alphabet. The bit extraction
+    unrolls at plan-build time (5p shift-and-mask terms) — constant
+    folding keeps it one codegen stage. ``geohash_sql`` emits the
+    IDENTICAL arithmetic as ANSI SQL so an external engine reproduces
+    the strings bit for bit (same floor/clamp, same alphabet)."""
+    total, nlon, nlat = _geohash_layout(precision)
+    lon_q = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))),
+            F.lit((1 << nlon) - 1),
+        ),
+    )
+    lat_q = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))),
+            F.lit((1 << nlat) - 1),
+        ),
+    )
+    alpha = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    chars = []
+    for c in range(precision):
+        val = F.lit(0)
+        for b in range(5):
+            g = 5 * c + b
+            if g % 2 == 0:
+                src, shift = lon_q, nlon - 1 - g // 2
+            else:
+                src, shift = lat_q, nlat - 1 - (g - 1) // 2
+            bit = F.shiftright(src.cast("long"), shift).bitwiseAND(F.lit(1))
+            val = val + bit * F.lit(1 << (4 - b))
+        chars.append(F.element_at(alpha, val.cast("int") + F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
+    """The DuckDB/ANSI-SQL twin of ``geohash_col`` — generated from the
+    SAME bit layout, used by oracle queries to replay the encoding."""
+    total, nlon, nlat = _geohash_layout(precision)
+    lon_q = (
+        f"GREATEST(0, LEAST(CAST(floor(({lon_expr} + 180.0) / 360.0 * "
+        f"{float(1 << nlon)}) AS BIGINT), {(1 << nlon) - 1}))"
+    )
+    lat_q = (
+        f"GREATEST(0, LEAST(CAST(floor(({lat_expr} + 90.0) / 180.0 * "
+        f"{float(1 << nlat)}) AS BIGINT), {(1 << nlat) - 1}))"
+    )
+    parts = []
+    for c in range(precision):
+        terms = []
+        for b in range(5):
+            g = 5 * c + b
+            if g % 2 == 0:
+                src, shift = "lonq", nlon - 1 - g // 2
+            else:
+                src, shift = "latq", nlat - 1 - (g - 1) // 2
+            terms.append(f"(({src} >> {shift}) & 1) * {1 << (4 - b)}")
+        val = " + ".join(terms)
+        parts.append(
+            f"substr('{GEOHASH_ALPHABET}', CAST({val} AS INT) + 1, 1)"
+        )
+    concat = " || ".join(parts)
+    return (
+        f"(SELECT {concat} FROM (SELECT {lon_q} AS lonq, {lat_q} AS latq) _gh)"
+    )

@@ -430,3 +430,96 @@ def dihedral_variants(df: DataFrame, suffix: str = "r") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def sharpness_scores(df: DataFrame, channel: int = 1) -> DataFrame:
+    """Per-image sharpness + contrast statistics over REAL decoded
+    pixels — the standard pre-training image-quality gate (blurry /
+    flat frames score near zero and get dropped by the curation
+    filter). Per image, over one channel:
+
+    * ``lap_sq_sum`` — sum of squared responses of the 4-neighbor
+      Laplacian ``4c - up - down - left - right`` over interior pixels
+      (variance-of-Laplacian is the classic focus measure, Pech-Pacheco
+      et al. 2000);
+    * ``n_interior`` — interior pixel count (h-2)*(w-2);
+    * ``sum_p`` / ``sum_p2`` / ``n_pix`` — channel sum, squared sum and
+      pixel count, from which RMS contrast is exact:
+      ``var = sum_p2/n - (sum_p/n)^2``.
+
+    ALL five are exact int64 sums of integer pixel values, so for
+    lossless formats an external engine replays them bit-for-bit from
+    the pixel formula — the oracle contract. ``sharpness`` (mean
+    squared Laplacian) is derived from the exact sums, rounded to 6.
+
+    One mapInPandas pass; per-image work is four vectorized array
+    shifts — no per-pixel Python. Undecodable rows are skipped
+    (quarantine is decode_verify's job); grayscale uses the single
+    plane; images with no interior (h or w < 3) emit lap_sq_sum 0.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            rows: list = []
+            for img_id, buf, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imagecodec.decode_image(buf, fmt)
+                except Exception:
+                    continue
+                p = (arr[:, :, channel] if arr.ndim == 3 else arr).astype(
+                    np.int64
+                )
+                h, w = p.shape
+                if h >= 3 and w >= 3:
+                    lap = (
+                        4 * p[1:-1, 1:-1]
+                        - p[:-2, 1:-1]
+                        - p[2:, 1:-1]
+                        - p[1:-1, :-2]
+                        - p[1:-1, 2:]
+                    )
+                    lap_sq = int((lap * lap).sum())
+                    n_int = (h - 2) * (w - 2)
+                else:
+                    lap_sq, n_int = 0, 0
+                ids.append(img_id)
+                rows.append(
+                    (
+                        h * w,
+                        int(p.sum()),
+                        int((p * p).sum()),
+                        lap_sq,
+                        n_int,
+                    )
+                )
+            if ids:
+                a = np.array(rows, dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "image_id": ids,
+                        "n_pix": a[:, 0],
+                        "sum_p": a[:, 1],
+                        "sum_p2": a[:, 2],
+                        "lap_sq_sum": a[:, 3],
+                        "n_interior": a[:, 4],
+                        "sharpness": np.round(
+                            np.divide(
+                                a[:, 3],
+                                np.maximum(a[:, 4], 1),
+                                dtype=np.float64,
+                            ),
+                            6,
+                        ),
+                    }
+                )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema=(
+            "image_id string, n_pix long, sum_p long, sum_p2 long, "
+            "lap_sq_sum long, n_interior long, sharpness double"
+        ),
+    )

@@ -4299,3 +4299,429 @@ def trajectory_hausdorff_join(
         .filter(F.col("hausdorff") <= F.lit(float(max_dist)))
     )
     return out
+
+
+def empirical_variogram(
+    points: DataFrame,
+    max_lag: float,
+    n_bins: int = 8,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str = "value",
+    res: int | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Empirical (semi)variogram — the Matheron 1962 estimator, the
+    standard first step of geostatistical interpolation (Cressie 1993,
+    public): over all unordered point pairs with distance <= ``max_lag``
+    (planar degrees), bin by distance into ``n_bins`` equal lags and
+    emit per bin
+
+        gamma(h) = avg((v_i - v_j)^2) / 2
+
+    plus the pair count and mean pair distance. Output:
+    (bin, n_pairs, avg_dist, gamma), rounded to 6 decimals (summation
+    order noise ~1e-15; same convention as ``idw_interpolate``).
+
+    Fully relational self-join, zero Python in the plan, same exactness
+    argument as ``idw_interpolate``: pick the finest grid whose cell
+    edge >= max_lag, explode ONE copy of the points into the 9-cell
+    Moore neighborhood, equi-join on the packed cell key against the
+    un-exploded copy, keep ``id_left < id_right``. A pair within
+    ``max_lag`` appears for EXACTLY ONE neighbor offset (the one that
+    shifts the right point's cell onto the left's), so no dedup shuffle
+    is needed; the d2 <= max_lag^2 refine runs in codegen.
+
+    Scale: pair counts grow with local density^2 — the classical
+    variogram answer is pair sampling. ``sample_fraction`` thins the
+    POINT table map-side (deterministic xxhash64 on the id, rerun
+    stable) before the join, which thins pairs by ~fraction^2 without
+    any extra pass; the estimator stays unbiased per bin. A dense-city
+    cell is an ordinary AQE skew-join case (the join key is the cell).
+    """
+    import math
+
+    if max_lag <= 0:
+        raise ValueError("max_lag must be positive")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    if res is None:
+        res = int(math.floor(math.log2(360.0 / max_lag)))
+    res = max(0, min(res, 28))
+    size = 360.0 / (1 << res)
+    if size < max_lag:
+        raise ValueError(
+            f"grid res {res} has cell edge {size} < max_lag {max_lag}: "
+            "the 3x3 prune would miss in-range pairs"
+        )
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        keep = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 20))
+            < F.lit(int(sample_fraction * (1 << 20)))
+        )
+        points = points.filter(keep)
+
+    def ij(lon, lat):
+        i = F.floor((lon + F.lit(180.0)) / F.lit(size)).cast("long")
+        j = F.floor((lat + F.lit(90.0)) / F.lit(size)).cast("long")
+        return i, j
+
+    li, lj = ij(F.col(lon_col), F.col(lat_col))
+    left = points.select(
+        F.col(id_col).alias("_lid"),
+        F.col(lon_col).alias("_llon"),
+        F.col(lat_col).alias("_llat"),
+        F.col(value_col).alias("_lv"),
+        (li * F.lit(1 << 31) + lj).alias("_cell"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    ri, rj = ij(F.col(lon_col), F.col(lat_col))
+    right = points.select(
+        F.col(id_col).alias("_rid"),
+        F.col(lon_col).alias("_rlon"),
+        F.col(lat_col).alias("_rlat"),
+        F.col(value_col).alias("_rv"),
+        ri.alias("_ri"),
+        rj.alias("_rj"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_rid",
+        "_rlon",
+        "_rlat",
+        "_rv",
+        (
+            (F.col("_ri") + F.col("_o.di")) * F.lit(1 << 31)
+            + (F.col("_rj") + F.col("_o.dj"))
+        ).alias("_cell"),
+    )
+    dx = F.col("_llon") - F.col("_rlon")
+    dy = F.col("_llat") - F.col("_rlat")
+    d2 = dx * dx + dy * dy
+    d = F.sqrt(d2)
+    width = float(max_lag) / int(n_bins)
+    dv = F.col("_lv") - F.col("_rv")
+    return (
+        left.join(right, "_cell")
+        .filter(
+            (F.col("_lid") < F.col("_rid"))
+            & (d2 <= F.lit(float(max_lag) * float(max_lag)))
+        )
+        .select(
+            F.least(
+                F.floor(d / F.lit(width)).cast("int"),
+                F.lit(int(n_bins) - 1),
+            ).alias("bin"),
+            d.alias("_d"),
+            (dv * dv).alias("_dv2"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("_d"), 6).alias("avg_dist"),
+            F.round(F.avg("_dv2") / F.lit(2.0), 6).alias("gamma"),
+        )
+    )
+
+
+def _variogram_gamma_np(
+    d: np.ndarray, model: str, nugget: float, psill: float, vrange: float
+) -> np.ndarray:
+    """Variogram model gamma(d) (Cressie 1993): 0 at d=0 exactly, the
+    nugget discontinuity appears for any d > 0."""
+    d = np.asarray(d, dtype=np.float64)
+    if model == "exponential":
+        g = nugget + psill * (1.0 - np.exp(-d / vrange))
+    elif model == "spherical":
+        h = np.minimum(d / vrange, 1.0)
+        g = nugget + psill * (1.5 * h - 0.5 * h * h * h)
+    elif model == "gaussian":
+        g = nugget + psill * (1.0 - np.exp(-(d * d) / (vrange * vrange)))
+    else:
+        raise ValueError(f"unknown variogram model {model!r}")
+    return np.where(d > 0.0, g, 0.0)
+
+
+def ordinary_krige(
+    targets: DataFrame,
+    stations: DataFrame,
+    radius: float,
+    k: int = 8,
+    model: str = "exponential",
+    nugget: float = 0.0,
+    psill: float = 1.0,
+    vrange: float = 1.0,
+    res: int | None = None,
+    target_id: str = "target_id",
+    station_id: str = "station_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str = "value",
+) -> DataFrame:
+    """Ordinary kriging with a local moving neighborhood (Cressie 1993;
+    the textbook local-OK estimator every geostat package exposes):
+    each target is predicted from its ``k`` nearest stations within
+    ``radius`` by solving the (n+1)x(n+1) ordinary-kriging system
+
+        [Gamma 1; 1' 0] [w; mu] = [gamma_t; 1]
+
+    with the fitted variogram model (nugget/psill/vrange — fit them
+    from ``empirical_variogram`` upstream). Emits
+    (target_id, n_used, krige_value, krige_var), rounded to 6 decimals.
+
+    Physical plan, scale-first:
+
+    1. candidate pairs from the SAME exact 3x3 cell prune as
+       ``idw_interpolate`` (cell edge >= radius, so no in-range station
+       is missed) — the target side (the 10^12-row one) never explodes;
+    2. top-k nearest per target via one window keyed on the target id
+       (tie-broken on station id, so the neighbor SET is deterministic);
+    3. neighbors collapse to ONE row per target (``sort_array`` over a
+       struct keeps kernel input deterministic), so the Python boundary
+       moves k*(dim+1) doubles per target, never the station table;
+    4. an Arrow-batched kernel solves ALL same-size systems in one
+       stacked ``np.linalg.solve`` call — per-target Python never runs.
+       Singular stacks (duplicate station coordinates) fall back to
+       per-item least squares rather than failing the batch.
+
+    The n=1 degenerate system reduces to w=1, mu=gamma_1t (prediction =
+    the lone station's value, variance 2*gamma_1t) — kept, it's the
+    sparse-coverage audit lane; targets with NO station in radius drop
+    out, same contract as ``idw_interpolate``'s min_stations.
+    """
+    import math
+
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if vrange <= 0:
+        raise ValueError("vrange must be positive")
+    if nugget < 0 or psill < 0 or nugget + psill <= 0:
+        raise ValueError("need nugget >= 0, psill >= 0, nugget+psill > 0")
+    _variogram_gamma_np(np.array([1.0]), model, nugget, psill, vrange)
+    if res is None:
+        res = int(math.floor(math.log2(360.0 / radius)))
+    res = max(0, min(res, 28))
+    size = 360.0 / (1 << res)
+    if size < radius:
+        raise ValueError(
+            f"grid res {res} has cell edge {size} < radius {radius}: "
+            "the 3x3 prune would miss in-range stations"
+        )
+
+    def ij(lon, lat):
+        i = F.floor((lon + F.lit(180.0)) / F.lit(size)).cast("long")
+        j = F.floor((lat + F.lit(90.0)) / F.lit(size)).cast("long")
+        return i, j
+
+    ti, tj = ij(F.col(lon_col), F.col(lat_col))
+    t = targets.select(
+        F.col(target_id),
+        F.col(lon_col).alias("_tlon"),
+        F.col(lat_col).alias("_tlat"),
+        (ti * F.lit(1 << 31) + tj).alias("_cell"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    si, sj = ij(F.col(lon_col), F.col(lat_col))
+    s = stations.select(
+        F.col(station_id).alias("_sid"),
+        F.col(lon_col).alias("_slon"),
+        F.col(lat_col).alias("_slat"),
+        F.col(value_col).cast("double").alias("_v"),
+        si.alias("_si"),
+        sj.alias("_sj"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_sid",
+        "_slon",
+        "_slat",
+        "_v",
+        (
+            (F.col("_si") + F.col("_o.di")) * F.lit(1 << 31)
+            + (F.col("_sj") + F.col("_o.dj"))
+        ).alias("_cell"),
+    )
+    dx = F.col("_tlon") - F.col("_slon")
+    dy = F.col("_tlat") - F.col("_slat")
+    d2 = dx * dx + dy * dy
+    from pyspark.sql.window import Window
+
+    cand = (
+        t.join(s, "_cell")
+        .filter(d2 <= F.lit(float(radius) * float(radius)))
+        .select(
+            target_id,
+            "_sid",
+            "_slon",
+            "_slat",
+            "_v",
+            d2.alias("_d2"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(target_id).orderBy("_d2", "_sid")
+            ),
+        )
+        .filter(F.col("_rn") <= F.lit(int(k)))
+    )
+    grouped = cand.groupBy(target_id).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_d2").alias("d2"),
+                    F.col("_sid").cast("string").alias("sid"),
+                    F.col("_slon").alias("slon"),
+                    F.col("_slat").alias("slat"),
+                    F.col("_v").alias("v"),
+                )
+            )
+        ).alias("_nb")
+    )
+
+    mdl, ngt, psl, vrg = model, float(nugget), float(psill), float(vrange)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf[target_id].to_numpy()
+            nbs = pdf["_nb"].tolist()
+            sizes = np.array([len(nb) for nb in nbs], dtype=np.int64)
+            out_id: list = []
+            out_n: list = []
+            out_val: list = []
+            out_var: list = []
+            for n in np.unique(sizes):
+                idx = np.nonzero(sizes == n)[0]
+                m = len(idx)
+                lon = np.empty((m, n))
+                lat = np.empty((m, n))
+                val = np.empty((m, n))
+                dt = np.empty((m, n))
+                for row, gi in enumerate(idx):
+                    nb = nbs[gi]
+                    get = (
+                        (lambda e, f: e[f])
+                        if isinstance(nb[0], dict)
+                        else (lambda e, f: getattr(e, f))
+                    )
+                    lon[row] = [get(e, "slon") for e in nb]
+                    lat[row] = [get(e, "slat") for e in nb]
+                    val[row] = [get(e, "v") for e in nb]
+                    dt[row] = np.sqrt([get(e, "d2") for e in nb])
+                dss = np.sqrt(
+                    (lon[:, :, None] - lon[:, None, :]) ** 2
+                    + (lat[:, :, None] - lat[:, None, :]) ** 2
+                )
+                A = np.zeros((m, n + 1, n + 1))
+                A[:, :n, :n] = _variogram_gamma_np(dss, mdl, ngt, psl, vrg)
+                A[:, n, :n] = 1.0
+                A[:, :n, n] = 1.0
+                b = np.empty((m, n + 1))
+                b[:, :n] = _variogram_gamma_np(dt, mdl, ngt, psl, vrg)
+                b[:, n] = 1.0
+                try:
+                    x = np.linalg.solve(A, b[:, :, None])[:, :, 0]
+                except np.linalg.LinAlgError:
+                    x = np.stack(
+                        [
+                            np.linalg.lstsq(A[i], b[i], rcond=None)[0]
+                            for i in range(m)
+                        ]
+                    )
+                w, mu = x[:, :n], x[:, n]
+                pred = (w * val).sum(axis=1)
+                var = (w * b[:, :n]).sum(axis=1) + mu
+                out_id.append(tids[idx])
+                out_n.append(np.full(m, n, dtype=np.int32))
+                out_val.append(np.round(pred, 6))
+                out_var.append(np.round(var, 6))
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        target_id: np.concatenate(out_id),
+                        "n_used": np.concatenate(out_n),
+                        "krige_value": np.concatenate(out_val),
+                        "krige_var": np.concatenate(out_var),
+                    }
+                )
+
+    id_type = dict(grouped.dtypes)[target_id]
+    return grouped.mapInPandas(
+        kernel,
+        schema=(
+            f"{target_id} {id_type}, n_used int, "
+            "krige_value double, krige_var double"
+        ),
+    )
+
+
+def geometric_median(
+    points: DataFrame,
+    group_col: str = "group",
+    iters: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-group geometric median (spatial central feature) via the
+    Weiszfeld algorithm (Weiszfeld 1937, public) with a FIXED iteration
+    count, so the whole computation is a finite Catalyst plan that an
+    external SQL engine can replay iteration-for-iteration:
+
+        m_0 = centroid;  m_{j+1} = sum(p_i/d_i) / sum(1/d_i),
+        d_i = max(|p_i - m_j|, eps)
+
+    Emits (group, n_points, med_lon, med_lat), rounded to 6 decimals.
+    The median minimizes summed Euclidean distance — the right "central
+    point" for dispatch/placement questions where the MEAN is skew-
+    dragged (same motivation as std_ellipse's centrography lane).
+
+    Scale shape: the points table is aggregated ``iters + 1`` times,
+    each a map-side-combinable groupBy on the group key (partial
+    aggregation does the heavy lifting; no pair blowup, no window). The
+    per-group estimate frame (one row per group) re-enters each
+    iteration through an explicit ``F.broadcast`` join, so the point
+    table NEVER shuffles on anything but its group key. eps floors
+    coincident points (the documented Weiszfeld singularity).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    pts = points.select(
+        F.col(group_col).alias("_g"),
+        F.col(lon_col).cast("double").alias("_x"),
+        F.col(lat_col).cast("double").alias("_y"),
+    )
+    est = pts.groupBy("_g").agg(
+        F.avg("_x").alias("_mx"),
+        F.avg("_y").alias("_my"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    for _ in range(int(iters)):
+        j = pts.join(F.broadcast(est.select("_g", "_mx", "_my")), "_g")
+        dx = F.col("_x") - F.col("_mx")
+        dy = F.col("_y") - F.col("_my")
+        d = F.greatest(F.sqrt(dx * dx + dy * dy), F.lit(float(eps)))
+        w = F.lit(1.0) / d
+        est = j.groupBy("_g").agg(
+            (F.sum(w * F.col("_x")) / F.sum(w)).alias("_mx"),
+            (F.sum(w * F.col("_y")) / F.sum(w)).alias("_my"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    return est.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n_points"),
+        F.round("_mx", 6).alias("med_lon"),
+        F.round("_my", 6).alias("med_lat"),
+    )
