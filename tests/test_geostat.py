@@ -425,3 +425,53 @@ class TestSharpnessScores:
         out = sharpness_scores(df).toPandas()
         assert list(out.image_id) == ["tiny"]  # bad row skipped
         assert out.n_interior[0] == 0 and out.lap_sq_sum[0] == 0
+
+
+class TestPlanShapes:
+    """The intended physical plans, pinned (the repo's plan-assertion
+    pattern): no cartesian blowups, pure codegen where promised."""
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_variogram_no_cartesian_no_python(self, spark):
+        df = spark.createDataFrame(_points_pdf(50))
+        plan = self._plan(empirical_variogram(df, max_lag=0.1, n_bins=4))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan  # zero Python in the plan
+
+    def test_krige_no_cartesian(self, spark):
+        pts = _points_pdf(50)
+        plan = self._plan(
+            ordinary_krige(
+                spark.createDataFrame(
+                    pts.rename(columns={"point_id": "target_id"})
+                ),
+                spark.createDataFrame(
+                    pts.rename(columns={"point_id": "station_id"})
+                ),
+                radius=0.05,
+                k=3,
+            )
+        )
+        assert "CartesianProduct" not in plan
+        # the ONLY Python boundary is the post-collapse solve kernel
+        assert plan.count("MapInPandas") == 1
+
+    def test_median_broadcasts_estimates(self, spark):
+        df = spark.createDataFrame(_points_pdf(50)).withColumn(
+            "group", (F.col("point_id") % 2).cast("int")
+        )
+        plan = self._plan(geometric_median(df, group_col="group", iters=2))
+        assert "BroadcastHashJoin" in plan  # estimate frame, never the points
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_geohash_pure_codegen(self, spark):
+        df = spark.createDataFrame(_points_pdf(10)).select(
+            geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh")
+        )
+        plan = self._plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
