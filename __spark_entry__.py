@@ -6202,6 +6202,200 @@ WHERE dist_km <= 8.0
 
 
 
+
+def q_gwr_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographically weighted regression (operators/spatial.py::gwr,
+    Brunsdon et al. 1996): 2,000 deterministic targets each fit a
+    gaussian-weighted local OLS of y = custkey%97 on x = custkey%23
+    over the station surface (bandwidth 0.02, truncation 3b). The
+    Spark side is the lossless cell prune + closed-form sufficient
+    statistics in pure Catalyst; the oracle is the brute-force cross
+    join with the identical algebra (including the RELATIVE zero-
+    variance rules), so the hash match proves both the prune and the
+    closed form."""
+    from ksj2gp_spark.operators.spatial import gwr
+
+    stations = _images_from_customer(spark, sf_dir).select(
+        "lon",
+        "lat",
+        (F.substring("image_id", 4, 8).cast("long") % 23)
+        .cast("double")
+        .alias("x"),
+        (F.substring("image_id", 4, 8).cast("long") % 97)
+        .cast("double")
+        .alias("y"),
+    )
+    k = F.col("id")
+    t_lon = F.lit(139.0) + (
+        ((k * F.lit(53) + F.lit(11)) * F.lit(_MIX) % F.lit(_MOD))
+        / F.lit(float(_MOD))
+    ) * F.lit(2.0)
+    t_lat = F.lit(35.0) + (
+        ((k * F.lit(29) + F.lit(3)) * F.lit(_MIX) % F.lit(_MOD))
+        / F.lit(float(_MOD))
+    ) * F.lit(2.0)
+    targets = spark.range(2000).select(
+        k.alias("target_id"), t_lon.alias("lon"), t_lat.alias("lat")
+    )
+    return gwr(targets, stations, bandwidth=0.02)
+
+
+_GWR_SQL = f"""
+WITH {_IMAGES_CTE.strip().rstrip()},
+stations AS (
+  SELECT lon, lat,
+         CAST(CAST(substring(image_id, 4, 8) AS BIGINT) % 23 AS DOUBLE) AS x,
+         CAST(CAST(substring(image_id, 4, 8) AS BIGINT) % 97 AS DOUBLE) AS y
+  FROM images
+),
+targets AS (
+  SELECT i AS target_id,
+         139.0 + ((i * 53 + 11) * {_MIX} % {_MOD}) / {float(_MOD)} * 2.0 AS lon,
+         35.0 + ((i * 29 + 3) * {_MIX} % {_MOD}) / {float(_MOD)} * 2.0 AS lat
+  FROM range(0, 2000) t(i)
+),
+cand AS (
+  SELECT t.target_id, s.x, s.y,
+         exp(-((t.lon - s.lon) * (t.lon - s.lon)
+               + (t.lat - s.lat) * (t.lat - s.lat)) / (2 * 0.02 * 0.02)) AS w
+  FROM targets t CROSS JOIN stations s
+  WHERE (t.lon - s.lon) * (t.lon - s.lon)
+        + (t.lat - s.lat) * (t.lat - s.lat) <= 0.06 * 0.06
+),
+agg AS (
+  SELECT target_id, count(*) AS n_used,
+         sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+         sum(w * x * x) AS swxx, sum(w * x * y) AS swxy,
+         sum(w * y * y) AS swyy
+  FROM cand GROUP BY target_id HAVING count(*) >= 3
+),
+cent AS (
+  SELECT target_id, n_used, sw, swx, swy, swxx, swyy,
+         swxx - swx * swx / sw AS sxx,
+         swyy - swy * swy / sw AS syy,
+         swxy - swx * swy / sw AS sxy
+  FROM agg
+)
+SELECT target_id, n_used,
+       round((swy - (sxy / sxx) * swx) / sw, 6) AS intercept,
+       round(sxy / sxx, 6) AS slope,
+       round(CASE WHEN syy <= 1e-12 * abs(swyy) THEN 1.0
+                  ELSE sxy * sxy / (sxx * syy) END, 6) AS local_r2
+FROM cent
+WHERE NOT (sxx <= 1e-12 * abs(swxx))
+"""
+
+
+def q_slope_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain map algebra (operators/raster.py::slope_aspect, Horn
+    1981) over the sparse tile raster: per-cell image counts as the
+    value surface, third-order finite-difference gradient on the full
+    3x3 windows only. The oracle replays the scatter-gather with the
+    same packed-cell integer decode and the same gx/gy/atan algebra."""
+    from ksj2gp_spark.operators.raster import slope_aspect
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return slope_aspect(cells, res=GRID_RES)
+
+
+_SLOPE_SQL = f"""
+WITH tiles AS ({{tiles}}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+decoded AS (
+  SELECT (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j, v
+  FROM cells
+),
+scattered AS (
+  SELECT {GRID_RES} * {1 << 58} + (i + di.x) * {1 << 29} + (j + dj.x) AS cell,
+         -di.x AS di, -dj.x AS dj, v
+  FROM decoded
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+),
+win AS (
+  SELECT cell, count(*) AS n,
+         sum(CASE WHEN di = -1 AND dj = -1 THEN v END) AS z_0_0,
+         sum(CASE WHEN di = -1 AND dj =  0 THEN v END) AS z_0_1,
+         sum(CASE WHEN di = -1 AND dj =  1 THEN v END) AS z_0_2,
+         sum(CASE WHEN di =  0 AND dj = -1 THEN v END) AS z_1_0,
+         sum(CASE WHEN di =  0 AND dj =  1 THEN v END) AS z_1_2,
+         sum(CASE WHEN di =  1 AND dj = -1 THEN v END) AS z_2_0,
+         sum(CASE WHEN di =  1 AND dj =  0 THEN v END) AS z_2_1,
+         sum(CASE WHEN di =  1 AND dj =  1 THEN v END) AS z_2_2
+  FROM scattered GROUP BY cell
+),
+grad AS (
+  SELECT cell,
+         ((z_2_0 + 2 * z_2_1 + z_2_2) - (z_0_0 + 2 * z_0_1 + z_0_2))
+           / (8 * {360.0 / (1 << GRID_RES)!r}) AS gx,
+         ((z_0_2 + 2 * z_1_2 + z_2_2) - (z_0_0 + 2 * z_1_0 + z_2_0))
+           / (8 * {360.0 / (1 << GRID_RES)!r}) AS gy
+  FROM win WHERE n = 9
+)
+SELECT cell, round(gx, 6) AS dzdx, round(gy, 6) AS dzdy,
+       round(atan(sqrt(gx * gx + gy * gy)) * {180.0 / 3.141592653589793!r},
+             6) AS slope_deg,
+       round(atan2(gy, gx) * {180.0 / 3.141592653589793!r}, 6) AS aspect_deg
+FROM grad
+"""
+
+
+def q_morph_close_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological closing of each admin polygon's tile cover
+    (operators/raster.py::dilate_cells + erode_cells): dilate by one
+    Chebyshev ring then erode by one — pinholes and 1-cell channels
+    fill, the classic cleanup before vectorize_cells. Output: per-admin
+    closed-cover cell counts. The oracle replays dilation as a
+    distinct-offset scatter and erosion as the full-neighborhood count
+    rule in SQL set algebra."""
+    from ksj2gp_spark.operators.raster import dilate_cells, erode_cells
+
+    cover = _tiles(spark, sf_dir).select("admin_code", "cell").distinct()
+    closed = erode_cells(
+        dilate_cells(cover, rings=1, group_cols=("admin_code",)),
+        rings=1,
+        group_cols=("admin_code",),
+    )
+    return closed.groupBy("admin_code").agg(
+        F.count(F.lit(1)).alias("n_cells")
+    )
+
+
+_MORPH_SQL = f"""
+WITH tiles AS ({{tiles}}),
+cover AS (
+  SELECT DISTINCT admin_code,
+         (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j
+  FROM tiles
+),
+dilated AS (
+  SELECT DISTINCT admin_code, i + di.x AS i, j + dj.x AS j
+  FROM cover
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) di
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS x) dj
+  WHERE i + di.x >= 0 AND i + di.x < {1 << GRID_RES}
+    AND j + dj.x >= 0 AND j + dj.x < {1 << (GRID_RES - 1)}
+),
+closed AS (
+  SELECT admin_code, i, j FROM dilated d
+  WHERE 9 = (
+    SELECT count(*) FROM dilated n
+    WHERE n.admin_code = d.admin_code
+      AND abs(n.i - d.i) <= 1 AND abs(n.j - d.j) <= 1
+  )
+)
+SELECT admin_code, count(*) AS n_cells FROM closed GROUP BY admin_code
+"""
+
+
 def q_variogram_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical semivariogram (operators/spatial.py::
     empirical_variogram, Matheron 1962) of the station surface
@@ -6594,6 +6788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "gwr_admin": q_gwr_admin,
+        "slope_tiles": q_slope_tiles,
+        "morph_close_tiles": q_morph_close_tiles,
         "variogram_admin": q_variogram_admin,
         "krige_stations": q_krige_stations,
         "admin_median_center": q_admin_median_center,
@@ -6748,6 +6945,9 @@ GROUP BY p.admin_code
         "snap_roads": _SNAP_ROADS_SQL,
         "hmm_match": _hmm_match_sql(),
         "hausdorff_pairs": _HAUSDORFF_SQL,
+        "gwr_admin": _GWR_SQL,
+        "slope_tiles": _SLOPE_SQL.format(tiles=_TILES_SQL.strip()),
+        "morph_close_tiles": _MORPH_SQL.format(tiles=_TILES_SQL.strip()),
         "variogram_admin": _VARIOGRAM_SQL,
         "krige_stations": _KRIGE_SQL,
         "admin_median_center": _MEDIAN_SQL,

@@ -440,3 +440,191 @@ def dissolve(
         group_expr.alias("admin_code"), "cell"
     ).dropDuplicates(["admin_code", "cell"])
     return vectorize_cells(regrouped, res)
+
+
+def slope_aspect(
+    raster: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Slope / aspect map algebra over a sparse grid raster — Horn's
+    1981 third-order finite difference (the standard desktop-GIS
+    terrain operator), distributed with the focal_mean scatter-gather
+    shape: every cell scatters its value to its 9-cell Moore
+    neighborhood tagged with the receiver-relative offset, ONE
+    map-side-combinable groupBy reassembles each center's 3x3 window
+    via conditional sums, and ONLY cells with the full 9-cell window
+    emit (the explicit exact-lane rule — edge cells drop rather than
+    extrapolate). The weight matrix / dense raster never materializes;
+    zero driver collects; zero Python.
+
+    With i→x (lon, cell width 360/2^res deg) and j→y (lat):
+
+        gx = ((z[+1,-1] + 2 z[+1,0] + z[+1,+1])
+              - (z[-1,-1] + 2 z[-1,0] + z[-1,+1])) / (8 s)
+        gy = ((z[-1,+1] + 2 z[0,+1] + z[+1,+1])
+              - (z[-1,-1] + 2 z[0,-1] + z[+1,-1])) / (8 s)
+
+    Output: (cell, dzdx, dzdy, slope_deg, aspect_deg), round 6.
+    slope = atan(|∇z|) in degrees; aspect = atan2(gy, gx) in degrees —
+    the UPHILL gradient direction, math convention (CCW from east),
+    0 for exactly flat windows (atan2(0,0) = 0 in Spark and ANSI SQL
+    alike, so the rule is engine-portable).
+    """
+    if not (0 <= res <= 28):
+        raise ValueError("res must be in 0..28")
+    size = 360.0 / (1 << res)
+    d = _decompose(raster.select(cell_col, value_col), cell_col)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    scat = d.select(
+        F.col(value_col).alias("_v"),
+        F.explode(offsets).alias("_o"),
+        "_i",
+        "_j",
+    ).select(
+        "_v",
+        # receiver center; the value's offset AS SEEN FROM the center
+        # is the negation of the scatter direction
+        _encode(
+            F.lit(int(res)),
+            F.col("_i") + F.col("_o.di"),
+            F.col("_j") + F.col("_o.dj"),
+        ),
+        (-F.col("_o.di")).alias("_di"),
+        (-F.col("_o.dj")).alias("_dj"),
+    )
+
+    def z(di: int, dj: int):
+        return F.sum(
+            F.when(
+                (F.col("_di") == di) & (F.col("_dj") == dj), F.col("_v")
+            )
+        )
+
+    g = scat.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            z(di, dj).alias(f"_z_{di + 1}_{dj + 1}")
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ],
+    )
+
+    def zc(di: int, dj: int):
+        return F.col(f"_z_{di + 1}_{dj + 1}")
+
+    gx = (
+        (zc(1, -1) + F.lit(2.0) * zc(1, 0) + zc(1, 1))
+        - (zc(-1, -1) + F.lit(2.0) * zc(-1, 0) + zc(-1, 1))
+    ) / F.lit(8.0 * size)
+    gy = (
+        (zc(-1, 1) + F.lit(2.0) * zc(0, 1) + zc(1, 1))
+        - (zc(-1, -1) + F.lit(2.0) * zc(0, -1) + zc(1, -1))
+    ) / F.lit(8.0 * size)
+    deg = F.lit(180.0 / 3.141592653589793)
+    return (
+        g.filter(F.col("_n") == 9)
+        .select(
+            "cell",
+            F.round(gx, 6).alias("dzdx"),
+            F.round(gy, 6).alias("dzdy"),
+            F.round(F.atan(F.sqrt(gx * gx + gy * gy)) * deg, 6).alias(
+                "slope_deg"
+            ),
+            F.round(F.atan2(gy, gx) * deg, 6).alias("aspect_deg"),
+        )
+    )
+
+
+def dilate_cells(
+    df: DataFrame,
+    rings: int,
+    group_cols: tuple[str, ...] = (),
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Morphological DILATION of a uniform-res grid-cell set by
+    ``rings`` Chebyshev rings — the cell-space buffer: a polygon's
+    cover dilated by ceil(distance/cell_size) rings contains the true
+    distance-buffer's cover (outer approximation, one cell of slack;
+    the resolution, not the operator, sets the error bound). Explode
+    each cell into its (2r+1)^2 neighborhood map-side, ONE distinct per
+    group — the classic explode-then-dedup shape; per-cell fanout is a
+    plan-time constant.
+    """
+    if rings < 0:
+        raise ValueError("rings must be >= 0")
+    if rings > 8:
+        raise ValueError(
+            "rings > 8 explodes >289x per cell: dilate at a coarser res "
+            "instead (same geometry, bounded fanout)"
+        )
+    gc = list(group_cols)
+    d = _decompose(df.select(*gc, cell_col).distinct(), cell_col)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in range(-rings, rings + 1)
+          for dj in range(-rings, rings + 1)]
+    )
+    ni = F.col("_i") + F.col("_o.di")
+    nj = F.col("_j") + F.col("_o.dj")
+    i_n = F.expr("shiftleft(1L, _res)")
+    j_n = F.greatest(F.expr("shiftleft(1L, _res - 1)"), F.lit(1).cast("long"))
+    return (
+        d.select(*gc, "_res", "_i", "_j", F.explode(offsets).alias("_o"))
+        # off-grid neighbors are dropped, never wrapped or clamped
+        .filter((ni >= 0) & (ni < i_n) & (nj >= 0) & (nj < j_n))
+        .select(*gc, _encode(F.col("_res"), ni, nj))
+        .distinct()
+    )
+
+
+def erode_cells(
+    df: DataFrame,
+    rings: int,
+    group_cols: tuple[str, ...] = (),
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Morphological EROSION by ``rings`` Chebyshev rings: keep a cell
+    iff its whole (2r+1)^2 neighborhood is present (per group). Same
+    scatter as dilate_cells plus ONE count groupBy — a cell receives
+    one token from each present neighbor, and survives on a full count.
+    ``dilate_cells`` then ``erode_cells`` (closing) fills pinholes and
+    channels narrower than 2*rings cells, the classic cleanup before
+    ``vectorize_cells``.
+    """
+    if rings < 0:
+        raise ValueError("rings must be >= 0")
+    if rings > 8:
+        raise ValueError(
+            "rings > 8 explodes >289x per cell: erode at a coarser res "
+            "instead (same geometry, bounded fanout)"
+        )
+    gc = list(group_cols)
+    full = (2 * rings + 1) ** 2
+    d = _decompose(df.select(*gc, cell_col).distinct(), cell_col)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in range(-rings, rings + 1)
+          for dj in range(-rings, rings + 1)]
+    )
+    scat = d.select(
+        *gc, "_res", "_i", "_j", F.explode(offsets).alias("_o")
+    ).select(
+        *gc,
+        _encode(
+            F.col("_res"),
+            F.col("_i") + F.col("_o.di"),
+            F.col("_j") + F.col("_o.dj"),
+        ),
+    )
+    counts = scat.groupBy(*gc, "cell").agg(F.count(F.lit(1)).alias("_n"))
+    present = d.select(*gc, _encode(F.col("_res"), F.col("_i"), F.col("_j")))
+    return (
+        counts.filter(F.col("_n") == F.lit(full))
+        .join(present, gc + ["cell"], "left_semi")
+        .select(*gc, "cell")
+    )

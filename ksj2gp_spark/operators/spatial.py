@@ -4725,3 +4725,137 @@ def geometric_median(
         F.round("_mx", 6).alias("med_lon"),
         F.round("_my", 6).alias("med_lat"),
     )
+
+
+def gwr(
+    targets: DataFrame,
+    stations: DataFrame,
+    bandwidth: float,
+    radius: float | None = None,
+    min_stations: int = 3,
+    res: int | None = None,
+    target_id: str = "target_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Geographically weighted regression (Brunsdon, Fotheringham &
+    Charlton 1996; the classic local-coefficient-surface tool): at each
+    target, a gaussian-distance-weighted simple OLS of station ``y`` on
+    station ``x``:
+
+        w_i = exp(-d_i^2 / (2 b^2)),  truncated at ``radius``
+        (default 3b, where w < 0.012 — the documented approximation)
+
+    solved in CLOSED FORM from six weighted sufficient statistics —
+    slope = (Sw*Swxy - Swx*Swy) / (Sw*Swxx - Swx^2) etc. — so the whole
+    operator is pure Catalyst: the idw cell prune (cell edge >= radius,
+    provably lossless) + ONE target-keyed aggregation, zero Python,
+    zero matrix solves. Emits (target_id, n_used, intercept, slope,
+    local_r2), rounded to 6.
+
+    Explicit degeneracy rules (mirroring stats.group_trend): targets
+    with fewer than ``min_stations`` neighbors or zero weighted
+    x-variance DROP (never NaN); constant-y targets emit local_r2 = 1.
+    """
+    import math
+
+    if bandwidth <= 0:
+        raise ValueError("bandwidth must be positive")
+    if radius is None:
+        radius = 3.0 * bandwidth
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    if min_stations < 2:
+        raise ValueError("min_stations must be >= 2")
+    if res is None:
+        res = int(math.floor(math.log2(360.0 / radius)))
+    res = max(0, min(res, 28))
+    size = 360.0 / (1 << res)
+    if size < radius:
+        raise ValueError(
+            f"grid res {res} has cell edge {size} < radius {radius}: "
+            "the 3x3 prune would miss in-range stations"
+        )
+
+    def ij(lon, lat):
+        i = F.floor((lon + F.lit(180.0)) / F.lit(size)).cast("long")
+        j = F.floor((lat + F.lit(90.0)) / F.lit(size)).cast("long")
+        return i, j
+
+    ti, tj = ij(F.col(lon_col), F.col(lat_col))
+    t = targets.select(
+        F.col(target_id),
+        F.col(lon_col).alias("_tlon"),
+        F.col(lat_col).alias("_tlat"),
+        (ti * F.lit(1 << 31) + tj).alias("_cell"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    )
+    si, sj = ij(F.col(lon_col), F.col(lat_col))
+    s = stations.select(
+        F.col(lon_col).alias("_slon"),
+        F.col(lat_col).alias("_slat"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        si.alias("_si"),
+        sj.alias("_sj"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_slon",
+        "_slat",
+        "_x",
+        "_y",
+        (
+            (F.col("_si") + F.col("_o.di")) * F.lit(1 << 31)
+            + (F.col("_sj") + F.col("_o.dj"))
+        ).alias("_cell"),
+    )
+    dx = F.col("_tlon") - F.col("_slon")
+    dy = F.col("_tlat") - F.col("_slat")
+    d2 = dx * dx + dy * dy
+    w = F.exp(-d2 / F.lit(2.0 * float(bandwidth) * float(bandwidth)))
+    x, y = F.col("_x"), F.col("_y")
+    agg = (
+        t.join(s, "_cell")
+        .filter(d2 <= F.lit(float(radius) * float(radius)))
+        .groupBy(target_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum(w).alias("_sw"),
+            F.sum(w * x).alias("_swx"),
+            F.sum(w * y).alias("_swy"),
+            F.sum(w * x * x).alias("_swxx"),
+            F.sum(w * x * y).alias("_swxy"),
+            F.sum(w * y * y).alias("_swyy"),
+        )
+        .filter(F.col("n_used") >= F.lit(int(min_stations)))
+    )
+    sw = F.col("_sw")
+    sxx_c = F.col("_swxx") - F.col("_swx") * F.col("_swx") / sw
+    syy_c = F.col("_swyy") - F.col("_swy") * F.col("_swy") / sw
+    sxy_c = F.col("_swxy") - F.col("_swx") * F.col("_swy") / sw
+    slope = sxy_c / sxx_c
+    intercept = (F.col("_swy") - slope * F.col("_swx")) / sw
+    # the centered sums carry ~1e-16-relative rounding from the
+    # irrational gaussian weights, so "zero variance" is a RELATIVE
+    # test against the uncentered magnitude, never an exact == 0
+    rel = F.lit(1e-12)
+    y_const = syy_c <= rel * F.abs(F.col("_swyy"))
+    x_const = sxx_c <= rel * F.abs(F.col("_swxx"))
+    r2 = F.when(y_const, F.lit(1.0)).otherwise(
+        sxy_c * sxy_c / (sxx_c * syy_c)
+    )
+    return (
+        agg.filter(~x_const)
+        .select(
+            target_id,
+            "n_used",
+            F.round(intercept, 6).alias("intercept"),
+            F.round(slope, 6).alias("slope"),
+            F.round(r2, 6).alias("local_r2"),
+        )
+    )
