@@ -6203,6 +6203,81 @@ WHERE dist_km <= 8.0
 
 
 
+
+def _g_px_sql(y: str, x: str) -> str:
+    """Green-channel value at (y, x) as exact integer SQL — the twin of
+    make_test_image (base formula) + channel g = (base*3 + i) % 256."""
+    base = (
+        f"(({x}) * 255 // (w - 1)"
+        f" + (({y}) * 255 // (h - 1)) * (i % 3 + 1)"
+        f" + i * 37)"
+    )
+    return f"(({base} * 3 + i) % 256)"
+
+
+def q_image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation blob statistics over REAL decoded pixels
+    (operators/images.py::blob_stats, 4-connected components): the PNG
+    rows of a 600-image fixture thresholded at green >= 128. The Spark
+    side labels every blob in an Arrow batch simultaneously with a
+    batch-tensor min-label flood; the oracle re-derives the mask from
+    the pixel formula and closes components with a recursive min-label
+    CTE (the dbscan-oracle pattern applied to pixels) — all-integer, so
+    a single mislabeled pixel hash-mismatches."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators.images import blob_stats
+
+    imgs = fixtures.images_df(spark, 600, with_bytes=True).filter(
+        F.col("fmt") == "png"
+    )
+    return blob_stats(imgs, channel=1, threshold=128)
+
+
+_BLOBS_SQL = f"""
+WITH RECURSIVE dims AS (
+  SELECT i, 8 + i % 9 AS h, 8 + (i * 3) % 9 AS w
+  FROM range(0, 600) t(i) WHERE i % 3 <> 0
+),
+px AS (
+  SELECT i, h, w, y, x, {_g_px_sql("y", "x")} AS g
+  FROM dims,
+       UNNEST(generate_series(0, h - 1)) ty(y),
+       UNNEST(generate_series(0, w - 1)) tx(x)
+),
+node AS (
+  SELECT i, y * w + x AS p, y, x FROM px WHERE g >= 128
+),
+edge AS (
+  SELECT a.i, a.p AS p1, b.p AS p2
+  FROM node a JOIN node b ON a.i = b.i
+   AND ((abs(a.y - b.y) = 1 AND a.x = b.x)
+        OR (a.y = b.y AND abs(a.x - b.x) = 1))
+),
+lbl(i, p, l) AS (
+  SELECT i, p, p FROM node
+  UNION
+  SELECT e.i, e.p2, lbl.l FROM lbl JOIN edge e
+    ON e.i = lbl.i AND e.p1 = lbl.p
+),
+root AS (SELECT i, p, min(l) AS r FROM lbl GROUP BY i, p),
+blobs AS (SELECT i, r, count(*) AS sz FROM root GROUP BY i, r),
+stats AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_blobs,
+         CAST(max(sz) AS BIGINT) AS largest_blob
+  FROM blobs GROUP BY i
+),
+maskc AS (SELECT i, CAST(count(*) AS BIGINT) AS mask_pixels
+          FROM node GROUP BY i)
+SELECT 'img' || lpad(CAST(d.i AS VARCHAR), 8, '0') AS image_id,
+       coalesce(mask_pixels, 0) AS mask_pixels,
+       coalesce(n_blobs, 0) AS n_blobs,
+       coalesce(largest_blob, 0) AS largest_blob
+FROM dims d
+LEFT JOIN maskc ON maskc.i = d.i
+LEFT JOIN stats ON stats.i = d.i
+"""
+
+
 def q_gwr_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geographically weighted regression (operators/spatial.py::gwr,
     Brunsdon et al. 1996): 2,000 deterministic targets each fit a
@@ -6662,17 +6737,6 @@ def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _g_px_sql(y: str, x: str) -> str:
-    """Green-channel value at (y, x) as exact integer SQL — the twin of
-    make_test_image (base formula) + channel g = (base*3 + i) % 256."""
-    base = (
-        f"(({x}) * 255 // (w - 1)"
-        f" + (({y}) * 255 // (h - 1)) * (i % 3 + 1)"
-        f" + i * 37)"
-    )
-    return f"(({base} * 3 + i) % 256)"
-
-
 _SHARPNESS_SQL = f"""
 WITH dims AS (
   SELECT i, 8 + i % 9 AS h, 8 + (i * 3) % 9 AS w
@@ -6700,6 +6764,84 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
        CAST(sum(CASE WHEN lap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_interior
 FROM px GROUP BY i
+"""
+
+
+
+def q_gravity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-decay gravity-model fit (Zipf 1946 inverse-distance
+    form; the standard mobility-analytics summary) — a pure COMPOSITION
+    capstone: the od_matrix flows (stay segmentation -> trips -> cell-
+    pair counts) feed a closed-form log-log OLS, ln(flow) = b0 +
+    b1*ln(dist), over the positive-distance cell pairs. b1 is the
+    distance-decay exponent. One extra scalar aggregation on top of the
+    od lane; the oracle replays the whole chain (stays + trips + flows
+    + the same sufficient-statistics algebra) in one DuckDB query."""
+    flows = q_od_matrix(spark, sf_dir)
+    dx = F.col("to_x") - F.col("from_x")
+    dy = F.col("to_y") - F.col("from_y")
+    d = F.sqrt(dx * dx + dy * dy)
+    obs = flows.select(
+        F.log(d).alias("lx"),
+        F.log(F.col("n_trips").cast("double")).alias("ly"),
+    ).filter(d > F.lit(0.0))
+    agg = obs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("lx").alias("_sx"),
+        F.sum("ly").alias("_sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("_sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("_sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("_syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    slope = cov / vx
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when(vy <= F.lit(0.0), F.lit(1.0)).otherwise(
+        cov * cov / (vx * vy)
+    )
+    return (
+        agg.filter((F.col("n_pairs") >= 2) & (vx > F.lit(0.0)))
+        .select(
+            "n_pairs",
+            F.round(slope, 6).alias("decay_exponent"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+    )
+
+
+def _gravity_sql() -> str:
+    return f"""
+WITH flows AS ({_od_matrix_sql()}),
+obs AS (
+  SELECT ln(sqrt((to_x - from_x) * (to_x - from_x)
+               + (to_y - from_y) * (to_y - from_y))) AS lx,
+         ln(CAST(n_trips AS DOUBLE)) AS ly
+  FROM flows
+  WHERE sqrt((to_x - from_x) * (to_x - from_x)
+           + (to_y - from_y) * (to_y - from_y)) > 0.0
+),
+agg AS (
+  SELECT count(*) AS n_pairs,
+         sum(lx) AS sx, sum(ly) AS sy, sum(lx * lx) AS sxx,
+         sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+  FROM obs
+)
+SELECT n_pairs,
+       round((sxy - sx * sy / n_pairs) / (sxx - sx * sx / n_pairs), 6)
+         AS decay_exponent,
+       round((sy - ((sxy - sx * sy / n_pairs)
+                    / (sxx - sx * sx / n_pairs)) * sx) / n_pairs, 6)
+         AS intercept,
+       round(CASE WHEN syy - sy * sy / n_pairs <= 0.0 THEN 1.0
+                  ELSE (sxy - sx * sy / n_pairs) * (sxy - sx * sy / n_pairs)
+                       / ((sxx - sx * sx / n_pairs)
+                          * (syy - sy * sy / n_pairs)) END, 6) AS r2
+FROM agg
+WHERE n_pairs >= 2 AND sxx - sx * sx / n_pairs > 0.0
 """
 
 
@@ -6788,6 +6930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "image_blobs": q_image_blobs,
         "gwr_admin": q_gwr_admin,
         "slope_tiles": q_slope_tiles,
         "morph_close_tiles": q_morph_close_tiles,
@@ -6828,6 +6971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "textrank_keywords": q_textrank,
         "od_matrix": q_od_matrix,
+        "gravity_model": q_gravity_model,
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
@@ -6945,6 +7089,7 @@ GROUP BY p.admin_code
         "snap_roads": _SNAP_ROADS_SQL,
         "hmm_match": _hmm_match_sql(),
         "hausdorff_pairs": _HAUSDORFF_SQL,
+        "image_blobs": _BLOBS_SQL,
         "gwr_admin": _GWR_SQL,
         "slope_tiles": _SLOPE_SQL.format(tiles=_TILES_SQL.strip()),
         "morph_close_tiles": _MORPH_SQL.format(tiles=_TILES_SQL.strip()),
@@ -6985,6 +7130,7 @@ GROUP BY p.admin_code
         "stay_points": _STAY_SQL,
         "textrank_keywords": _textrank_sql(),
         "od_matrix": _od_matrix_sql(),
+        "gravity_model": _gravity_sql(),
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),

@@ -430,6 +430,55 @@ def main() -> None:
         ).count(),
     )
 
+    # Geostatistics lanes (round-5 additions): the variogram pair join
+    # and the kriging solve pipeline at bench scale. Station/target
+    # tables are deterministic range-derived points (no bytes — these
+    # lanes measure the joins and the solve, not fixture generation).
+    def _geo_pts(n: int, sa: int, sb: int, idc: str):
+        k = F.col("id")
+        MIX, MOD = 2654435761, 1 << 20
+        return spark.range(0, n, 1, cpus * 2).select(
+            k.alias(idc),
+            (F.lit(139.0) + ((k * sa + 11) * MIX % MOD) / float(MOD) * 2.0)
+            .alias("lon"),
+            (F.lit(35.0) + ((k * sb + 3) * MIX % MOD) / float(MOD) * 2.0)
+            .alias("lat"),
+        )
+
+    from ksj2gp_spark.operators.spatial import (
+        empirical_variogram as _vario,
+        ordinary_krige as _krige,
+    )
+
+    _vpts = _geo_pts(1_000_000, 97, 31, "point_id").withColumn(
+        "value", (F.col("point_id") % 97).cast("double")
+    )
+    timed(
+        "variogram_1m_pts",
+        lambda: _vario(
+            _vpts, max_lag=0.02, n_bins=8, sample_fraction=0.3
+        ).count(),
+        warm=True,
+    )
+    _kstations = _geo_pts(100_000, 97, 31, "station_id").withColumn(
+        "value", (F.col("station_id") % 97).cast("double")
+    )
+    _ktargets = _geo_pts(1_000_000, 53, 29, "target_id")
+    timed(
+        "krige_1m_targets",
+        lambda: _krige(
+            _ktargets,
+            _kstations,
+            radius=0.01,
+            k=8,
+            model="exponential",
+            nugget=0.5,
+            psill=40.0,
+            vrange=0.02,
+        ).count(),
+        warm=True,
+    )
+
     # Conversion lane — the reference's own role (ZIP shapefile →
     # GeoParquet with translation): 8 ZIPs × 20k features ingested
     # distributed and written with bbox covering. Fixture ZIPs are

@@ -66,7 +66,7 @@ targets = pts(n_points, 53, 29, "target_id")
 def vario_job():
     # pair sampling on: the scale posture a real 10^12-point variogram uses
     return empirical_variogram(
-        points, max_lag=0.02, n_bins=8, sample_fraction=0.1
+        points, max_lag=0.02, n_bins=8, sample_fraction=0.3
     ).count()
 
 def krige_job():

@@ -523,3 +523,98 @@ def sharpness_scores(df: DataFrame, channel: int = 1) -> DataFrame:
             "lap_sq_sum long, n_interior long, sharpness double"
         ),
     )
+
+
+def blob_stats(
+    df: DataFrame, channel: int = 1, threshold: int = 128
+) -> DataFrame:
+    """Connected-component statistics over thresholded REAL decoded
+    pixels — the classic binary-segmentation feature (blob counting;
+    Rosenfeld & Pfaltz 1966 labeling semantics, 4-connectivity): per
+    image, mask = channel >= threshold, then
+
+      (image_id, mask_pixels, n_blobs, largest_blob)
+
+    all exact integers, so an external engine can replay them from the
+    pixel formula with a recursive min-label closure — the oracle
+    contract (the dbscan-oracle pattern applied to pixels).
+
+    One mapInPandas pass; the labeling is a BATCH-TENSOR min-label
+    flood: every image in the Arrow batch is padded into one
+    (B, Hmax, Wmax) int32 tensor and all blobs in all images converge
+    together under vectorized 4-neighbor min-propagation (iterations
+    bounded by the longest in-blob shortest path, each a full-tensor
+    numpy op — no per-pixel Python). Undecodable rows are skipped
+    (decode_verify owns quarantine).
+    """
+    if not (0 <= threshold <= 255):
+        raise ValueError("threshold must be in 0..255")
+
+    INF = np.iinfo(np.int32).max
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            planes: list = []
+            for img_id, buf, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imagecodec.decode_image(buf, fmt)
+                except Exception:
+                    continue
+                p = arr[:, :, channel] if arr.ndim == 3 else arr
+                ids.append(img_id)
+                planes.append(p)
+            if not ids:
+                continue
+            B = len(planes)
+            hm = max(p.shape[0] for p in planes)
+            wm = max(p.shape[1] for p in planes)
+            mask = np.zeros((B, hm, wm), dtype=bool)
+            for b, p in enumerate(planes):
+                mask[b, : p.shape[0], : p.shape[1]] = p >= threshold
+            lab = np.where(
+                mask,
+                np.arange(hm * wm, dtype=np.int32).reshape(1, hm, wm),
+                INF,
+            )
+            while True:
+                nxt = lab.copy()
+                nxt[:, 1:, :] = np.minimum(nxt[:, 1:, :], lab[:, :-1, :])
+                nxt[:, :-1, :] = np.minimum(nxt[:, :-1, :], lab[:, 1:, :])
+                nxt[:, :, 1:] = np.minimum(nxt[:, :, 1:], lab[:, :, :-1])
+                nxt[:, :, :-1] = np.minimum(nxt[:, :, :-1], lab[:, :, 1:])
+                nxt = np.where(mask, nxt, INF)
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            rows = []
+            for b in range(B):
+                roots, counts = np.unique(
+                    lab[b][mask[b]], return_counts=True
+                )
+                rows.append(
+                    (
+                        int(mask[b].sum()),
+                        len(roots),
+                        int(counts.max()) if len(counts) else 0,
+                    )
+                )
+            a = np.array(rows, dtype=np.int64).reshape(B, 3)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "mask_pixels": a[:, 0],
+                    "n_blobs": a[:, 1],
+                    "largest_blob": a[:, 2],
+                }
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema=(
+            "image_id string, mask_pixels long, n_blobs long, "
+            "largest_blob long"
+        ),
+    )
