@@ -477,6 +477,10 @@ def main() -> None:
             vrange=0.02,
         ).count(),
         warm=True,
+        # first full-suite run: raws 8.9/21.0/7.8 (quiet standalone
+        # 3.0s) — the mid-suite Python-worker + GC weather the other
+        # Pandas-UDF lanes see; 5 repeats make the median robust
+        repeats=5,
     )
 
     # Conversion lane — the reference's own role (ZIP shapefile →
