@@ -6845,6 +6845,78 @@ WHERE n_pairs >= 2 AND sxx - sx * sx / n_pairs > 0.0
 """
 
 
+
+def q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone / service-area bands over a road network — the
+    routing-lane composition capstone: a 20x15 road-grid graph
+    (4-adjacent intersections, deterministic integer travel times
+    w = 1 + (i1+j1+i2+j2) % 5) runs frontier Bellman-Ford
+    (operators/graph.py::sssp_distances) from the depot node (0,0),
+    and reachable intersections aggregate into travel-time bands
+    dist // 8 — the polygons a delivery-radius map draws. Integer
+    weights make every optimal distance exact; the oracle replays the
+    shortest paths with a distance-capped recursive CTE (cap 170 >
+    the 33-hop x max-weight-5 bound, so no optimal path is cut)."""
+    from ksj2gp_spark.operators.graph import sssp_distances
+
+    W, H = 20, 15
+    ids = spark.range(W * H)
+    i = (F.col("id") / F.lit(H)).cast("long")
+    j = F.col("id") % F.lit(H)
+    nodes = ids.select(i.alias("i"), j.alias("j"))
+    right = nodes.filter(F.col("i") < W - 1).select(
+        (F.col("i") * 100 + F.col("j")).alias("src"),
+        ((F.col("i") + 1) * 100 + F.col("j")).alias("dst"),
+        (
+            F.lit(1)
+            + (F.col("i") + F.col("j") + F.col("i") + 1 + F.col("j"))
+            % F.lit(5)
+        ).alias("weight"),
+    )
+    up = nodes.filter(F.col("j") < H - 1).select(
+        (F.col("i") * 100 + F.col("j")).alias("src"),
+        (F.col("i") * 100 + F.col("j") + 1).alias("dst"),
+        (
+            F.lit(1)
+            + (F.col("i") + F.col("j") + F.col("i") + F.col("j") + 1)
+            % F.lit(5)
+        ).alias("weight"),
+    )
+    dists = sssp_distances(right.unionByName(up), source=0, max_iter=80)
+    return (
+        dists.select((F.col("dist") / F.lit(8)).cast("long").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+_ISOCHRONE_SQL = """
+WITH nodes AS (
+  SELECT i, j FROM range(0, 20) a(i), range(0, 15) b(j)
+),
+e0 AS (
+  SELECT i * 100 + j AS u, (i + 1) * 100 + j AS v,
+         1 + (i + j + i + 1 + j) % 5 AS w
+  FROM nodes WHERE i < 19
+  UNION ALL
+  SELECT i * 100 + j, i * 100 + j + 1,
+         1 + (i + j + i + j + 1) % 5
+  FROM nodes WHERE j < 14
+),
+e AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+walk AS (
+  WITH RECURSIVE rr(node, d) AS (
+    SELECT 0, 0
+    UNION
+    SELECT e.v, rr.d + e.w FROM rr JOIN e ON e.u = rr.node
+    WHERE rr.d + e.w <= 170
+  )
+  SELECT node, min(d) AS d FROM rr GROUP BY node
+)
+SELECT d // 8 AS band, count(*) AS n_nodes FROM walk GROUP BY band
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -6972,6 +7044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank,
         "od_matrix": q_od_matrix,
         "gravity_model": q_gravity_model,
+        "isochrone_bands": q_isochrone_bands,
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
@@ -7131,6 +7204,7 @@ GROUP BY p.admin_code
         "textrank_keywords": _textrank_sql(),
         "od_matrix": _od_matrix_sql(),
         "gravity_model": _gravity_sql(),
+        "isochrone_bands": _ISOCHRONE_SQL,
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),
