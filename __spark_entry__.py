@@ -6917,6 +6917,77 @@ SELECT d // 8 AS band, count(*) AS n_nodes FROM walk GROUP BY band
 """
 
 
+
+def q_zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact zonal quantiles (operators/raster.py::zonal_quantiles —
+    the distributional complement to zonal_stats_admin): the same
+    synthetic res-12 BIGINT value raster, per-polygon exact p25/p50/p90
+    through stats.exact_group_quantiles' BIGINT rank arithmetic. The
+    oracle replays the center-in-rectangle assignment and the IDENTICAL
+    integer rank rule — no float quantile semantics anywhere."""
+    from ksj2gp_spark.operators.raster import zonal_quantiles
+
+    res = 12
+    size = 360.0 / (1 << res)
+    i0 = int(np.floor((fixtures.LON0 + 180.0) / size))
+    i1 = int(np.floor((fixtures.LON1 + 180.0) / size))
+    j0 = int(np.floor((fixtures.LAT0 + 90.0) / size))
+    j1 = int(np.floor((fixtures.LAT1 + 90.0) / size))
+    raster = (
+        spark.range(i0, i1 + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(j0, j1 + 1).select(F.col("id").alias("j")))
+        .select(
+            (
+                F.lit(res) * F.lit(1 << 58)
+                + F.col("i") * F.lit(1 << 29)
+                + F.col("j")
+            ).alias("cell"),
+            ((F.col("i") * 7 + F.col("j") * 13) % 1000).alias("value"),
+        )
+    )
+    return zonal_quantiles(
+        raster, fixtures.polygon_layer(), qs=[0.25, 0.5, 0.9]
+    )
+
+
+def _zonal_median_sql() -> str:
+    res = 12
+    size = 360.0 / (1 << res)
+    i0 = int(np.floor((fixtures.LON0 + 180.0) / size))
+    i1 = int(np.floor((fixtures.LON1 + 180.0) / size))
+    j0 = int(np.floor((fixtures.LAT0 + 90.0) / size))
+    j1 = int(np.floor((fixtures.LAT1 + 90.0) / size))
+    return f"""
+WITH {_polys_values_sql()},
+cells AS (
+  SELECT (i.i + 0.5) * {size!r} - 180.0 AS cx,
+         (j.j + 0.5) * {size!r} - 90.0 AS cy,
+         (i.i * 7 + j.j * 13) % 1000 AS val
+  FROM generate_series({i0}, {i1}) AS i(i)
+  CROSS JOIN generate_series({j0}, {j1}) AS j(j)
+),
+assigned AS (
+  SELECT p.polygon_id, p.admin_code, c.val
+  FROM cells c JOIN polys p
+    ON c.cx >= p.xmin AND c.cx <= p.xmax
+   AND c.cy >= p.ymin AND c.cy <= p.ymax
+),
+ranked AS (
+  SELECT polygon_id, admin_code, val,
+         ROW_NUMBER() OVER (
+           PARTITION BY polygon_id, admin_code ORDER BY val
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY polygon_id, admin_code) AS n
+  FROM assigned
+),
+qs(q, num, den) AS (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10))
+SELECT polygon_id, admin_code, CAST(q AS DOUBLE) AS q, val AS value
+FROM ranked, qs
+WHERE rn = greatest(1, (n * num + den - 1) // den)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -7045,6 +7116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "gravity_model": q_gravity_model,
         "isochrone_bands": q_isochrone_bands,
+        "zonal_median": q_zonal_median,
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
@@ -7205,6 +7277,7 @@ GROUP BY p.admin_code
         "od_matrix": _od_matrix_sql(),
         "gravity_model": _gravity_sql(),
         "isochrone_bands": _ISOCHRONE_SQL,
+        "zonal_median": _zonal_median_sql(),
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),

@@ -628,3 +628,53 @@ def erode_cells(
         .join(present, gc + ["cell"], "left_semi")
         .select(*gc, "cell")
     )
+
+
+def zonal_quantiles(
+    raster: DataFrame,
+    polygons_pdf,
+    qs: list[float],
+    value_col: str = "value",
+    cell_col: str = "cell",
+    scheme: str = "grid",
+    res: int | None = None,
+    admin_col: str = "行政区域コード",
+) -> DataFrame:
+    """EXACT zonal quantiles — the distributional complement to
+    ``zonal_stats`` (a zone's median land value, p90 elevation):
+    each cell assigns to the polygon containing its center through the
+    SAME exact-PIP candidate join, then per-zone exact lower-quantile
+    elements come from ``stats.exact_group_quantiles`` — BIGINT rank
+    arithmetic, no float ceil drift, engine-portable by construction.
+    Returns (polygon_id, admin_code, q, value). The per-zone window is
+    the documented exact lane (rank needs a zone-keyed sort); an
+    approximate-percentile path would trade that for one aggregation —
+    the exact form is the oracle-checkable contract.
+    """
+    from . import spatial as spx
+    from .cells import normalize_polygons, polygon_cover_pdf, with_cell
+    from .stats import exact_group_quantiles
+
+    spark = raster.sparkSession
+    if res is None:
+        res = spx.DEFAULT_RES[scheme]
+    polys = normalize_polygons(polygons_pdf)
+    cover = spark.createDataFrame(
+        polygon_cover_pdf(polys, scheme, res, extra_cols=(admin_col,))
+    )
+    pts = cell_centers(
+        raster.select(
+            F.col(cell_col).alias("_zcell"), F.col(value_col).alias("_zval")
+        ),
+        "_zcell",
+    )
+    cand = spx.candidate_join(with_cell(pts, scheme, res), cover)
+    refined = spx.refine_pip(
+        cand, polys, ["_zval", "polygon_id", admin_col]
+    )
+    return exact_group_quantiles(
+        refined.withColumnRenamed(admin_col, "admin_code"),
+        ["polygon_id", "admin_code"],
+        "_zval",
+        qs,
+    )
