@@ -358,3 +358,38 @@ def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
     return (
         f"(SELECT {concat} FROM (SELECT {lon_q} AS lonq, {lat_q} AS latq) _gh)"
     )
+
+
+def geohash_np(
+    lon: np.ndarray, lat: np.ndarray, precision: int = 6
+) -> np.ndarray:
+    """Vectorized numpy geohash — the SAME bit layout as
+    ``geohash_col`` / ``geohash_sql`` (quantize, clamp, interleave,
+    base-32), used by the SQL-surface registration so ``spark.sql``
+    and DataFrame results are identical by construction."""
+    total, nlon, nlat = _geohash_layout(precision)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon_q = np.clip(
+        np.floor((lon + 180.0) / 360.0 * float(1 << nlon)).astype(np.int64),
+        0,
+        (1 << nlon) - 1,
+    )
+    lat_q = np.clip(
+        np.floor((lat + 90.0) / 180.0 * float(1 << nlat)).astype(np.int64),
+        0,
+        (1 << nlat) - 1,
+    )
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+    chars = np.empty((precision, len(lon)), dtype=np.uint8)
+    for c in range(precision):
+        val = np.zeros(len(lon), dtype=np.int64)
+        for b in range(5):
+            g = 5 * c + b
+            if g % 2 == 0:
+                bit = (lon_q >> (nlon - 1 - g // 2)) & 1
+            else:
+                bit = (lat_q >> (nlat - 1 - (g - 1) // 2)) & 1
+            val += bit << (4 - b)
+        chars[c] = alpha[val]
+    return chars.T.copy().view(f"S{precision}")[:, 0].astype(str)

@@ -42,6 +42,21 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     spark.udf.register("hex_cell", _cell_udf(hexgrid.latlng_to_cell))
     spark.udf.register("s2_cell", _cell_udf(s2.latlng_to_cell))
 
+    @pandas_udf("string")
+    def geohash(lon: pd.Series, lat: pd.Series, p: pd.Series) -> pd.Series:
+        from .operators.cells import geohash_np
+
+        pr = int(p.iloc[0]) if len(p) else 6
+        return pd.Series(
+            geohash_np(
+                lon.to_numpy(dtype=np.float64),
+                lat.to_numpy(dtype=np.float64),
+                pr,
+            )
+        )
+
+    spark.udf.register("geohash", geohash)
+
     @pandas_udf("double")
     def tokyo_to_wgs84_lon(lon: pd.Series, lat: pd.Series) -> pd.Series:
         lo, _, _ = transform.tokyo_to_wgs84(
@@ -192,6 +207,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "grid_cell",
         "hex_cell",
         "s2_cell",
+        "geohash",
         "tokyo_to_wgs84_lon",
         "tokyo_to_wgs84_lat",
         "ksj_colname",

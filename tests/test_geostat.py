@@ -475,3 +475,39 @@ class TestPlanShapes:
         plan = self._plan(df)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestGeohashSqlSurface:
+    def test_sql_function_equals_dataframe_expression(self, spark):
+        from ksj2gp_spark.sql import register_sql_functions
+
+        names = register_sql_functions(spark)
+        assert "geohash" in names
+        pts = _points_pdf(80, seed=11)
+        spark.createDataFrame(pts).createOrReplaceTempView("gh_pts")
+        via_sql = (
+            spark.sql(
+                "SELECT point_id, geohash(lon, lat, 7) AS gh "
+                "FROM gh_pts ORDER BY point_id"
+            )
+            .toPandas()
+        )
+        via_df = (
+            spark.createDataFrame(pts)
+            .select(
+                "point_id",
+                geohash_col(F.col("lon"), F.col("lat"), 7).alias("gh"),
+            )
+            .toPandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        assert (via_sql.gh.values == via_df.gh.values).all()
+
+    def test_numpy_kernel_matches_reference(self):
+        from ksj2gp_spark.operators.cells import geohash_np
+
+        pts = _points_pdf(60, seed=13)
+        out = geohash_np(pts.lon.values, pts.lat.values, 8)
+        for i in range(len(pts)):
+            assert out[i] == _ref_geohash(pts.lon[i], pts.lat[i], 8)
