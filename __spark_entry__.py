@@ -6988,6 +6988,75 @@ WHERE rn = greatest(1, (n * num + den - 1) // den)
 """
 
 
+
+def q_admin_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE graft-cell capstone — the spatial join composed with real
+    pixel decoding: every image anchored in an admin polygon
+    contributes its decoded-pixel sharpness/contrast sufficient
+    statistics (operators/images.py::sharpness_scores) to a per-admin
+    quality rollup — "which wards' imagery is blurry" as one lazy
+    plan. Every output is an exact BIGINT sum, so the oracle replays
+    BOTH sides — the rectangle tile assignment AND the per-pixel
+    green-channel Laplacian — in pure integer SQL and must match hash
+    for hash. PNG (lossless) rows only, the decode-exact lane."""
+    from ksj2gp_spark import fixtures
+    from ksj2gp_spark.operators.images import sharpness_scores
+
+    tiles = _tiles(spark, sf_dir)
+    imgs = fixtures.images_df(spark, 2000, with_bytes=True).filter(
+        F.col("fmt") == "png"
+    )
+    sh = sharpness_scores(imgs)
+    return (
+        tiles.join(sh, "image_id")
+        .groupBy("admin_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("lap_sq_sum").alias("sum_lap_sq"),
+            F.sum("n_interior").alias("sum_interior"),
+            F.sum("sum_p").alias("sum_pixels"),
+        )
+    )
+
+
+_ADMIN_QUALITY_SQL = f"""
+WITH tiles AS ({{tiles}}),
+dims AS (
+  SELECT i, 8 + i % 9 AS h, 8 + (i * 3) % 9 AS w
+  FROM range(0, 2000) t(i) WHERE i % 3 <> 0
+),
+px AS (
+  SELECT i, h, w, y, x,
+         {_g_px_sql("y", "x")} AS g,
+         CASE WHEN y >= 1 AND y <= h - 2 AND x >= 1 AND x <= w - 2
+              THEN 4 * {_g_px_sql("y", "x")}
+                   - {_g_px_sql("y - 1", "x")}
+                   - {_g_px_sql("y + 1", "x")}
+                   - {_g_px_sql("y", "x - 1")}
+                   - {_g_px_sql("y", "x + 1")}
+         END AS lap
+  FROM dims,
+       UNNEST(generate_series(0, h - 1)) ty(y),
+       UNNEST(generate_series(0, w - 1)) tx(x)
+),
+sharp AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+         CAST(coalesce(sum(lap * lap), 0) AS BIGINT) AS lap_sq_sum,
+         CAST(sum(CASE WHEN lap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_interior,
+         CAST(sum(g) AS BIGINT) AS sum_p
+  FROM px GROUP BY i
+)
+SELECT t.admin_code,
+       count(*) AS n_images,
+       CAST(sum(s.lap_sq_sum) AS BIGINT) AS sum_lap_sq,
+       CAST(sum(s.n_interior) AS BIGINT) AS sum_interior,
+       CAST(sum(s.sum_p) AS BIGINT) AS sum_pixels
+FROM tiles t JOIN sharp s ON s.image_id = t.image_id
+GROUP BY t.admin_code
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -7117,6 +7186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity_model": q_gravity_model,
         "isochrone_bands": q_isochrone_bands,
         "zonal_median": q_zonal_median,
+        "admin_image_quality": q_admin_image_quality,
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
@@ -7278,6 +7348,7 @@ GROUP BY p.admin_code
         "gravity_model": _gravity_sql(),
         "isochrone_bands": _ISOCHRONE_SQL,
         "zonal_median": _zonal_median_sql(),
+        "admin_image_quality": _ADMIN_QUALITY_SQL.format(tiles=_TILES_SQL.strip()),
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),
