@@ -7057,6 +7057,94 @@ GROUP BY t.admin_code
 """
 
 
+
+def q_contour_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour extraction (operators/raster.py::
+    contour_segments) over the smoothed tile raster: isolines of the
+    focal-mean image-density surface at three levels. ONE case table
+    (raster.CONTOUR_CASES) generates BOTH the Catalyst CASE unroll and
+    the oracle SQL — and because the interpolation is +,-,*,/ only,
+    the oracle matches segment ENDPOINTS value-for-value, not just
+    counts. Canonical endpoint ordering makes rows engine-portable."""
+    from ksj2gp_spark.operators.raster import contour_segments
+
+    cells = (
+        _tiles(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return contour_segments(
+        cells, res=GRID_RES, levels=[25.0, 50.0, 100.0]
+    )
+
+
+def _contour_sql() -> str:
+    from ksj2gp_spark.operators.raster import contour_pairs_sql_case
+
+    size = 360.0 / (1 << GRID_RES)
+    ep = {
+        "S": (f"cx + (L - v00) / (v10 - v00) * {size!r}", "cy"),
+        "E": (f"cx + {size!r}", f"cy + (L - v10) / (v11 - v10) * {size!r}"),
+        "N": (f"cx + (L - v01) / (v11 - v01) * {size!r}", f"cy + {size!r}"),
+        "W": ("cx", f"cy + (L - v00) / (v01 - v00) * {size!r}"),
+    }
+
+    def coord(which: int, axis: int) -> str:
+        arms = " ".join(
+            f"WHEN '{e}' THEN {ep[e][axis]}" for e in "SENW"
+        )
+        return f"CASE substr(pair, {which}, 1) {arms} END"
+
+    return f"""
+WITH tiles AS ({{tiles}}),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS v FROM tiles GROUP BY cell
+),
+decoded AS (
+  SELECT (cell - {GRID_RES} * {1 << 58}) // {1 << 29} AS i,
+         cell % {1 << 29} AS j, v
+  FROM cells
+),
+blocks AS (
+  SELECT a.i AS bi, a.j AS bj, a.v AS v00, b.v AS v10,
+         c.v AS v01, d.v AS v11
+  FROM decoded a
+  JOIN decoded b ON b.i = a.i + 1 AND b.j = a.j
+  JOIN decoded c ON c.i = a.i AND c.j = a.j + 1
+  JOIN decoded d ON d.i = a.i + 1 AND d.j = a.j + 1
+),
+lv AS (
+  SELECT bl.*, lvl.L,
+         (CASE WHEN v00 >= L THEN 1 ELSE 0 END)
+         + (CASE WHEN v10 >= L THEN 1 ELSE 0 END) * 2
+         + (CASE WHEN v11 >= L THEN 1 ELSE 0 END) * 4
+         + (CASE WHEN v01 >= L THEN 1 ELSE 0 END) * 8 AS cs
+  FROM blocks bl CROSS JOIN (VALUES (25.0), (50.0), (100.0)) lvl(L)
+),
+segs AS (
+  SELECT (bi + 0.5) * {size!r} - 180.0 AS cx,
+         (bj + 0.5) * {size!r} - 90.0 AS cy,
+         v00, v10, v01, v11, L,
+         CASE slot.s
+           WHEN 0 THEN {contour_pairs_sql_case("cs", 0)}
+           ELSE {contour_pairs_sql_case("cs", 1)}
+         END AS pair
+  FROM lv CROSS JOIN (VALUES (0), (1)) slot(s)
+),
+pts AS (
+  SELECT L, {coord(1, 0)} AS ax, {coord(1, 1)} AS ay,
+         {coord(2, 0)} AS bx, {coord(2, 1)} AS by
+  FROM segs WHERE pair IS NOT NULL
+)
+SELECT L AS level,
+       round(CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN bx ELSE ax END, 6) AS x1,
+       round(CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN by ELSE ay END, 6) AS y1,
+       round(CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ax ELSE bx END, 6) AS x2,
+       round(CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ay ELSE by END, 6) AS y2
+FROM pts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -7187,6 +7275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_bands": q_isochrone_bands,
         "zonal_median": q_zonal_median,
         "admin_image_quality": q_admin_image_quality,
+        "contour_tiles": q_contour_tiles,
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
@@ -7349,6 +7438,7 @@ GROUP BY p.admin_code
         "isochrone_bands": _ISOCHRONE_SQL,
         "zonal_median": _zonal_median_sql(),
         "admin_image_quality": _ADMIN_QUALITY_SQL.format(tiles=_TILES_SQL.strip()),
+        "contour_tiles": _contour_sql().format(tiles=_TILES_SQL.strip()),
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),

@@ -678,3 +678,163 @@ def zonal_quantiles(
         "_zval",
         qs,
     )
+
+
+# --- marching-squares contours -----------------------------------------
+#
+# ONE case table drives BOTH engines: `contour_segments` unrolls it
+# into Catalyst CASE expressions, `contour_pairs_sql_case` into the
+# oracle's ANSI SQL — parity at the generator level, like geohash.
+# Corner bits (set = value >= level): b0=v00 (SW), b1=v10 (SE),
+# b2=v11 (NE), b3=v01 (NW). Edges: S (v00-v10), E (v10-v11),
+# N (v01-v11), W (v00-v01). Saddles (cases 5 and 10) use the FIXED
+# separate-the-inside-corners rule — deterministic, no center probe.
+
+CONTOUR_CASES: dict[int, tuple[str, ...]] = {
+    0: (), 15: (),
+    1: ("WS",), 14: ("WS",),
+    2: ("SE",), 13: ("SE",),
+    3: ("WE",), 12: ("WE",),
+    4: ("EN",), 11: ("EN",),
+    6: ("SN",), 9: ("SN",),
+    7: ("WN",), 8: ("WN",),
+    5: ("WS", "EN"),
+    10: ("SE", "NW"),
+}
+# normalize two-char codes: each segment joins two distinct edges;
+# "NW" in case 10 is the (N, W) pair.
+
+
+def contour_pairs_sql_case(case_expr: str, slot: int) -> str:
+    """SQL CASE yielding the 2-char edge-pair code for segment
+    ``slot`` (0 or 1) of a marching-squares case, or NULL."""
+    arms = []
+    for c, pairs in sorted(CONTOUR_CASES.items()):
+        if len(pairs) > slot:
+            arms.append(f"WHEN {c} THEN '{pairs[slot]}'")
+    return f"CASE {case_expr} " + " ".join(arms) + " ELSE NULL END"
+
+
+def contour_segments(
+    raster: DataFrame,
+    res: int,
+    levels: list[float],
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marching-squares contour extraction (Lorensen & Cline lineage,
+    public-domain 2-D case) over a sparse grid raster: for every level
+    and every 2x2 block whose FOUR corner cells are present (the
+    explicit exact-lane rule — partial blocks drop, never extrapolate),
+    emit the isoline segments with linear edge interpolation. Corners
+    sit at cell centers. Output: (level, x1, y1, x2, y2), endpoints
+    canonically ordered (lexicographic) and rounded to 6.
+
+    Fully relational, zero Python: cells scatter to the <=4 blocks
+    they corner (plan-time constant fanout), ONE map-side-combinable
+    groupBy assembles (v00, v10, v01, v11), the per-level case id and
+    edge-pair selection unroll from CONTOUR_CASES into codegen CASE
+    expressions, and interpolation is +,-,*,/ only — every double is
+    bit-identical in any IEEE engine, which is what lets the oracle
+    replay segments VALUE-exactly, not just count-exactly.
+    """
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    if not (0 <= res <= 28):
+        raise ValueError("res must be in 0..28")
+    size = 360.0 / (1 << res)
+    d = _decompose(raster.select(cell_col, value_col), cell_col)
+    offsets = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di in (0, 1) for dj in (0, 1)]
+    )
+    scat = d.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.explode(offsets).alias("_o"),
+        "_i",
+        "_j",
+    ).select(
+        "_v",
+        # block anchor = this cell minus its corner offset
+        (F.col("_i") - F.col("_o.di")).alias("_bi"),
+        (F.col("_j") - F.col("_o.dj")).alias("_bj"),
+        F.col("_o.di").alias("_ci"),
+        F.col("_o.dj").alias("_cj"),
+    )
+
+    def corner(ci: int, cj: int):
+        return F.sum(
+            F.when(
+                (F.col("_ci") == ci) & (F.col("_cj") == cj), F.col("_v")
+            )
+        )
+
+    blocks = scat.groupBy("_bi", "_bj").agg(
+        F.count(F.lit(1)).alias("_n"),
+        corner(0, 0).alias("_v00"),
+        corner(1, 0).alias("_v10"),
+        corner(0, 1).alias("_v01"),
+        corner(1, 1).alias("_v11"),
+    ).filter(F.col("_n") == 4)
+    lv = blocks.select(
+        "*", F.explode(F.array(*[F.lit(float(l)) for l in levels])).alias("_L")
+    )
+    L = F.col("_L")
+    case_id = (
+        (F.col("_v00") >= L).cast("int")
+        + (F.col("_v10") >= L).cast("int") * 2
+        + (F.col("_v11") >= L).cast("int") * 4
+        + (F.col("_v01") >= L).cast("int") * 8
+    )
+    tagged = lv.select("*", case_id.alias("_case"))
+
+    def pair_col(slot: int):
+        expr = F.lit(None).cast("string")
+        for c, pairs in sorted(CONTOUR_CASES.items()):
+            if len(pairs) > slot:
+                expr = F.when(F.col("_case") == c, F.lit(pairs[slot])).otherwise(expr)
+        return expr
+
+    seg = tagged.select(
+        "*",
+        F.explode(
+            F.array(pair_col(0), pair_col(1))
+        ).alias("_pair"),
+    ).filter(F.col("_pair").isNotNull())
+
+    cx = (F.col("_bi") + F.lit(0.5)) * F.lit(size) - F.lit(180.0)
+    cy = (F.col("_bj") + F.lit(0.5)) * F.lit(size) - F.lit(90.0)
+    s = F.lit(size)
+
+    def endpoint(edge_char):
+        # returns (x, y) expressions for the crossing on the edge
+        tS = (L - F.col("_v00")) / (F.col("_v10") - F.col("_v00"))
+        tE = (L - F.col("_v10")) / (F.col("_v11") - F.col("_v10"))
+        tN = (L - F.col("_v01")) / (F.col("_v11") - F.col("_v01"))
+        tW = (L - F.col("_v00")) / (F.col("_v01") - F.col("_v00"))
+        x = (
+            F.when(edge_char == F.lit("S"), cx + tS * s)
+            .when(edge_char == F.lit("E"), cx + s)
+            .when(edge_char == F.lit("N"), cx + tN * s)
+            .otherwise(cx)
+        )
+        y = (
+            F.when(edge_char == F.lit("S"), cy)
+            .when(edge_char == F.lit("E"), cy + tE * s)
+            .when(edge_char == F.lit("N"), cy + s)
+            .otherwise(cy + tW * s)
+        )
+        return x, y
+
+    e1 = F.substring("_pair", 1, 1)
+    e2 = F.substring("_pair", 2, 1)
+    ax, ay = endpoint(e1)
+    bx, by = endpoint(e2)
+    swap = (ax > bx) | ((ax == bx) & (ay > by))
+    return seg.select(
+        F.col("_L").alias("level"),
+        F.round(F.when(swap, bx).otherwise(ax), 6).alias("x1"),
+        F.round(F.when(swap, by).otherwise(ay), 6).alias("y1"),
+        F.round(F.when(swap, ax).otherwise(bx), 6).alias("x2"),
+        F.round(F.when(swap, ay).otherwise(by), 6).alias("y2"),
+    )

@@ -320,3 +320,117 @@ class TestMorphology:
                 fn(df, rings=-1)
             with pytest.raises(ValueError, match="explodes"):
                 fn(df, rings=9)
+
+
+class TestContourSegments:
+    def _raster(self, spark, zfn, H=8, W=8, res=10, i0=900, j0=350):
+        rows = [
+            {"cell": _cell(res, i0 + ii, j0 + jj), "value": float(zfn(ii, jj))}
+            for ii in range(H)
+            for jj in range(W)
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_tilted_plane_vertical_isoline(self, spark):
+        from ksj2gp_spark.operators.raster import contour_segments
+
+        res, H, W = 10, 6, 6
+        size = 360.0 / (1 << res)
+        out = contour_segments(
+            self._raster(spark, lambda i, j: 2.0 * i, H=H, W=W, res=res),
+            res=res,
+            levels=[5.0],
+        ).toPandas()
+        # level 5 crosses between i=2 and i=3 at t=0.5: one vertical
+        # segment per block row, W-1 of them, all at the same x
+        assert len(out) == W - 1
+        assert (out.x1 == out.x2).all()
+        expected_x = round((900 + 2.5 + 0.5) * size - 180.0, 6)
+        assert (out.x1 == expected_x).all()
+        # segments chain: y-extents tile contiguously, each of height size
+        ys = sorted(zip(out.y1, out.y2))
+        for (a1, a2), (b1, b2) in zip(ys, ys[1:]):
+            assert abs(a2 - b1) < 1e-9
+
+    def test_peak_yields_closed_loop(self, spark):
+        from ksj2gp_spark.operators.raster import contour_segments
+
+        # radial bump: the level set is a closed loop — every endpoint
+        # must appear exactly TWICE (loop closure), a topological
+        # invariant independent of the case table
+        out = contour_segments(
+            self._raster(
+                spark,
+                lambda i, j: 100.0 - ((i - 3.5) ** 2 + (j - 3.5) ** 2),
+                H=8,
+                W=8,
+            ),
+            res=10,
+            levels=[95.0],
+        ).toPandas()
+        assert len(out) > 0
+        from collections import Counter
+
+        pts = Counter()
+        for _, r in out.iterrows():
+            pts[(r.x1, r.y1)] += 1
+            pts[(r.x2, r.y2)] += 1
+        assert all(c == 2 for c in pts.values())
+
+    def test_endpoints_lie_on_level(self, spark):
+        from ksj2gp_spark.operators.raster import contour_segments
+
+        # independent recompute: every endpoint sits on a block edge
+        # whose linear interpolation at that point equals the level
+        res = 10
+        size = 360.0 / (1 << res)
+        rng = np.random.RandomState(7)
+        z = rng.rand(7, 7) * 10
+        out = contour_segments(
+            self._raster(spark, lambda i, j: z[i, j], H=7, W=7, res=res),
+            res=res,
+            levels=[5.0],
+        ).toPandas()
+        assert len(out) > 0
+
+        def val_at(x, y):
+            gi = (x + 180.0) / size - 0.5 - 900
+            gj = (y + 90.0) / size - 0.5 - 350
+            # endpoint is on a grid edge: one coordinate is integral
+            if abs(gi - round(gi)) < 1e-6:
+                i = int(round(gi))
+                j0f = int(np.floor(gj))
+                t = gj - j0f
+                return (1 - t) * z[i, j0f] + t * z[i, j0f + 1]
+            j = int(round(gj))
+            i0f = int(np.floor(gi))
+            t = gi - i0f
+            return (1 - t) * z[i0f, j] + t * z[i0f + 1, j]
+
+        for _, r in out.iterrows():
+            assert abs(val_at(r.x1, r.y1) - 5.0) < 1e-4
+            assert abs(val_at(r.x2, r.y2) - 5.0) < 1e-4
+
+    def test_saddle_rule_deterministic(self, spark):
+        from ksj2gp_spark.operators.raster import contour_segments
+
+        # one block, A and C inside (case 5): exactly 2 segments
+        out = contour_segments(
+            self._raster(
+                spark,
+                lambda i, j: 9.0 if i == j else 1.0,
+                H=2,
+                W=2,
+            ),
+            res=10,
+            levels=[5.0],
+        ).toPandas()
+        assert len(out) == 2
+
+    def test_partial_blocks_drop_and_validation(self, spark):
+        from ksj2gp_spark.operators.raster import contour_segments
+
+        df = self._raster(spark, lambda i, j: float(i), H=1, W=5)
+        assert contour_segments(df, res=10, levels=[0.5]).count() == 0
+        with pytest.raises(ValueError, match="levels"):
+            contour_segments(df, res=10, levels=[])
