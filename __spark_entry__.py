@@ -7145,6 +7145,114 @@ FROM pts
 """
 
 
+
+def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour POLYLINE assembly — the composition on top of
+    contour_tiles: segments sharing an endpoint (endpoints are round-6
+    canonical, so matching is exact in any engine) connect into lines
+    via graph.connected_components; each line reports its segment
+    count and its lexicographically-minimal segment as the
+    engine-portable line identity (component labels never leak into
+    the output). The oracle rebuilds the segments, the endpoint-match
+    edges, and the components (recursive min-label CTE) in one query."""
+    from ksj2gp_spark.operators.graph import connected_components
+
+    segs = q_contour_tiles(spark, sf_dir)
+    sid = F.xxhash64("level", "x1", "y1", "x2", "y2")
+    s = segs.select("*", sid.alias("_sid"))
+    pts = s.select(
+        "_sid",
+        "level",
+        F.explode(
+            F.array(
+                F.struct(F.col("x1").alias("x"), F.col("y1").alias("y")),
+                F.struct(F.col("x2").alias("x"), F.col("y2").alias("y")),
+            )
+        ).alias("_p"),
+    ).select("_sid", "level", F.col("_p.x").alias("_x"), F.col("_p.y").alias("_y"))
+    edges = (
+        pts.alias("a")
+        .join(
+            pts.alias("b"),
+            (F.col("a.level") == F.col("b.level"))
+            & (F.col("a._x") == F.col("b._x"))
+            & (F.col("a._y") == F.col("b._y"))
+            & (F.col("a._sid") < F.col("b._sid")),
+        )
+        .select(F.col("a._sid").alias("src"), F.col("b._sid").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    labeled = s.join(
+        comp, s["_sid"] == comp["node"], "left"
+    ).withColumn("_comp", F.coalesce(F.col("component"), F.col("_sid")))
+    anchor = F.min(
+        F.struct("x1", "y1", "x2", "y2")
+    ).alias("_a")
+    return (
+        labeled.groupBy("level", "_comp")
+        .agg(F.count(F.lit(1)).alias("n_segments"), anchor)
+        .select(
+            "level",
+            F.col("_a.x1").alias("anchor_x1"),
+            F.col("_a.y1").alias("anchor_y1"),
+            F.col("_a.x2").alias("anchor_x2"),
+            F.col("_a.y2").alias("anchor_y2"),
+            "n_segments",
+        )
+    )
+
+
+def _contour_lines_sql() -> str:
+    inner = _contour_sql().format(tiles=_TILES_SQL.strip())
+    return f"""
+WITH RECURSIVE allsegs AS ({inner}),
+sid AS (
+  SELECT level, x1, y1, x2, y2,
+         level || '|' || x1 || '|' || y1 || '|' || x2 || '|' || y2 AS k
+  FROM allsegs
+),
+endp AS (
+  SELECT k, level, x1 AS x, y1 AS y FROM sid
+  UNION ALL
+  SELECT k, level, x2, y2 FROM sid
+),
+e0 AS (
+  SELECT a.k AS u, b.k AS v
+  FROM endp a JOIN endp b
+    ON a.level = b.level AND a.x = b.x AND a.y = b.y AND a.k < b.k
+  GROUP BY a.k, b.k
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+rr(k, l) AS (
+  SELECT k, k FROM sid
+  UNION
+  SELECT e.v, rr.l FROM rr JOIN e ON e.u = rr.k WHERE rr.l < e.v
+),
+comp AS (SELECT k, min(l) AS c FROM rr GROUP BY k),
+lines AS (
+  SELECT s.level, comp.c, s.x1, s.y1, s.x2, s.y2
+  FROM sid s JOIN comp ON comp.k = s.k
+),
+counts AS (
+  SELECT level, c, count(*) AS n_segments FROM lines GROUP BY level, c
+),
+ranked AS (
+  SELECT level, c, x1, y1, x2, y2,
+         row_number() OVER (
+           PARTITION BY level, c ORDER BY x1, y1, x2, y2
+         ) AS rn
+  FROM lines
+)
+SELECT r.level,
+       r.x1 AS anchor_x1, r.y1 AS anchor_y1,
+       r.x2 AS anchor_x2, r.y2 AS anchor_y2,
+       n.n_segments
+FROM ranked r JOIN counts n ON n.level = r.level AND n.c = r.c
+WHERE r.rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial-join + tile assignment on sf0.001 with the
     hex-cell engine path (images derived from customer)."""
@@ -7276,6 +7384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_median": q_zonal_median,
         "admin_image_quality": q_admin_image_quality,
         "contour_tiles": q_contour_tiles,
+        "contour_lines": q_contour_lines,
         "emerging_hotspots": q_emerging_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "cross_k": q_cross_k,
@@ -7439,6 +7548,7 @@ GROUP BY p.admin_code
         "zonal_median": _zonal_median_sql(),
         "admin_image_quality": _ADMIN_QUALITY_SQL.format(tiles=_TILES_SQL.strip()),
         "contour_tiles": _contour_sql().format(tiles=_TILES_SQL.strip()),
+        "contour_lines": _contour_lines_sql(),
         "emerging_hotspots": _EMERGING_SQL.format(tiles=_TILES_SQL.strip()),
         "areal_interpolate": _areal_sql(),
         "cross_k": _cross_k_sql(),

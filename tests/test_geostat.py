@@ -511,3 +511,37 @@ class TestGeohashSqlSurface:
         out = geohash_np(pts.lon.values, pts.lat.values, 8)
         for i in range(len(pts)):
             assert out[i] == _ref_geohash(pts.lon[i], pts.lat[i], 8)
+
+
+class TestGeohashProperties:
+    def test_prefix_property_exact(self):
+        """Truncating a precision-8 geohash to 5 chars IS the
+        precision-5 geohash — exact by construction (floor(x*2^20)>>7
+        == floor(x*2^13)), a real invariant hierarchical tiling
+        depends on (prefix joins between mixed-precision tables)."""
+        from hypothesis import given, settings, strategies as st
+
+        from ksj2gp_spark.operators.cells import geohash_np
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.floats(min_value=-180.0, max_value=180.0,
+                      allow_nan=False),
+            st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+        )
+        def check(lon, lat):
+            g8 = geohash_np(np.array([lon]), np.array([lat]), 8)[0]
+            g5 = geohash_np(np.array([lon]), np.array([lat]), 5)[0]
+            assert g8[:5] == g5
+
+        check()
+
+    def test_neighbors_share_prefix_at_coarse_precision(self):
+        # two points 1e-7 deg apart agree at short precision almost
+        # everywhere; just pin a known pair (not a general invariant
+        # at cell boundaries)
+        from ksj2gp_spark.operators.cells import geohash_np
+
+        a = geohash_np(np.array([139.70001]), np.array([35.70001]), 4)[0]
+        b = geohash_np(np.array([139.70002]), np.array([35.70002]), 4)[0]
+        assert a == b
